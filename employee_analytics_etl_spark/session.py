@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Centralizes the configuration every entry point (tests, bench, driver
+contract, pipeline CLI) should share. Defaults are sized for the local
+test harness (``local[N]``) but every knob is chosen to also be the
+right *shape* at cluster scale:
+
+- AQE on (runtime partition coalescing + skew-join splitting) — at
+  100 TB this is what keeps shuffle partitions right-sized without
+  hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count;
+  on a real cluster this would be ~2-3x total executor cores (AQE
+  coalesces down, it can't split a too-small number... except via
+  skew handling), so we leave it overridable via env.
+- Session timezone pinned to UTC: parquet timestamps must mean the
+  same instant to Spark and to the DuckDB correctness oracle.
+- Arrow enabled: every Pandas-UDF extension operator (similarity,
+  multimodal) rides the Arrow batch path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def build_session(
+    app_name: str = "employee_analytics_etl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) the engine's SparkSession.
+
+    Parameters are overridable for tests; environment variables
+    ``SPARK_GRAFT_CPUS`` control local parallelism.
+    """
+    cpus = DEFAULT_CPUS
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # driver testdata ships TIMESTAMP(NANOS) parquet columns (events.ts);
+        # Spark has no nanos type — read as epoch-nanos long, normalized in
+        # sources.readers.read_parquet_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,226 @@
+"""Deduplication operators (extension tier): exact, keyed, n-gram
+Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+- **Exact dedup** groups on a content hash (md5), never on the raw
+  text — the shuffle moves 16-byte keys, not documents.
+- **MinHash-LSH** is the 100 TB path: shingle → k minhashes → band →
+  bucket-join. Only documents sharing a band bucket are ever paired,
+  so the candidate set is ~linear, not quadratic. Band buckets with a
+  single doc produce no pairs and cost nothing.
+- **n-gram Jaccard** (the exact verifier) prunes high-document-
+  frequency shingles before the self-join — the classic stop-shingle
+  cut that caps per-shingle fanout; at scale you'd also salt any
+  residual hot shingle.
+- Everything is hash/group/join built-ins — no UDFs, no driver loops.
+
+MinHash uses md5 as the hash family (seeded by prefixing the seed
+index) so the DuckDB oracle can reproduce signatures exactly; a
+production variant would use xxhash64 (cheaper) — semantics identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import TOKEN_RE
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by content hash: canonical (min) id +
+    multiplicity per distinct content."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def keyed_dedup_first(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
+    """Keep the first row per key under a total order (W3 generalized:
+    ``row_number() == 1`` over a window). ``order`` columns must make
+    the sort total for determinism."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenization and n-gram assembly are array expressions (codegen'd);
+    explode fans out to one row per shingle.
+    """
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    grams = (
+        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int = 25,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs sharing ≥1
+    (non-stop) shingle. Returns (id_a, id_b, intersection, size_a,
+    size_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops shingles present in more than that many
+    documents before pairing — bounds the self-join fanout (at scale:
+    also the skew guard)."""
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("shingle")
+    )
+    sh_f = sh.join(rare, "shingle")
+    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
+    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "intersection", "size_a", "size_b",
+                F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k seeded minhashes per document: min over shingles of
+    md5(seed || ':' || shingle). Output: (id, seed, minhash).
+
+    One explode (shingles × seeds) + one groupBy — map-side combine
+    keeps the shuffle at k rows per document."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
+    return (
+        sh.select("id", seeds, "shingle")
+        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: concat each band's minhashes into a bucket key;
+    documents sharing any (band, bucket) become candidate pairs
+    (id_a < id_b, distinct). This is the linear-cost candidate
+    generator the exact Jaccard verifier then confirms."""
+    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    # band = seed DIV rows_per_band; bucket key = minhashes concatenated
+    # in seed order within the band (seed % rows_per_band positions).
+    per_band = (
+        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .withColumn("pos", F.col("seed") % rows_per_band)
+        .groupBy("id", "band")
+        .agg(
+            F.concat_ws(
+                "",
+                *[
+                    F.min(F.when(F.col("pos") == p, F.col("minhash")))
+                    for p in range(rows_per_band)
+                ],
+            ).alias("bucket")
+        )
+    )
+    a = per_band.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = per_band.select(F.col("id").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash over distinct word tokens: per bit position j, sum the
+    ±1 contributions of each token's md5-derived integer; bit j is set
+    iff the sum is positive. Output: (id, simhash).
+
+    Fanout is tokens × bits rows through one groupBy chain — heavy but
+    fully distributed; for production use a Pandas UDF computing all
+    bits per batch in numpy (same signature, ~bits× less shuffle)."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("tok"),
+        )
+        .distinct()
+        .withColumn(
+            "h", F.expr("CAST(conv(substr(md5(tok),1,8),16,10) AS BIGINT)")
+        )
+    )
+    bits_df = toks.select(
+        "id",
+        "h",
+        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"),
+    ).withColumn(
+        # shiftright/shiftleft DSL helpers require a literal shift —
+        # use the SQL expression form for a column shift amount
+        "contrib",
+        F.expr("(shiftright(h, j) & 1) * 2 - 1"),
+    )
+    bit_votes = bits_df.groupBy("id", "j").agg(F.sum("contrib").alias("vote"))
+    return (
+        bit_votes.withColumn(
+            "bit_val",
+            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .groupBy("id")
+        .agg(F.sum("bit_val").cast("long").alias("simhash"))
+    )

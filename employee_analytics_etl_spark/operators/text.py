@@ -1,0 +1,147 @@
+"""Text-analysis operators over a document table (extension tier).
+
+All operators are pure Catalyst expressions (regexp/array functions —
+JVM-side, codegen'd); zero Python UDFs, so they scale linearly with
+executors and stay inside whole-stage codegen. Designed for a
+``documents(doc_id, text, ...)`` table but parameterized on column
+names.
+
+Cross-engine notes (DuckDB oracle parity):
+- token extraction uses ``regexp_extract_all`` (RE2-compatible
+  patterns only — both engines agree on these character classes).
+- fingerprints derive from md5 (identical hex in every engine);
+  the 60-bit integer form takes the first 15 hex chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word tokens: maximal alphanumeric runs on the lowercased text.
+TOKEN_RE = "[a-z0-9]+"
+# BPE-ish pre-tokenizer: letter runs | single digits | single punctuation
+# (the GPT-2 pre-tokenizer shape, simplified to RE2-portable classes).
+# Doubled backslash survives Spark SQL string-literal unescaping inside
+# F.expr (the literal must contain `\\s` for the regex to see `\s`).
+BPE_RE = "[a-z]+|[0-9]|[^a-z0-9\\\\s]"
+PUNCT_RE = "[.,;:!?]"
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Latin-script languages only; text that matches
+# none stays 'und'(etermined).
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "des"],
+}
+
+
+def tokens_col(text_col: str) -> Column:
+    """Array of word tokens (lowercased alnum runs)."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens_col(text_col))
+
+
+def bpe_token_count(text_col: str) -> Column:
+    """Whitespace-free BPE-ish pre-token count (regex pre-tokenizer)."""
+    return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_RE}', 0)"))
+
+
+def stopword_count(text_col: str, lang: str) -> Column:
+    pat = "\\\\b(" + "|".join(LANG_STOPWORDS[lang]) + ")\\\\b"
+    return F.size(F.expr(f"regexp_extract_all(lower({text_col}), '{pat}', 0)"))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics: char/token/BPE-token/punct counts
+    and ratios. One narrow projection — no shuffle."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_tokens = F.size(toks)
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("n_bpe_tokens", bpe_token_count(text_col))
+        .withColumn(
+            "punct_count",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{PUNCT_RE}', 0)")),
+        )
+        .withColumn(
+            # mean token length = total alnum chars / token count — an
+            # integer ratio (deterministic division, no float folding)
+            "avg_token_len",
+            F.when(
+                n_tokens > 0,
+                F.length(
+                    F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+                ).cast("double")
+                / n_tokens.cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.col("punct_count") / F.greatest(n_chars, F.lit(1)).cast("double"),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language ID. Scores each language by stopword
+    hits per token; argmax with a fixed precedence order (en, es, de,
+    fr) for ties; zero hits → 'und'. Heuristic by design — a
+    deterministic, cluster-friendly approximation of fastText-style
+    lang-ID with no model artifact."""
+    out = df
+    for lang in LANG_STOPWORDS:
+        out = out.withColumn(f"_sw_{lang}", stopword_count(text_col, lang))
+    best = F.greatest(*[F.col(f"_sw_{l}") for l in LANG_STOPWORDS])
+    expr = F.when(best <= 0, "und")
+    for lang in LANG_STOPWORDS:  # insertion order = precedence
+        expr = expr.when(F.col(f"_sw_{lang}") == best, lang)
+    out = out.withColumn("lang_pred", expr)
+    return out.drop(*[f"_sw_{l}" for l in LANG_STOPWORDS])
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation, English
+    stopword density, punctuation sanity, mean-token-length sanity.
+    Thresholded into good/ok/bad buckets. All double arithmetic on
+    identical inputs — deterministic across engines/cluster sizes."""
+    stats = with_text_stats(df, text_col)
+    sw = stopword_count(text_col, "en")
+    n_tokens = F.col("n_tokens")
+    len_score = F.least(n_tokens.cast("double") / F.lit(50.0), F.lit(1.0))
+    sw_ratio = F.when(
+        n_tokens > 0, sw.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    sw_score = F.least(sw_ratio * 5.0, F.lit(1.0))
+    punct_ok = F.when(F.col("punct_ratio") < 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_len_ok = F.when(
+        F.col("avg_token_len").between(2.0, 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    score = F.round(
+        len_score * 0.4 + sw_score * 0.3 + punct_ok * 0.15 + tok_len_ok * 0.15, 6
+    )
+    return (
+        stats.withColumn("quality_score", score)
+        .withColumn(
+            "quality_bucket",
+            F.when(score >= 0.7, "good").when(score >= 0.4, "ok").otherwise("bad"),
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: full md5 hex + a 60-bit integer
+    fingerprint (first 15 hex chars) usable as a shard/join key.
+    Content-defined, order-free — the distributed analogue of a
+    rolling-hash document signature."""
+    md5 = F.md5(F.col(text_col))
+    return df.withColumn("content_md5", md5).withColumn(
+        "fingerprint", F.expr(f"CAST(conv(substr(md5({text_col}),1,15),16,10) AS BIGINT)")
+    )

@@ -1,0 +1,221 @@
+"""Event-time window operators over the events table (extension tier,
+batch semantics — the streaming twins live in ``streaming.jobs``).
+
+Time arithmetic runs on integer epoch-microseconds (``unix_micros``)
+— exact, timezone-free, and identical to the DuckDB oracle's
+``epoch_us``. Window identity is the window-start epoch-second
+(BIGINT), not a timestamp struct, so results compare across engines
+without timestamp-representation drift.
+
+Scale: tumbling/sliding windows are pure map + groupBy (map-side
+combine); sessionization is one shuffle on user_id + window functions;
+the as-of and range joins below avoid nested-loop joins by
+bucketization — the standard Spark trick for interval predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+US_PER_SEC = 1_000_000
+
+
+def _micros(ts_col: str) -> F.Column:
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_sec: int = 3600,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time windows: (window_start_sec, *keys) → count +
+    exact sum. Equivalent to Structured Streaming's
+    ``window(ts, width)`` in complete mode."""
+    # integer DIV keeps the bucket math exact (bit-identical to the
+    # oracle's `epoch_us(ts) // width`) — float floor-division would be
+    # one-ulp fragile near bucket boundaries.
+    width_us = width_sec * US_PER_SEC
+    win = (
+        F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {width_us}") * width_sec
+    ).alias("window_start_sec")
+    gcols = [win] + [F.col(k) for k in (keys or [])]
+    return (
+        df.groupBy(*gcols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    width_sec: int = 3600,
+    slide_sec: int = 1800,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Sliding windows via offset explosion: each event belongs to
+    ``width/slide`` windows; generate those window starts with a
+    sequence + explode (no self-join). Mirrors Structured Streaming's
+    ``window(ts, width, slide)``."""
+    assert width_sec % slide_sec == 0, "width must be a multiple of slide"
+    n = width_sec // slide_sec
+    slide_us = slide_sec * US_PER_SEC
+    base = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP)) DIV {slide_us}")  # slide bucket
+    df2 = df.withColumn("_slide_bucket", base).withColumn(
+        "window_start_sec",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n - 1}), i -> (_slide_bucket - i) * {slide_sec})"
+            )
+        ),
+    ).filter(F.col("window_start_sec") >= 0)
+    gcols = [F.col("window_start_sec")] + [F.col(k) for k in (keys or [])]
+    return df2.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_sec: int = 1800,
+    value_col: str = "value",
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    gap to the previous event of the same user exceeds ``gap_sec``.
+    Output: one row per session with start/end epoch-seconds, event
+    count and exact value sum. (Streaming twin: ``session_window`` —
+    see streaming.jobs.)"""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    df_us = df.withColumn("_us", _micros(ts_col))
+    us = F.col("_us")
+    with_gap = df_us.withColumn(
+        "_new_session",
+        F.when(F.lag(us).over(w).isNull(), 1)
+        .when((us - F.lag(us).over(w)) > gap_sec * US_PER_SEC, 1)
+        .otherwise(0),
+    ).withColumn(
+        "_session_idx",
+        F.sum("_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_gap.groupBy(F.col(user_col), F.col("_session_idx").alias("session_idx"))
+        .agg(
+            F.expr("min(_us) DIV 1000000").alias("session_start_sec"),
+            F.expr("max(_us) DIV 1000000").alias("session_end_sec"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the single right row
+    with the greatest ``right_ts`` ≤ ``left_ts`` within the same key.
+
+    Spark has no native as-of join; this is the union-tag algorithm:
+    tag both sides, sort within key by (ts, side), and carry the last
+    seen right value forward with ``last(..., ignorenulls)`` — one
+    shuffle on the key, no nested-loop join, skew-safe under AQE.
+    ``right`` must be unique per (key, right_ts) — pre-dedup if not.
+    The DuckDB oracle is a native ``ASOF LEFT JOIN``.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in lcols],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+    )
+    unioned = tagged_r.unionByName(tagged_l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback_sec: int,
+    bucket_sec: int | None = None,
+) -> DataFrame:
+    """Count right rows with ``left_ts - lookback ≤ right_ts ≤ left_ts``
+    per left row — a range join made hash-joinable by bucketization:
+    equi-join on coarse time buckets (bucket width = lookback), then
+    filter the exact range. Each right row lands in exactly one bucket;
+    each left row probes two buckets — no duplicate pairs, no
+    BroadcastNestedLoopJoin. Returns ``left`` + ``n_in_range``."""
+    bucket_sec = bucket_sec or lookback_sec
+    bus = bucket_sec * US_PER_SEC
+    lus = lookback_sec * US_PER_SEC
+    l2 = left.select(
+        "*",
+        _micros(left_ts).alias("_lt"),
+    ).withColumn(
+        "_probe_bucket",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {lookback_sec // bucket_sec}), "
+                f"i -> (_lt DIV {bus}) - i)"
+            )
+        ),
+    )
+    r2 = right.select(
+        F.col(key).alias("_rk"),
+        _micros(right_ts).alias("_rt"),
+    ).withColumn("_rbucket", F.expr(f"_rt DIV {bus}"))
+    joined = l2.join(
+        r2,
+        (F.col(key) == F.col("_rk"))
+        & (F.col("_probe_bucket") == F.col("_rbucket"))
+        & (F.col("_rt") >= F.col("_lt") - lus)
+        & (F.col("_rt") <= F.col("_lt")),
+        "left",
+    )
+    group_cols = [c for c in left.columns]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(F.count(F.col("_rk")).cast("long").alias("n_in_range"))
+    )

@@ -1,0 +1,907 @@
+"""Query registry: every operator class from SURVEY.md §2 plus the
+extension tier, expressed over the driver testdata tables, each with a
+DuckDB oracle (ANSI SQL) for the correctness gate.
+
+Role mapping (FIXTURES.md §8): customer↔employees, nation/region↔
+departments, orders/lineitem↔facts, events↔stream, documents/
+embeddings↔text & similarity extensions.
+
+Cross-engine determinism rules used throughout (verified empirically,
+see tests/test_oracle_parity.py):
+- money sums/avgs go through DECIMAL (exact, order-independent) and
+  cast back to DOUBLE — ``functions.expr.dsum/davg``;
+- time math runs on integer epoch-micros (``unix_micros`` ≡ DuckDB
+  ``epoch_us``), never float seconds;
+- "latest per key" uses row_number over a TOTAL order (ties broken by
+  a unique id), never bare max_by;
+- outputs avoid ROUND except where the rounded quantity cannot sit on
+  an exact decimal midpoint (cosine sims, quality scores);
+- hashes are md5 (identical hex in both engines); 60-bit integer
+  fingerprints take the first 15 hex chars.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.expr import davg, dsum, sentinel_fk
+from ..operators import dedup as D
+from ..operators import windows as W
+from ..sources.readers import read_parquet_table
+
+AS_OF = "2026-01-01"
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_table(spark, sf_dir, name)
+
+
+# =========================================================================
+# A. Reference-parity tier (SURVEY.md §2) on the TPC-H-ish role mapping
+# =========================================================================
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))
+           * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (A1-pattern multi-agg).
+
+    One scan, one partial+final hash aggregate; decimal-exact sums.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)")
+    tax1 = (F.lit(1) + F.col("l_tax").cast("decimal(4,2)")).cast("decimal(5,2)")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "nation_account_summary",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey, COUNT(*) AS total_customers,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_acctbal
+      FROM customer GROUP BY c_nationkey
+    ), ord AS (
+      SELECT c.c_nationkey, COUNT(*) AS open_orders,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_order_value
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderstatus = 'O'
+      GROUP BY c.c_nationkey
+    )
+    SELECT n.n_nationkey, n.n_name AS nation_name, r.r_name AS region_name,
+           COALESCE(cust.total_customers, 0) AS total_customers,
+           COALESCE(cust.avg_acctbal, 0.0) AS avg_acctbal,
+           COALESCE(ord.open_orders, 0) AS open_orders,
+           COALESCE(ord.open_order_value, 0.0) AS open_order_value
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN cust ON cust.c_nationkey = n.n_nationkey
+    LEFT JOIN ord ON ord.c_nationkey = n.n_nationkey
+    """,
+)
+def nation_account_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Department-summary analogue (A1/A2/J1/J2/C12): per-nation customer
+    stats + open-order stats, left-joined onto the broadcast dimension
+    with zero null-fill (the 'dept with no employees' path)."""
+    nation, region = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    customer, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    cust_stats = customer.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("total_customers"),
+        davg("c_acctbal").alias("avg_acctbal"),
+    )
+    ord_stats = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .join(customer.select("c_custkey", "c_nationkey"),
+              orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("open_orders"),
+            dsum("o_totalprice").alias("open_order_value"),
+        )
+    )
+    return (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .join(cust_stats, nation.n_nationkey == cust_stats.c_nationkey, "left")
+        .join(ord_stats.withColumnRenamed("c_nationkey", "ok"),
+              nation.n_nationkey == F.col("ok"), "left")
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+            F.coalesce("total_customers", F.lit(0)).alias("total_customers"),
+            F.coalesce("avg_acctbal", F.lit(0.0)).alias("avg_acctbal"),
+            F.coalesce("open_orders", F.lit(0)).alias("open_orders"),
+            F.coalesce("open_order_value", F.lit(0.0)).alias("open_order_value"),
+        )
+    )
+
+
+@query(
+    "customer_order_profile",
+    oracle="""
+    WITH stats AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_value
+      FROM orders GROUP BY o_custkey
+    ), latest AS (
+      SELECT o_custkey, o_totalprice AS latest_order_price,
+             CAST(o_orderdate AS DATE) AS latest_order_date
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+    )
+    SELECT c.c_custkey, c.c_name, COALESCE(n.n_name, 'Unknown') AS nation_name,
+           c.c_acctbal,
+           CASE WHEN c.c_acctbal < 1000 THEN 'Low'
+                WHEN c.c_acctbal <= 5000 THEN 'Medium'
+                ELSE 'High' END AS acct_bucket,
+           COALESCE(s.n_orders, 0) AS n_orders,
+           s.avg_order_value,
+           l.latest_order_price, l.latest_order_date
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN stats s ON s.o_custkey = c.c_custkey
+    LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+    """,
+)
+def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Employee-performance analogue (J3/J4/A3/W2/C2/C12): entity dim ⟕
+    broadcast name dim ⟕ per-entity fact stats, with bucketing and a
+    deterministic latest-row (row_number over a total order — the
+    order-free replacement for pandas' sort+'last')."""
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    orders = t(spark, sf_dir, "orders")
+    stats = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        davg("o_totalprice").alias("avg_order_value"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("lk"),
+            F.col("o_totalprice").alias("latest_order_price"),
+            F.col("o_orderdate").cast("date").alias("latest_order_date"),
+        )
+    )
+    bucket = (
+        F.when(F.col("c_acctbal") < 1000, "Low")
+        .when(F.col("c_acctbal") <= 5000, "Medium")
+        .otherwise("High")
+    )
+    return (
+        customer.join(F.broadcast(nation),
+                      customer.c_nationkey == nation.n_nationkey, "left")
+        .join(stats, customer.c_custkey == stats.o_custkey, "left")
+        .join(latest, customer.c_custkey == F.col("lk"), "left")
+        .select(
+            "c_custkey", "c_name",
+            F.coalesce("n_name", F.lit("Unknown")).alias("nation_name"),
+            "c_acctbal",
+            bucket.alias("acct_bucket"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "avg_order_value",
+            "latest_order_price", "latest_order_date",
+        )
+    )
+
+
+@query(
+    "order_age_derived",
+    oracle=f"""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate_d,
+           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS order_age_days,
+           COALESCE(o_custkey, -1) AS custkey_filled,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
+                ELSE 'standard' END AS priority_class
+    FROM orders
+    """,
+)
+def order_age_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-column tier (C1/C5/C8/C9): date parse + datediff from the
+    pinned as_of + CASE classification + FK sentinel — all codegen'd
+    Column expressions, no UDFs (the reference used row-wise lambdas)."""
+    orders = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        d.alias("o_orderdate_d"),
+        F.datediff(F.lit(AS_OF).cast("date"), d).alias("order_age_days"),
+        sentinel_fk("o_custkey").alias("custkey_filled"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "expedite")
+        .otherwise("standard")
+        .alias("priority_class"),
+    )
+
+
+@query(
+    "order_fulfillment_workload",
+    oracle="""
+    WITH w AS (
+      SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_suppliers,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COALESCE(w.n_suppliers, 0) AS n_suppliers,
+           COALESCE(w.n_parts, 0) AS n_parts,
+           COALESCE(w.total_qty, 0.0) AS total_qty,
+           w.avg_qty
+    FROM orders o LEFT JOIN w ON w.l_orderkey = o.o_orderkey
+    """,
+)
+def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project-workload analogue (A4/J5): exact distinct counts + sums
+    per parent row, left join with null-fill."""
+    orders, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    w = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_quantity").alias("avg_qty"),
+    )
+    return (
+        orders.join(w, orders.o_orderkey == w.l_orderkey, "left")
+        .select(
+            "o_orderkey", "o_orderstatus",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.coalesce("n_parts", F.lit(0)).alias("n_parts"),
+            F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
+            "avg_qty",
+        )
+    )
+
+
+@query(
+    "validation_fused",
+    oracle="""
+    SELECT 'customer' AS table_name, 'name_complete' AS check_name,
+           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS violations FROM customer
+    UNION ALL
+    SELECT 'customer', 'acctbal_complete',
+           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) FROM customer
+    UNION ALL
+    SELECT 'customer', 'segment_enum',
+           SUM(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
+               ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
+               THEN 1 ELSE 0 END) FROM customer
+    UNION ALL
+    SELECT 'orders', 'status_enum',
+           SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END) FROM orders
+    UNION ALL
+    SELECT 'orders', 'totalprice_positive',
+           SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'discount_range',
+           SUM(CASE WHEN l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1
+               THEN 1 ELSE 0 END) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'quantity_range',
+           SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0
+               THEN 1 ELSE 0 END) FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'ri_custkey',
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT o_custkey FROM orders
+              WHERE o_custkey <> -1
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer))) FROM (SELECT 1)
+    UNION ALL
+    SELECT 'lineitem', 'ri_orderkey',
+           (SELECT COUNT(*) FROM (
+              SELECT DISTINCT l_orderkey FROM lineitem
+              WHERE l_orderkey <> -1
+                AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))) FROM (SELECT 1)
+    """,
+)
+def validation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite (V1-V8) fused: all row-level checks for a
+    table in ONE conditional-aggregate pass; referential integrity as
+    hash anti-joins. Output: (table_name, check_name, violations)."""
+    from ..plans import validation as V
+
+    customer = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def fused(df: DataFrame, table: str, checks: list[V.Check]) -> DataFrame:
+        aggs = [
+            F.sum(F.when(c.violation, 1).otherwise(0)).cast("long").alias(c.name)
+            for c in checks
+        ]
+        one = df.agg(*aggs)
+        stacked = one.selectExpr(
+            "stack({n}, {args}) as (check_name, violations)".format(
+                n=len(checks),
+                args=", ".join(f"'{c.name}', {c.name}" for c in checks),
+            )
+        )
+        return stacked.select(
+            F.lit(table).alias("table_name"), "check_name", "violations"
+        )
+
+    cust_checks = [
+        V.Check("name_complete", F.col("c_name").isNull()),
+        V.Check("acctbal_complete", F.col("c_acctbal").isNull()),
+        V.enum_valid("c_mktsegment",
+                     ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]),
+    ]
+    cust_checks[2].name = "segment_enum"
+    order_checks = [
+        V.enum_valid("o_orderstatus", ["O", "F", "P"]),
+        V.positive_or_null("o_totalprice"),
+    ]
+    order_checks[0].name = "status_enum"
+    order_checks[1].name = "totalprice_positive"
+    li_checks = [
+        V.in_range("l_discount", 0.0, 0.1),
+        V.in_range("l_quantity", 1.0, 50.0),
+    ]
+    li_checks[0].name = "discount_range"
+    li_checks[1].name = "quantity_range"
+
+    ri_orders = spark.createDataFrame(
+        [("orders", "ri_custkey",
+          V.ri_violations(orders, "o_custkey", customer, "c_custkey"))],
+        "table_name string, check_name string, violations long",
+    )
+    ri_lineitem = spark.createDataFrame(
+        [("lineitem", "ri_orderkey",
+          V.ri_violations(li, "l_orderkey", orders, "o_orderkey"))],
+        "table_name string, check_name string, violations long",
+    )
+    return (
+        fused(customer, "customer", cust_checks)
+        .unionByName(fused(orders, "orders", order_checks))
+        .unionByName(fused(li, "lineitem", li_checks))
+        .unionByName(ri_orders)
+        .unionByName(ri_lineitem)
+    )
+
+
+@query(
+    "top_customers_by_spend",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY total_spend DESC, c.c_custkey ASC
+    LIMIT 10
+    """,
+)
+def top_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tier (T1-T4): exact spend ranking; Catalyst compiles
+    orderBy+limit to TakeOrderedAndProject (no global sort)."""
+    orders, customer = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice").alias("total_spend"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc_nulls_last("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query("segment_distinct",
+       oracle="SELECT DISTINCT c_mktsegment AS segment FROM customer")
+def segment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row distinct (D1)."""
+    return t(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment")
+    ).distinct()
+
+
+@query(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) = 1
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keep-first (W3/D2 generalized) under a total order."""
+    ev = t(spark, sf_dir, "events")
+    return D.keyed_dedup_first(
+        ev, ["user_id", "event_type"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "events_latest_broadcast",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS latest_value
+    FROM events
+    """,
+)
+def events_latest_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest value per key broadcast onto every row (unbounded
+    window, total order)."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id", "user_id", "value",
+        F.last("value").over(w).alias("latest_value"),
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (J6): the hash-join replacement for the reference's
+    quadratic referential scan."""
+    customer, orders = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
+@query(
+    "custkeys_f_except_o",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def custkeys_f_except_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operator tier: EXCEPT (distinct semantics)."""
+    orders = t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(o)
+
+
+@query(
+    "tpch_q3_shipping_topk",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate_d
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+      AND CAST(l.l_shipdate AS DATE) > DATE '1998-01-01'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE)
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → fact joins → grouped
+    revenue → top-k. Customer side broadcasts; lineitem never shuffles
+    until the final (small) aggregate."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < "1998-01-01"
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > "1998-01-01"
+    )
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate_d"))
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate_d")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_volume",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 6-table join with local-supplier colocation
+    predicate; every dimension broadcasts, the fact chain shuffles once
+    for the join on orderkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= "1996-01-01")
+        & (F.col("o_orderdate").cast("date") < "1998-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "pivot_status_qty",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_O,
+      CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: groupBy().pivot() with explicit values (no extra pass to
+    discover them — required practice at scale)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+        .select(
+            "l_returnflag",
+            F.col("O").cast("double").alias("qty_O"),
+            F.col("F").cast("double").alias("qty_F"),
+        )
+    )
+
+
+@query(
+    "rollup_lineitem_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate (rollup) — subtotals + grand total in one
+    shuffle (Catalyst expands grouping sets)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity").alias("total_qty"),
+    )
+
+
+@query(
+    "running_spend_by_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate_d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def running_spend_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total — window sum over DECIMAL so every prefix is exact
+    (order-independent across engines/cluster sizes)."""
+    orders = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate_d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "nation_acctbal_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rn
+    FROM customer
+    """,
+)
+def nation_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window functions (rank with ties + total-ordered
+    row_number)."""
+    customer = t(spark, sf_dir, "customer")
+    w_rank = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_rn = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return customer.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.rank().over(w_rank).alias("bal_rank"),
+        F.row_number().over(w_rn).alias("bal_rn"),
+    )
+
+
+@query(
+    "order_gap_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COALESCE(LAG(o_totalprice) OVER w, 0.0) AS prev_price,
+           DATE_DIFF('day',
+             CAST(LAG(o_orderdate) OVER w AS DATE),
+             CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def order_gap_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag tier: previous order value + inter-order gap."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)).alias("prev_price"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    )
+
+
+# =========================================================================
+# B. Event-time tier (batch semantics; streaming twins in streaming.jobs)
+# =========================================================================
+
+@query(
+    "events_tumbling_hour",
+    oracle="""
+    SELECT (epoch_us(ts) // 3600000000) * 3600 AS window_start_sec, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time windows (batch twin of streaming
+    window(ts, '1 hour'))."""
+    return W.tumbling_window_agg(
+        t(spark, sf_dir, "events"), "ts", 3600, ["event_type"], "value"
+    ).select("window_start_sec", "event_type", "n_events", "total_value")
+
+
+@query(
+    "events_sliding_hour",
+    oracle="""
+    WITH e AS (SELECT *, epoch_us(ts) // 1800000000 AS sb FROM events)
+    SELECT (sb - i) * 1800 AS window_start_sec, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e, UNNEST([0, 1]) AS u(i)
+    WHERE (sb - i) >= 0
+    GROUP BY 1
+    """,
+)
+def events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h width, 30min slide) via offset explosion —
+    no self-join, map-side combine does the heavy lifting."""
+    return W.sliding_window_agg(
+        t(spark, sf_dir, "events"), "ts", 3600, 1800, None, "value"
+    ).select("window_start_sec", "n_events", "total_value")
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           MIN(us) // 1000000 AS session_start_sec,
+           MAX(us) // 1000000 AS session_end_sec,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min gap) — the batch twin
+    of streaming session_window."""
+    return W.sessionize(t(spark, sf_dir, "events"), "ts", "user_id", "event_id",
+                        1800, "value").select(
+        "user_id", "session_idx", "session_start_sec", "session_end_sec",
+        "n_events", "total_value",
+    )
+
+
+@query(
+    "events_json_kv",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an integer out of the JSON-ish
+    props payload with a portable regexp (no JSON-extension
+    dependency), then aggregate exactly."""
+    ev = t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ), purchases AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id AS purchase_event_id,
+           c.event_id AS click_event_id,
+           (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_sec
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join — an operator Spark lacks natively,
+    implemented as the union-tag + carry-forward window algorithm
+    (one shuffle, no nested loop). Oracle: DuckDB native ASOF JOIN."""
+    ev = t(spark, sf_dir, "events")
+    # dedup clicks to one per (user, ts) — keep max event_id — so the
+    # as-of tie at equal timestamps is well-defined on both engines
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = W.asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["event_id", "ts"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("asof_event_id").alias("click_event_id"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(asof_ts AS TIMESTAMP))) DIV 1000000"
+        ).alias("gap_sec"),
+    )
+
+
+@query(
+    "range_clicks_before_purchase",
+    oracle="""
+    WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_event_id,
+           COUNT(c.event_id) AS n_clicks_prior_hour
+    FROM purchases p
+    LEFT JOIN clicks c ON c.user_id = p.user_id
+      AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      AND epoch_us(c.ts) <= epoch_us(p.ts)
+    GROUP BY p.event_id
+    """,
+)
+def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — bucketized to an equi-join (each probe
+    touches exactly 2 coarse buckets) so Catalyst plans a hash join,
+    not BroadcastNestedLoop. Oracle: plain inequality join."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = W.range_join_count(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        lookback_sec=3600,
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("n_in_range").alias("n_clicks_prior_hour"),
+    )

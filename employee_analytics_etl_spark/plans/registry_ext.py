@@ -1,0 +1,331 @@
+"""Extension-tier query registry: text analysis, deduplication,
+similarity search over documents/embeddings (the training-data-pipeline
+operators — SURVEY.md §7 step 7).
+
+Registered into the same QUERIES/ORACLE dicts as plans.registry.
+Import side effects: importing this module populates the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from .registry import ORACLE, QUERIES, query, t
+
+# Shared oracle SQL fragments -------------------------------------------------
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+# distinct word-3-gram shingles per doc (DuckDB lateral unnest; 1-based lists)
+_SHINGLES_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    )
+"""
+
+
+@query(
+    "doc_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+      length(text) AS n_chars_calc,
+      len({_TOKS}) AS n_tokens,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
+      len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+      CASE WHEN len({_TOKS}) > 0
+           THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                / len({_TOKS})
+           ELSE 0.0 END AS avg_token_len,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        / greatest(length(text), 1) AS punct_ratio
+    FROM documents
+    """,
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text surface statistics: char/word/BPE-ish-token/punct counts and
+    ratios — all JVM-side regexp/array expressions."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.with_text_stats(docs, "text").select(
+        "doc_id", "n_chars_calc", "n_tokens", "n_bpe_tokens",
+        "punct_count", "avg_token_len", "punct_ratio",
+    )
+
+
+def _lang_count_sql(lang: str) -> str:
+    import re
+
+    words = "|".join(TX.LANG_STOPWORDS[lang])
+    return f"len(regexp_extract_all(lower(text), '\\b({words})\\b'))"
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_count_sql('en')} AS sw_en,
+             {_lang_count_sql('es')} AS sw_es,
+             {_lang_count_sql('de')} AS sw_de,
+             {_lang_count_sql('fr')} AS sw_fr
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) <= 0 THEN 'und'
+           WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+           WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+           WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+           ELSE 'fr' END AS lang_pred
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic)."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        len({_TOKS}) AS n_tokens,
+        len(regexp_extract_all(lower(text),
+            '\\b({'|'.join(TX.LANG_STOPWORDS['en'])})\\b')) AS sw,
+        CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+          / greatest(length(text), 1) AS punct_ratio,
+        CASE WHEN len({_TOKS}) > 0
+             THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                  / len({_TOKS})
+             ELSE 0.0 END AS avg_token_len
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+        ROUND(
+          least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+          + least(CASE WHEN n_tokens > 0
+                       THEN CAST(sw AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+          + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.15
+          + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15,
+        6) AS quality_score
+      FROM s
+    )
+    SELECT doc_id, quality_score,
+      CASE WHEN quality_score >= 0.7 THEN 'good'
+           WHEN quality_score >= 0.4 THEN 'ok'
+           ELSE 'bad' END AS quality_bucket
+    FROM scored
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score + bucket."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.with_quality_score(docs, "text").select(
+        "doc_id", "quality_score", "quality_bucket"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS content_md5,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 hex + 60-bit integer key."""
+    docs = t(spark, sf_dir, "documents")
+    return TX.with_fingerprint(docs, "text").select(
+        "doc_id", "content_md5", "fingerprint"
+    )
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: the shuffle moves 16-byte digests,
+    never document bodies."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup_groups(docs, "doc_id", "text").select(
+        "content_md5", "canonical_id", "n_copies"
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+    shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, i.intersection,
+           sa.set_size AS size_a, sb.set_size AS size_b,
+           ROUND(CAST(i.intersection AS DOUBLE)
+                 / (sa.set_size + sb.set_size - i.intersection), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.intersection AS DOUBLE)
+          / (sa.set_size + sb.set_size - i.intersection) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (stop-shingle pruned)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                 n=3, threshold=0.2, max_shingle_df=25)
+
+
+@query(
+    "dedup_minhash_candidates",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS m
+      FROM sh, UNNEST(range(0, 8)) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             MIN(CASE WHEN seed % 2 = 0 THEN m END)
+             || MIN(CASE WHEN seed % 2 = 1 THEN m END) AS bucket
+      FROM mh GROUP BY id, seed // 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """,
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (8 hashes, 4 bands × 2 rows) — the
+    linear-cost near-dup candidate generator; exact Jaccard
+    (dedup_ngram_jaccard) is the verifier."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_candidates(docs, "doc_id", "text",
+                                    num_hashes=8, rows_per_band=2, shingle_n=3)
+
+
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, u.tok
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ), hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+    ), votes AS (
+      SELECT id, j.j, SUM(((h >> j.j) & 1) * 2 - 1) AS vote
+      FROM hashed, UNNEST(range(0, 32)) AS j(j)
+      GROUP BY id, j.j
+    )
+    SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures over distinct word tokens."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash_signatures(docs, "doc_id", "text", bits=32)
+
+
+@query(
+    "knn_bruteforce_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
+      SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.neighbor_id) AS rn
+      FROM q JOIN c ON q.query_id <> c.neighbor_id
+    ) WHERE rn <= 5
+    """,
+)
+def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the query subset (vec_id % 50
+    == 0) — the ANN baseline/verifier. Double-precision sequential
+    fold ≡ DuckDB list_cosine_similarity on DOUBLE[]."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(queries, emb, k=5)
+
+
+@query(
+    "knn_ivf_cosine",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v, cell FROM cells WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v, cell FROM cells)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
+      SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.neighbor_id) AS rn
+      FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+    ) WHERE rn <= 5
+    """,
+)
+def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: sign-cell coarse quantization turns
+    the cross join into a 16-way cell equi-join (the scale path)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.ivf_topk(queries, emb, k=5, ivf_bits=4)
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n_vectors,
+      CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(embedding AS DOUBLE[]))) AS DECIMAL(18,6))) AS DOUBLE)
+        / COUNT(*) AS avg_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats; norms snapped to DECIMAL(18,6) before
+    summation so the group aggregate is exact and order-independent."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.norm_stats_by_label(emb, "embedding", "label").select(
+        "label", "n_vectors", "avg_norm"
+    )
+
+
+# Approximate-NN via random-hyperplane LSH: genuinely non-SQL-expressible
+# (seeded numpy hyperplanes inside a Pandas UDF) → no oracle entry; the
+# driver records a rows-only check and pytest verifies recall ≥ threshold
+# against knn_bruteforce_cosine.
+@query("knn_lsh_hyperplane")
+def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_hyperplane_topk(queries, emb, k=5, n_planes=6, seed=42, dim=64)

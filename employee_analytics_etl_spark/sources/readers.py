@@ -65,6 +65,13 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, table: str) -> DataFram
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if table in NANOS_TS_COLUMNS:
+        # runtime-settable SQL conf — makes the reader safe under driver
+        # sessions not built by session.build_session
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     for c in NANOS_TS_COLUMNS.get(table, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):

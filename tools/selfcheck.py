@@ -1,0 +1,100 @@
+"""Self-check: run every registry query on Spark AND its DuckDB oracle,
+compare row count, column names, and order-insensitive values — a local
+mirror of the driver's correctness gate.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # repr keeps full double precision — we demand bit-identity
+        return repr(v)
+    return repr(v)
+
+
+def df_key(rows, cols):
+    out = []
+    for r in rows:
+        d = dict(zip(cols, r)) if not hasattr(r, "asDict") else r.asDict()
+        out.append(tuple(norm_cell(d[c]) for c in sorted(cols)))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    from employee_analytics_etl_spark.plans import registry, registry_ext  # noqa: F401
+    from employee_analytics_etl_spark.session import build_session
+
+    spark = build_session(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = [n for n in registry.QUERIES if not only or n in only]
+    failures = []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = registry.QUERIES[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as e:
+            print(f"SPARK-ERROR {name}: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        if name not in registry.ORACLE:
+            print(f"ROWS-ONLY  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(registry.ORACLE[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"ORACLE-ERROR {name}: {str(e).splitlines()[0][:200]}")
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sk = df_key(srows, scols)
+            dk = df_key(drows, dcols)
+            if sk != dk:
+                diffs = [(a, b) for a, b in zip(sk, dk) if a != b]
+                problems.append(f"values ({len(diffs)} differing): {diffs[:2]}")
+        if problems:
+            print(f"FAIL       {name}: {'; '.join(p[:400] for p in problems)}")
+            failures.append(name)
+        else:
+            print(f"MATCH      {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - len(failures)}/{len(names)} matched")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,9 +61,13 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     explode fans out to one row per shingle.
     """
     toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    # CASE guard: sequence(1, 0) in Spark is the DESCENDING [1, 0] —
+    # docs with fewer than n tokens must yield an empty shingle set.
     grams = (
-        f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))"
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
     )
     return (
         df.select(F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("shingle"))

@@ -1,0 +1,151 @@
+"""Multimodal column operators (extension tier).
+
+Treats image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct, and implements decode / feature-extraction /
+resize / frame-sampling as Arrow-batched ``mapInPandas`` operators.
+
+The container ships no image/audio codecs, so the actual byte→pixels
+decode is STUBBED: ``decode="fake"`` (default) derives deterministic
+features from the bytes themselves (real Spark plumbing — schema,
+batching, partitioning — with a fake kernel); ``decode="strict"``
+raises NotImplementedError where a real codec (PIL/ffmpeg) would be
+called. The Spark-side shape is production-true: swap `_fake_decode`
+for a real decoder and nothing else changes.
+
+Schema contract:
+    media(media_id long, kind string, payload binary,
+          meta struct<width:int, height:int, n_frames:int,
+                      sample_rate:int, format:string>)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, n_frames:int, sample_rate:int, format:string>"
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, "
+    "mean_byte double, feature array<double>"
+)
+
+RESIZE_SCHEMA = (
+    "media_id long, kind string, out_width int, out_height int, payload binary"
+)
+
+
+def fake_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic fake media table from the documents table
+    (text bytes as payload) — exercises the real binary-column
+    plumbing without shipping binary fixtures."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+            (F.col("doc_id") % 10 + 1).cast("int").alias("n_frames"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    # Deterministic stand-in for codec output: 4 byte-statistics.
+    if not payload:
+        return [0.0, 0.0, 0.0, 0.0]
+    n = len(payload)
+    s = sum(payload)
+    return [float(n), s / n, float(payload[0]), float(payload[-1])]
+
+
+def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode + featurize each media payload via mapInPandas (Arrow
+    batches; one python worker per partition — scales with executors).
+
+    decode="fake": deterministic byte statistics (no codec needed).
+    decode="strict": NotImplementedError at the codec call site —
+    marks exactly where PIL/soundfile/ffmpeg plug in.
+    """
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, means, sizes = [], [], []
+            for payload in pdf["payload"]:
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "real media decode requires PIL/soundfile/ffmpeg "
+                        "(not in this container) — use decode='fake'"
+                    )
+                b = bytes(payload) if payload is not None else b""
+                f = _fake_decode(b)
+                feats.append(f)
+                sizes.append(len(b))
+                means.append(f[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "mean_byte": means,
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
+    """'Resize' image payloads. Fake kernel: truncate/pad bytes to
+    width*height (keeps the byte-budget contract a real resize would
+    have); strict mode marks the real-codec call site."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                if decode == "strict":
+                    raise NotImplementedError("real resize requires PIL")
+                b = bytes(payload) if payload is not None else b""
+                out.append(b[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": width,
+                    "out_height": height,
+                    "payload": out,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
+    """Frame sampling for video rows — a pure metadata/array operator
+    (no decode): emit (media_id, frame_idx) for every k-th frame."""
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.expr(f"sequence(0, meta.n_frames - 1, {every_k})")
+            ).alias("frame_idx"),
+        )
+    )

@@ -1,0 +1,121 @@
+"""Structured Streaming twins of the batch event-time operators
+(operators.windows). The reference has no streaming surface
+(SURVEY.md §2.11); this is the extension tier's stream path.
+
+Batch-first contract: every streaming job here has a batch twin whose
+semantics are DuckDB-oracle-checked (plans.registry events_* queries);
+the streaming tests then assert stream == batch on the same input via
+the file source + availableNow trigger + memory sink.
+
+Scale notes: watermark bounds state; the parquet file source is a
+stand-in for Kafka — swap ``build_events_stream`` for a kafka reader
+in production, nothing downstream changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_schema_nanos():
+    """Schema of the raw events parquet (ts as epoch-nanos long — see
+    sources.readers.NANOS_TS_COLUMNS)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def build_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table with event-time ts.
+
+    nanos→timestamp conversion mirrors the batch reader so stream and
+    batch see identical instants.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(events_schema_nanos())
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming tumbling-window counts+sums per event_type.
+
+    Watermark bounds state: windows older than (max event time −
+    watermark) are finalized and evicted. Output schema matches the
+    batch twin (window start epoch-seconds) for direct comparison.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization via native session_window (the batch
+    twin is operators.windows.sessionize, gaps-and-islands)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start_sec"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+    """Drive a (bounded) stream to completion with availableNow into a
+    memory sink; returns the materialized result as a DataFrame. Test/
+    smoke harness — production sinks go through foreachBatch/kafka."""
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

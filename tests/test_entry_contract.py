@@ -1,0 +1,81 @@
+"""Driver-contract tests: entry() smoke, queries()/oracle_sql()
+consistency, and a sampled oracle comparison at sf0.001 (the full
+sweep lives in tools/selfcheck.py)."""
+
+import importlib.util
+import math
+
+import pytest
+
+SPEC = importlib.util.spec_from_file_location("spark_entry", "/root/repo/__spark_entry__.py")
+entrymod = importlib.util.module_from_spec(SPEC)
+SPEC.loader.exec_module(entrymod)
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# fast representative sample across tiers for per-commit runs
+SAMPLE = [
+    "tpch_q1_pricing_summary",
+    "customer_order_profile",
+    "validation_fused",
+    "events_sessionize",
+    "asof_purchase_click",
+    "doc_quality_score",
+    "dedup_minhash_candidates",
+    "knn_bruteforce_cosine",
+]
+
+
+class TestContract:
+    def test_entry_smoke(self, spark):
+        df = entrymod.entry(spark)
+        rows = df.collect()
+        assert len(rows) >= 1
+        assert "sum_disc_price" in df.columns
+
+    def test_registry_nonempty_and_consistent(self):
+        q = entrymod.queries()
+        o = entrymod.oracle_sql()
+        assert len(q) >= 35
+        assert set(o) <= set(q)
+        # everything except declared non-SQL ops has an oracle
+        assert set(q) - set(o) == {"knn_lsh_hyperplane"}
+
+    @pytest.mark.parametrize("name", SAMPLE)
+    def test_oracle_match(self, spark, name):
+        import duckdb
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_SMOKE}/{t}.parquet')"
+            )
+        q = entrymod.queries()
+        o = entrymod.oracle_sql()
+        sdf = q[name](spark, SF_SMOKE)
+        res = con.execute(o[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        srows = sdf.collect()
+        assert sorted(sdf.columns) == sorted(dcols)
+        assert len(srows) == len(drows)
+
+        def norm(rows, cols):
+            out = []
+            for r in rows:
+                d = dict(zip(cols, r))
+                out.append(
+                    tuple(
+                        "nan" if isinstance(d[c], float) and math.isnan(d[c]) else repr(d[c])
+                        for c in sorted(cols)
+                    )
+                )
+            return sorted(out)
+
+        assert norm([tuple(r) for r in srows], sdf.columns) == norm(drows, dcols)

@@ -1,0 +1,234 @@
+"""Extension-tier tests: text analysis, dedup, similarity, event
+windows, multimodal plumbing — operator-level semantics on crafted
+micro-fixtures plus recall checks on the real testdata."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from employee_analytics_etl_spark.operators import dedup as D
+from employee_analytics_etl_spark.operators import multimodal as MM
+from employee_analytics_etl_spark.operators import similarity as S
+from employee_analytics_etl_spark.operators import text as TX
+from employee_analytics_etl_spark.operators import windows as W
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "completely different content about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestText:
+    def test_token_counts(self, docs):
+        r = {x["doc_id"]: x for x in TX.with_text_stats(docs).collect()}
+        assert r[1]["n_tokens"] == 9
+        assert r[5]["n_tokens"] == 0
+        assert r[5]["avg_token_len"] == 0.0
+        assert r[1]["n_chars_calc"] == len("the quick brown fox jumps over the lazy dog")
+
+    def test_bpe_tokens_counts_punct(self, spark):
+        df = spark.createDataFrame([(1, "hello, world! 42")], "doc_id long, text string")
+        r = TX.with_text_stats(df).collect()[0]
+        # hello , world ! 4 2 → 6 BPE-ish pre-tokens
+        assert r["n_bpe_tokens"] == 6
+        assert r["punct_count"] == 2
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog of the house"),
+                (2, "el gato y la casa de los perros"),
+                (3, "xyzzy plugh qwerty"),
+            ],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x["lang_pred"] for x in TX.with_lang_id(df).collect()}
+        assert r[1] == "en" and r[2] == "es" and r[3] == "und"
+
+    def test_fingerprint_stable(self, docs):
+        r = {x["doc_id"]: x for x in TX.with_fingerprint(docs).collect()}
+        assert r[1]["content_md5"] == r[4]["content_md5"]  # exact dups agree
+        assert r[1]["fingerprint"] == r[4]["fingerprint"]
+        assert r[1]["content_md5"] != r[2]["content_md5"]
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        groups = D.exact_dedup_groups(docs).collect()
+        multi = [g for g in groups if g["n_copies"] > 1]
+        assert len(multi) == 1
+        assert multi[0]["canonical_id"] == 1 and multi[0]["n_copies"] == 2
+
+    def test_jaccard_finds_near_dup(self, docs):
+        pairs = D.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        keys = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert (1, 2) in keys  # near-dup pair
+        assert (1, 4) in keys  # exact dup → jaccard 1.0
+        j = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+        assert j[(1, 4)] == 1.0
+        assert (1, 3) not in keys
+
+    def test_minhash_candidates_catch_exact_dup(self, docs):
+        cands = {
+            (c["id_a"], c["id_b"])
+            for c in D.minhash_lsh_candidates(docs).collect()
+        }
+        assert (1, 4) in cands  # identical shingle sets share every band
+
+    def test_simhash_closeness(self, docs):
+        sh = {r["id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+        assert sh[1] == sh[4]  # identical token sets → identical simhash
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        # near-dups differ in few bits; unrelated docs differ in more
+        assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+
+        return read_parquet_table(spark, SF_SMOKE, "embeddings")
+
+    def test_bruteforce_k_rows(self, emb):
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        out = S.brute_force_topk(q, emb, k=5).collect()
+        n_queries = q.count()
+        assert len(out) == 5 * n_queries
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r["sim"])
+        for sims in by_q.values():
+            assert sims == sorted(sims, reverse=True)
+            assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+    def test_lsh_recall_vs_bruteforce(self, emb):
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.brute_force_topk(q, emb, k=5).collect()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_hyperplane_topk(q, emb, k=5, n_planes=4, dim=64).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.2  # 4 planes / 16 buckets on random vectors
+
+    def test_ivf_recall_and_determinism(self, emb):
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        a = S.ivf_topk(q, emb, k=5).collect()
+        b = S.ivf_topk(q, emb, k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestEventWindows:
+    @pytest.fixture(scope="class")
+    def ev(self, spark):
+        rows = [
+            # event_id, ts, user_id, type, value
+            (1, dt.datetime(2024, 1, 1, 10, 0, 0), 1, "click", 1.0),
+            (2, dt.datetime(2024, 1, 1, 10, 20, 0), 1, "click", 2.0),
+            (3, dt.datetime(2024, 1, 1, 10, 40, 0), 1, "purchase", 10.0),
+            (4, dt.datetime(2024, 1, 1, 12, 0, 0), 1, "click", 3.0),   # new session
+            (5, dt.datetime(2024, 1, 1, 12, 10, 0), 1, "purchase", 20.0),
+            (6, dt.datetime(2024, 1, 1, 9, 30, 0), 2, "purchase", 5.0),  # no prior click
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+
+    def test_tumbling(self, ev):
+        out = W.tumbling_window_agg(ev, "ts", 3600).collect()
+        by_w = {r["window_start_sec"]: r for r in out}
+        h10 = int(dt.datetime(2024, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp())
+        assert by_w[h10]["n_events"] == 3
+        assert by_w[h10]["total_value"] == 13.0
+
+    def test_sliding_covers_two_windows(self, ev):
+        out = W.sliding_window_agg(ev, "ts", 3600, 1800).collect()
+        # event at 10:20 belongs to windows starting 09:30 and 10:00
+        h1000 = int(dt.datetime(2024, 1, 1, 10, tzinfo=dt.timezone.utc).timestamp())
+        h0930 = h1000 - 1800
+        n = {r["window_start_sec"]: r["n_events"] for r in out}
+        assert n[h1000] == 3 and n[h0930] >= 2
+
+    def test_sessionize(self, ev):
+        out = W.sessionize(ev, gap_sec=1800).collect()
+        u1 = sorted(
+            [r for r in out if r["user_id"] == 1], key=lambda r: r["session_idx"]
+        )
+        assert len(u1) == 2  # 80-minute gap splits sessions
+        assert u1[0]["n_events"] == 3 and u1[1]["n_events"] == 2
+
+    def test_asof_join(self, ev):
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        out = W.asof_join(
+            purchases, clicks, "user_id", "ts", "ts", ["event_id"]
+        ).collect()
+        got = {r["event_id"]: r["asof_event_id"] for r in out}
+        assert got[3] == 2  # purchase 10:40 → click 10:20
+        assert got[5] == 4  # purchase 12:10 → click 12:00
+        assert got[6] is None  # user 2 has no clicks
+
+    def test_range_join_count(self, ev):
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        out = W.range_join_count(purchases, clicks, "user_id", "ts", "ts", 3600)
+        got = {r["event_id"]: r["n_in_range"] for r in out.collect()}
+        assert got[3] == 2  # clicks at 10:00 and 10:20 within the hour
+        assert got[5] == 1  # click at 12:00
+        assert got[6] == 0
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+
+        docs = read_parquet_table(spark, SF_SMOKE, "documents").limit(30)
+        return MM.fake_media_from_documents(docs)
+
+    def test_feature_extraction_plumbing(self, media):
+        out = MM.extract_features(media).collect()
+        assert len(out) == 30
+        for r in out:
+            assert len(r["feature"]) == 4
+            assert r["n_bytes"] > 0
+            assert 0 <= r["mean_byte"] <= 255
+
+    def test_strict_mode_marks_codec_site(self, media):
+        with pytest.raises(Exception) as ei:
+            MM.extract_features(media, decode="strict").collect()
+        assert "NotImplementedError" in str(ei.value) or "decode" in str(ei.value)
+
+    def test_resize_contract(self, media):
+        out = MM.resize_images(media, 8, 8).collect()
+        assert all(len(r["payload"]) == 64 for r in out)
+        assert all(r["kind"] == "image" for r in out)
+
+    def test_frame_sampling(self, media):
+        out = MM.sample_frames(media, every_k=2).collect()
+        assert len(out) > 0
+        assert all(r["frame_idx"] % 2 == 0 for r in out)

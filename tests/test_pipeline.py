@@ -1,0 +1,78 @@
+"""End-to-end pipeline test: CSV fixtures on disk → run_pipeline →
+outputs + validation + report (SURVEY.md §3 lifecycle)."""
+
+import os
+
+import pytest
+
+from employee_analytics_etl_spark.config import PipelineConfig
+from employee_analytics_etl_spark.plans.pipeline import run_pipeline
+from employee_analytics_etl_spark.sources.readers import MissingInputError, check_manifest
+from employee_analytics_etl_spark.sources.schemas import HR_TABLE_ORDER
+
+
+@pytest.fixture(scope="module")
+def raw_dir(spark, hr, tmp_path_factory):
+    base = tmp_path_factory.mktemp("raw")
+    for name, df in hr.items():
+        # write single CSV file named <table>.csv (pipeline contract)
+        pdf = df.toPandas()
+        pdf.to_csv(os.path.join(base, f"{name}.csv"), index=False)
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def result(spark, raw_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("out")
+    conf = PipelineConfig(
+        raw_dir=raw_dir,
+        processed_dir=str(out / "processed"),
+        report_path=str(out / "reports" / "etl_summary_report.txt"),
+    )
+    return run_pipeline(spark, conf), conf
+
+
+class TestPipeline:
+    def test_manifest_check(self, tmp_path):
+        with pytest.raises(MissingInputError):
+            check_manifest(str(tmp_path), [f"{t}.csv" for t in HR_TABLE_ORDER])
+
+    def test_outputs_present(self, result):
+        res, _ = result
+        assert set(res["outputs"]) == {
+            "dim_departments", "dim_employees", "fact_performance_reviews",
+            "fact_project_assignments", "summary_dept_metrics",
+            "summary_emp_performance", "summary_project_workload",
+        }
+
+    def test_volume_stats(self, result):
+        res, _ = result
+        vs = res["volume_stats"]
+        assert vs["employees"]["extracted"] == 10
+        assert vs["employees"]["cleaned"] == 8  # Bob inactive, Grace zero-salary
+
+    def test_dq_ran(self, result):
+        res, _ = result
+        assert res["dq"]["total_checks"] > 10
+        assert res["dq"]["failed"] >= 1  # fixture has known violations
+
+    def test_report_written(self, result):
+        res, conf = result
+        assert os.path.exists(conf.report_path)
+        text = open(conf.report_path).read()
+        assert "BUSINESS INSIGHTS" in text
+        assert "Highest avg salary" in text
+        assert res["report"] == text
+
+    def test_csv_sink(self, result):
+        res, conf = result
+        d = os.path.join(conf.processed_dir, "summary_dept_metrics")
+        assert os.path.isdir(d)
+        files = [f for f in os.listdir(d) if f.endswith(".csv")]
+        assert len(files) == 1  # single_file_csv=True
+
+    def test_workload_kept(self, result):
+        # intentional divergence: the reference computes-then-drops the
+        # workload summary (reference scripts/main.py:107-115); we keep it
+        res, _ = result
+        assert res["outputs"]["summary_project_workload"].count() > 0

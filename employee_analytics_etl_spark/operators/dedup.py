@@ -60,17 +60,23 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
     Tokenization and n-gram assembly are array expressions (codegen'd);
     explode fans out to one row per shingle.
     """
-    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+    # Materialize the token array ONCE per row — embedding the regexp
+    # inside size()/transform() would re-evaluate it several times per
+    # row (Catalyst does not CSE across lambda boundaries).
     # CASE guard: sequence(1, 0) in Spark is the DESCENDING [1, 0] —
     # docs with fewer than n tokens must yield an empty shingle set.
     grams = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"CASE WHEN size(_tk) >= {n} THEN "
+        f"transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
         f"ELSE array() END"
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.expr(grams)).alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias("_tk"),
+        )
+        .select("id", F.explode(F.expr(grams)).alias("shingle"))
         .distinct()
     )
 
@@ -122,6 +128,38 @@ def ngram_jaccard_pairs(
     return out
 
 
+def minhash_signatures_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k seeded minhashes per document in ONE groupBy: each shingle row
+    carries an array of its k seeded hashes (md5('seed:shingle')) and
+    the aggregate takes the element-wise min. Output: (id, m0..m{k-1}).
+
+    Shuffle volume = k small strings per doc (map-side partial min);
+    no (id, seed) re-shuffle, no seed explosion."""
+    sh = shingles(df, id_col, text_col, shingle_n)
+    hashes = F.array(
+        *[
+            F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))
+            for s in range(num_hashes)
+        ]
+    )
+    return (
+        sh.withColumn("_h", hashes)
+        .groupBy("id")
+        .agg(
+            *[
+                F.min(F.element_at(F.col("_h"), s + 1)).alias(f"m{s}")
+                for s in range(num_hashes)
+            ]
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -129,18 +167,12 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """k seeded minhashes per document: min over shingles of
-    md5(seed || ':' || shingle). Output: (id, seed, minhash).
-
-    One explode (shingles × seeds) + one groupBy — map-side combine
-    keeps the shuffle at k rows per document."""
-    sh = shingles(df, id_col, text_col, shingle_n)
-    seeds = F.explode(F.expr(f"sequence(0, {num_hashes - 1})")).alias("seed")
-    return (
-        sh.select("id", seeds, "shingle")
-        .withColumn("h", F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))))
-        .groupBy("id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Long-form (id, seed, minhash) view of the wide signatures (kept
+    for API symmetry with the oracle SQL's shape)."""
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    stack = ", ".join(f"{s}, m{s}" for s in range(num_hashes))
+    return wide.selectExpr(
+        "id", f"stack({num_hashes}, {stack}) as (seed, minhash)"
     )
 
 
@@ -156,22 +188,22 @@ def minhash_lsh_candidates(
     documents sharing any (band, bucket) become candidate pairs
     (id_a < id_b, distinct). This is the linear-cost candidate
     generator the exact Jaccard verifier then confirms."""
-    mh = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    # band = seed DIV rows_per_band; bucket key = minhashes concatenated
-    # in seed order within the band (seed % rows_per_band positions).
-    per_band = (
-        mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .withColumn("pos", F.col("seed") % rows_per_band)
-        .groupBy("id", "band")
-        .agg(
-            F.concat_ws(
-                "",
-                *[
-                    F.min(F.when(F.col("pos") == p, F.col("minhash")))
-                    for p in range(rows_per_band)
-                ],
-            ).alias("bucket")
-        )
+    assert num_hashes % rows_per_band == 0
+    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"m{b * rows_per_band + p}") for p in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    per_band = wide.select("id", F.explode(bands).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a = per_band.select(F.col("id").alias("id_a"), "band", "bucket")
     b = per_band.select(F.col("id").alias("id_b"), "band", "bucket")

@@ -395,22 +395,30 @@ def validation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_checks[0].name = "discount_range"
     li_checks[1].name = "quantity_range"
 
-    ri_orders = spark.createDataFrame(
-        [("orders", "ri_custkey",
-          V.ri_violations(orders, "o_custkey", customer, "c_custkey"))],
-        "table_name string, check_name string, violations long",
-    )
-    ri_lineitem = spark.createDataFrame(
-        [("lineitem", "ri_orderkey",
-          V.ri_violations(li, "l_orderkey", orders, "o_orderkey"))],
-        "table_name string, check_name string, violations long",
-    )
+    def ri_count(table: str, check: str, child: DataFrame, fk: str,
+                 parent: DataFrame, pk: str) -> DataFrame:
+        # lazy anti-join count — stays part of the single unioned plan
+        # (no eager .count() action per check)
+        anti = (
+            child.filter(F.col(fk) != -1)
+            .select(fk)
+            .distinct()
+            .join(F.broadcast(parent.select(F.col(pk).alias(fk))), fk, "left_anti")
+        )
+        return anti.agg(F.count(F.lit(1)).cast("long").alias("violations")).select(
+            F.lit(table).alias("table_name"),
+            F.lit(check).alias("check_name"),
+            "violations",
+        )
+
     return (
         fused(customer, "customer", cust_checks)
         .unionByName(fused(orders, "orders", order_checks))
         .unionByName(fused(li, "lineitem", li_checks))
-        .unionByName(ri_orders)
-        .unionByName(ri_lineitem)
+        .unionByName(ri_count("orders", "ri_custkey", orders, "o_custkey",
+                              customer, "c_custkey"))
+        .unionByName(ri_count("lineitem", "ri_orderkey", li, "l_orderkey",
+                              orders, "o_orderkey"))
     )
 
 

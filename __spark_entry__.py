@@ -20,7 +20,11 @@ sys.path.insert(0, "/root/repo")
 
 
 def _registry():
-    from employee_analytics_etl_spark.plans import registry, registry_ext  # noqa: F401
+    from employee_analytics_etl_spark.plans import (  # noqa: F401
+        registry,
+        registry_ext,
+        registry_funcs,
+    )
 
     return registry.QUERIES, registry.ORACLE
 

@@ -52,7 +52,11 @@ def main() -> None:
         sf_val = None
 
     t0 = time.time()
-    from employee_analytics_etl_spark.plans import registry, registry_ext  # noqa: F401
+    from employee_analytics_etl_spark.plans import (  # noqa: F401
+        registry,
+        registry_ext,
+        registry_funcs,
+    )
     from employee_analytics_etl_spark.session import build_session
 
     spark = build_session(app_name="bench")

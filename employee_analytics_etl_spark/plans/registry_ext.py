@@ -329,3 +329,32 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_hyperplane_topk(queries, emb, k=5, n_planes=6, seed=42, dim=64)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.55
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim ≥ 0.55, exact
+    all-pairs). At 100 TB the LSH/IVF candidate generators
+    (knn_lsh_hyperplane / knn_ivf_cosine cells) prune the pair space
+    first and this exact check verifies only candidates — the same
+    generate→verify split as MinHash→Jaccard."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", sim)
+        .filter(F.col("_sim") >= 0.55)
+        .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
+    )

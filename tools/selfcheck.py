@@ -42,7 +42,11 @@ def main() -> int:
 
     import duckdb
 
-    from employee_analytics_etl_spark.plans import registry, registry_ext  # noqa: F401
+    from employee_analytics_etl_spark.plans import (  # noqa: F401
+        registry,
+        registry_ext,
+        registry_funcs,
+    )
     from employee_analytics_etl_spark.session import build_session
 
     spark = build_session(shuffle_partitions=8)

@@ -1,0 +1,87 @@
+"""Physical-layout operators: bucketed co-located joins, skew salting,
+partitioned writes — the cluster-scale levers (SURVEY.md §7 step 8).
+
+These are the Spark-side equivalents of the reference's post-load
+B-tree indexes (reference scripts/load.py:49-61): instead of indexing
+after load, lay the data out so the expensive operation never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a fact bucketed (and optionally sorted) on its join key.
+
+    Subsequent equi-joins/aggregations on ``bucket_col`` between tables
+    bucketed the same way run WITHOUT a shuffle (no Exchange in the
+    plan) — at 100 TB this converts the dominant cost of a fact-fact
+    join into a local zip of pre-sorted buckets.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key — shuffle-free
+    when bucket specs match."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_groupby_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_buckets: int = 16,
+    decimal_scale: int = 2,
+) -> DataFrame:
+    """Skew-safe grouped sum: two-phase aggregation through a random
+    salt. Phase 1 groups on (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 combines the partials.
+
+    The per-phase sums stay in DECIMAL so the result is bit-equal to a
+    direct groupBy (exact, order-independent) — asserted in tests.
+    Salting is for extreme skew AQE can't split (e.g. one key = 30% of
+    rows inside a single aggregation); for joins, prefer AQE skew-join.
+    Note: rand() makes the *distribution* nondeterministic, never the
+    result.
+    """
+    dec = f"decimal(18,{decimal_scale})"
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(F.col(value).cast(dec)).alias("_psum"),
+        F.count(F.lit(1)).alias("_pcnt"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").cast("double").alias(f"sum_{value}"),
+        F.sum("_pcnt").cast("long").alias("n_rows"),
+    )
+
+
+def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFrame:
+    """Explicit hash-repartition on a join key — pre-shuffles once so
+    several downstream joins/aggs on the same key reuse the exchange
+    (Catalyst's ReuseExchange)."""
+    return df.repartition(num_partitions, F.col(key))
+
+
+def explain_has_exchange(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle Exchange — test
+    helper for asserting shuffle-free bucketed joins."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan

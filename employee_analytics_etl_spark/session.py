@@ -21,6 +21,7 @@ right *shape* at cluster scale:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -58,6 +59,11 @@ def build_session(
         # Spark has no nanos type — read as epoch-nanos long, normalized in
         # sources.readers.read_parquet_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf — bucketed-table tests need a writable warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

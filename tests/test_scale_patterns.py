@@ -1,0 +1,116 @@
+"""Scale-pattern tests: bucketed shuffle-free joins, skew salting
+exactness, stateful streaming, partitioned writes."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from employee_analytics_etl_spark.operators import partitioning as P
+from employee_analytics_etl_spark.sources.readers import read_parquet_table
+from employee_analytics_etl_spark.sources.sinks import write_parquet
+from tests.conftest import SF_SMOKE
+
+
+class TestBucketing:
+    @pytest.fixture(scope="class")
+    def bucketed(self, spark):
+        # warehouse dir is a static conf set by build_session (tempdir)
+        orders = read_parquet_table(spark, SF_SMOKE, "orders")
+        li = read_parquet_table(spark, SF_SMOKE, "lineitem")
+        P.write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey")
+        P.write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", "o_orderkey", 8, sort_col="o_orderkey",
+        )
+        return spark
+
+    def test_bucketed_join_has_no_shuffle(self, bucketed):
+        spark = bucketed
+        joined = P.bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        assert not P.explain_has_exchange(joined)
+        # and it computes the right row count (every lineitem matches)
+        li_n = spark.table("b_lineitem").count()
+        assert joined.count() == li_n
+
+    def test_unbucketed_join_does_shuffle(self, spark):
+        orders = read_parquet_table(spark, SF_SMOKE, "orders")
+        li = read_parquet_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        )
+        # disable auto-broadcast so the contrast is shuffle vs bucketing,
+        # not shuffle vs broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = orders.join(li, "o_orderkey")
+            assert P.explain_has_exchange(joined)
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+
+
+class TestSalting:
+    def test_salted_sum_equals_direct(self, spark):
+        li = read_parquet_table(spark, SF_SMOKE, "lineitem")
+        salted = P.salted_groupby_sum(li, "l_returnflag", "l_quantity", 8)
+        direct = li.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_l_quantity"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        a = sorted(map(tuple, salted.collect()))
+        b = sorted(map(tuple, direct.collect()))
+        assert a == b  # decimal path ⇒ bit-equal despite random salt
+
+
+class TestPartitionedWrite:
+    def test_partition_pruning(self, spark, tmp_path):
+        orders = read_parquet_table(spark, SF_SMOKE, "orders")
+        out = str(tmp_path / "orders_by_status")
+        write_parquet(orders, out, partition_by=["o_orderstatus"])
+        assert sorted(
+            d for d in os.listdir(out) if d.startswith("o_orderstatus=")
+        ) == ["o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"]
+        back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "O")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # partition filter is applied at scan, not as a post-filter
+        assert "PartitionFilters" in plan
+        assert back.count() == orders.filter(F.col("o_orderstatus") == "O").count()
+
+
+class TestStatefulStreaming:
+    def test_user_profile_stream_matches_batch(self, spark):
+        from employee_analytics_etl_spark.streaming.jobs import build_events_stream
+        from employee_analytics_etl_spark.streaming.stateful import user_profile_stream
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        q = (
+            user_profile_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_profiles")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["user_id"]: r for r in spark.table("t_profiles").collect()
+        }
+        ev = read_parquet_table(spark, SF_SMOKE, "events")
+        want = {
+            r["user_id"]: r
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+                F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("last_us"),
+            )
+            .collect()
+        }
+        assert set(got) == set(want)
+        for uid, w in want.items():
+            g = got[uid]
+            assert g["n_events"] == w["n_events"]
+            assert abs(g["total_value"] - w["total_value"]) < 1e-6
+            assert g["last_ts_micros"] == w["last_us"]

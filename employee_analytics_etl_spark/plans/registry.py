@@ -243,7 +243,7 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_age_derived",
     oracle=f"""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate_d,
-           DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS order_age_days,
+           CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS INT) AS order_age_days,
            COALESCE(o_custkey, -1) AS custkey_filled,
            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'expedite'
                 ELSE 'standard' END AS priority_class
@@ -287,11 +287,16 @@ def order_age_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Project-workload analogue (A4/J5): exact distinct counts + sums
-    per parent row, left join with null-fill."""
+    per parent row, left join with null-fill.
+
+    Distinct counts use size(collect_set(...)) — one shuffle, no
+    expand. Valid because per-group cardinality is tiny (≤7 lineitems
+    per order); for unbounded-cardinality groups use countDistinct
+    (expand-based) or approx_count_distinct instead."""
     orders, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
     w = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.countDistinct("l_partkey").alias("n_parts"),
+        F.size(F.collect_set("l_suppkey")).alias("n_suppliers"),
+        F.size(F.collect_set("l_partkey")).alias("n_parts"),
         dsum("l_quantity").alias("total_qty"),
         davg("l_quantity").alias("avg_qty"),
     )
@@ -299,8 +304,9 @@ def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(w, orders.o_orderkey == w.l_orderkey, "left")
         .select(
             "o_orderkey", "o_orderstatus",
-            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
-            F.coalesce("n_parts", F.lit(0)).alias("n_parts"),
+            # cast: size() is INT, the oracle's COUNT(DISTINCT) is BIGINT
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+            F.coalesce("n_parts", F.lit(0)).cast("long").alias("n_parts"),
             F.coalesce("total_qty", F.lit(0.0)).alias("total_qty"),
             "avg_qty",
         )
@@ -311,30 +317,30 @@ def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validation_fused",
     oracle="""
     SELECT 'customer' AS table_name, 'name_complete' AS check_name,
-           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS violations FROM customer
+           CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations FROM customer
     UNION ALL
     SELECT 'customer', 'acctbal_complete',
-           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) FROM customer
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
     UNION ALL
     SELECT 'customer', 'segment_enum',
-           SUM(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
+           CAST(SUM(CASE WHEN c_mktsegment IS NULL OR c_mktsegment NOT IN
                ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
-               THEN 1 ELSE 0 END) FROM customer
+               THEN 1 ELSE 0 END) AS BIGINT) FROM customer
     UNION ALL
     SELECT 'orders', 'status_enum',
-           SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
-               THEN 1 ELSE 0 END) FROM orders
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
+               THEN 1 ELSE 0 END) AS BIGINT) FROM orders
     UNION ALL
     SELECT 'orders', 'totalprice_positive',
-           SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) FROM orders
+           CAST(SUM(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
     UNION ALL
     SELECT 'lineitem', 'discount_range',
-           SUM(CASE WHEN l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1
-               THEN 1 ELSE 0 END) FROM lineitem
+           CAST(SUM(CASE WHEN l_discount IS NOT NULL AND l_discount NOT BETWEEN 0.0 AND 0.1
+               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
     UNION ALL
     SELECT 'lineitem', 'quantity_range',
-           SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0
-               THEN 1 ELSE 0 END) FROM lineitem
+           CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0
+               THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
     UNION ALL
     SELECT 'orders', 'ri_custkey',
            (SELECT COUNT(*) FROM (
@@ -690,9 +696,9 @@ def running_spend_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nation_acctbal_rank",
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
-           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
-           ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                              ORDER BY c_acctbal DESC, c_custkey) AS bal_rn
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rn
     FROM customer
     """,
 )
@@ -716,9 +722,9 @@ def nation_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            COALESCE(LAG(o_totalprice) OVER w, 0.0) AS prev_price,
-           DATE_DIFF('day',
+           CAST(DATE_DIFF('day',
              CAST(LAG(o_orderdate) OVER w AS DATE),
-             CAST(o_orderdate AS DATE)) AS gap_days
+             CAST(o_orderdate AS DATE)) AS INT) AS gap_days
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -788,8 +794,8 @@ def events_sliding_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
-      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
       FROM flagged
     )
     SELECT user_id, session_idx,

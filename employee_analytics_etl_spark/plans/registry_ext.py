@@ -33,10 +33,10 @@ _SHINGLES_CTE = f"""
     "doc_text_stats",
     oracle=f"""
     SELECT doc_id,
-      length(text) AS n_chars_calc,
-      len({_TOKS}) AS n_tokens,
-      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_bpe_tokens,
-      len(regexp_extract_all(text, '[.,;:!?]')) AS punct_count,
+      CAST(length(text) AS INT) AS n_chars_calc,
+      CAST(len({_TOKS}) AS INT) AS n_tokens,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS n_bpe_tokens,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS punct_count,
       CASE WHEN len({_TOKS}) > 0
            THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
                 / len({_TOKS})

@@ -98,19 +98,21 @@ def ngram_jaccard_pairs(
     also the skew guard)."""
     sh = shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    rare = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("shingle")
+    # One groupBy(shingle) yields both the document-frequency filter
+    # (2 ≤ |ids| ≤ max_df) and the co-occurring id list; exploding the
+    # sorted id-pair combinations replaces the classic shingle
+    # self-join — one shuffle instead of three, and the per-shingle
+    # fanout is bounded by max_df²/2 by construction.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
     )
-    sh_f = sh.join(rare, "shingle")
-    a = sh_f.select(F.col("id").alias("id_a"), "shingle")
-    b = sh_f.select(F.col("id").alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
     )
     out = (
@@ -205,12 +207,19 @@ def minhash_lsh_candidates(
     per_band = wide.select("id", F.explode(bands).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a = per_band.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = per_band.select(F.col("id").alias("id_b"), "band", "bucket")
+    # groupBy + pair-explode instead of a bucket self-join: one shuffle
+    # of (band, bucket) keys, and singleton buckets vanish in the
+    # filter instead of flowing into a join probe side.
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        per_band.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 

@@ -264,11 +264,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_bruteforce_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for the query subset (vec_id % 50
-    == 0) — the ANN baseline/verifier. Double-precision sequential
-    fold ≡ DuckDB list_cosine_similarity on DOUBLE[]."""
+    == 0) — the ANN baseline/verifier. Vectorized matmul scorer with
+    per-batch partial top-k; float64 throughout, ≡ DuckDB
+    list_cosine_similarity on DOUBLE[] after 4-decimal rounding."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return S.brute_force_topk(queries, emb, k=5)
+    return S.brute_force_topk_vectorized(queries, emb, k=5)
 
 
 @query(

@@ -29,6 +29,9 @@ HEADLINE = [
     "tpch_q3_shipping_topk",
     "tpch_q5_region_volume",
     "running_spend_by_customer",
+    # TPC-H-pattern breadth tier
+    "tpch_q6_revenue_delta",
+    "tpch_q18_large_orders",
     # event-time tier
     "events_tumbling_hour",
     "events_sessionize",

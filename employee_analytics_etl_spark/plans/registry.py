@@ -919,3 +919,237 @@ def range_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("purchase_event_id"),
         F.col("n_in_range").alias("n_clicks_prior_hour"),
     )
+
+
+# =========================================================================
+# D. TPC-H-pattern breadth tier: canonical OLAP shapes (beyond the
+# reference's own surface) proving scan-pushdown, semi/anti joins,
+# conditional aggregation, and having-subquery patterns at scale.
+# =========================================================================
+
+@query(
+    "tpch_q6_revenue_delta",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: pure filter + scalar aggregate. The whole
+    predicate reaches the parquet scan (PushedFilters on shipdate,
+    quantity) — at 100 TB this is the difference between reading a
+    year's partitions and reading the table."""
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= "1996-01-01")
+            & (F.col("l_shipdate").cast("date") < "1997-01-01")
+            & disc.between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * disc)
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q4_priority_count",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE))
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: EXISTS → left-semi join, then count by
+    priority. The semi join deduplicates lineitems per order on the
+    build side — no distinct pass, no row explosion."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= "1997-01-01")
+        & (F.col("o_orderdate").cast("date") < "1997-07-01")
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate.cast("date") > o.o_orderdate.cast("date")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q10_returned_topk",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: returned-revenue per customer, top 20.
+    Returnflag filter pushes to the lineitem scan; customer/nation
+    broadcast; TakeOrderedAndProject caps the sort at k rows."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(F.sum(price * disc1).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority_shipmode",
+    oracle="""
+    SELECT l.l_linestatus,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def tpch_q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: conditional (CASE WHEN) counts after a fact-
+    fact join — the canonical 'pivot a flag during aggregation'
+    pattern; no second pass over the data."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= "1997-01-01")
+        & (F.col("l_shipdate").cast("date") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_share",
+    oracle="""
+    SELECT
+      CAST(100.0 AS DOUBLE)
+        * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))
+              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1997-02-01'
+    """,
+)
+def tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: promo revenue share. Part broadcasts; the
+    month filter pushes to the fact scan; one aggregate computes both
+    the conditional and total sums."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= "1997-01-01")
+        & (F.col("l_shipdate").cast("date") < "1997-02-01")
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE) AS o_orderdate_d,
+           o.o_totalprice,
+           CAST(agg.sum_qty AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) agg
+      ON agg.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: HAVING subquery — aggregate lineitem first
+    (map-side partial sums shrink the shuffle), filter groups, then
+    join the surviving keys back to orders/customer."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    agg = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 150)
+    )
+    return (
+        o.join(agg, o.o_orderkey == agg.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate_d"),
+            "o_totalprice",
+            F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -1,0 +1,129 @@
+"""Physical-plan audit: assert the scale-critical plan properties the
+engine is designed around, query by query.
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+
+For every audited query this checks the FORMATTED explain output:
+
+- **No accidental cross products** — `CartesianProduct` /
+  `BroadcastNestedLoopJoin` never appear unless the query is
+  explicitly allowlisted (none currently are: the as-of and range
+  joins are bucketized into equi-joins precisely to avoid them).
+- **Whole-stage codegen** — at least one codegen span; expression
+  work stays JVM-side.
+- **Parquet pushdown** — queries with selective scan predicates must
+  show them in `PushedFilters` (Catalyst rewrites our
+  `cast(ts AS date)` bounds into raw timestamp bounds — verified
+  here so a refactor can't silently regress it).
+- **Column pruning** — `ReadSchema` must not exceed the declared
+  per-table column budget (a scan reading all columns for a
+  2-column projection is a bug at 100 TB).
+- **Broadcast strategy** — dimension joins must plan as
+  `BroadcastHashJoin`, not sort-merge (asserted for the join-heavy
+  headliners).
+
+Exit code 0 iff every audited query passes every applicable check.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (substring-of-plan requirement, human label)
+PUSHDOWN = {
+    # `cast(l_shipdate AS date) <= 2000-12-01` is rewritten by Catalyst
+    # to a raw timestamp bound `< 2000-12-02T00:00` — assert the
+    # rewritten form, which is what actually reaches the parquet reader
+    "tpch_q1_pricing_summary": "LessThan(l_shipdate,2000-12-02",
+    "tpch_q6_revenue_delta": "GreaterThanOrEqual(l_shipdate",
+    "tpch_q5_region_volume": "GreaterThanOrEqual(o_orderdate",
+    "tpch_q10_returned_topk": "EqualTo(l_returnflag,R)",
+    "tpch_q12_priority_shipmode": "GreaterThanOrEqual(l_shipdate",
+    "tpch_q3_shipping_topk": "EqualTo(c_mktsegment",
+}
+
+BROADCAST = [
+    "tpch_q5_region_volume",
+    "tpch_q10_returned_topk",
+    "tpch_q14_promo_share",
+    "nation_account_summary",
+]
+
+# max columns a single parquet scan may read (pruning budget)
+READ_BUDGET = {
+    "tpch_q1_pricing_summary": 7,
+    "tpch_q6_revenue_delta": 4,
+    "tpch_q18_large_orders": 5,
+    "top_customers_by_spend": 5,
+}
+
+FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
+
+
+def audit(name: str, plan: str, codegen_plan: str) -> list[str]:
+    problems: list[str] = []
+    for bad in FORBIDDEN:
+        if bad in plan:
+            problems.append(f"forbidden operator {bad}")
+    # codegen mode reports "Found N WholeStageCodegen subtrees."
+    if "Found 0 WholeStageCodegen" in codegen_plan:
+        problems.append("no WholeStageCodegen subtree")
+    want = PUSHDOWN.get(name)
+    if want and want not in plan:
+        problems.append(f"missing pushed filter {want!r}")
+    if name in BROADCAST and "BroadcastHashJoin" not in plan:
+        problems.append("expected BroadcastHashJoin, none planned")
+    budget = READ_BUDGET.get(name)
+    if budget is not None:
+        for line in plan.splitlines():
+            line = line.strip()
+            if line.startswith("ReadSchema:"):
+                ncols = line.count(":") - 1  # struct<a:t,b:t,...>
+                if ncols > budget:
+                    problems.append(
+                        f"scan reads {ncols} cols, budget {budget}: {line[:120]}"
+                    )
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from bench import HEADLINE
+    from employee_analytics_etl_spark.plans import (  # noqa: F401 — imports register queries
+        registry,
+        registry_ext,
+        registry_funcs,
+    )
+    from employee_analytics_etl_spark.session import build_session
+
+    names = sys.argv[2:] or HEADLINE
+    # AQE off for the audit only: the adaptive wrapper defers physical
+    # planning, which hides codegen subtrees and join strategies from a
+    # static explain. The production session keeps AQE on.
+    spark = build_session(
+        app_name="explain_audit",
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
+    explain_mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString
+    fmt, cg = explain_mode("formatted"), explain_mode("codegen")
+    failed = 0
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        problems = audit(name, qe.explainString(fmt), qe.explainString(cg))
+        if problems:
+            failed += 1
+            print(f"FAIL  {name}")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            print(f"OK    {name}")
+    print(f"\n{len(names) - failed}/{len(names)} plans clean")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1153,3 +1153,195 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "union_all_key_spine",
+    oracle="""
+    SELECT custkey, src, COUNT(*) AS n
+    FROM (
+      SELECT o_custkey AS custkey, 'orders' AS src FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL
+      SELECT c_custkey AS custkey, 'customer' AS src FROM customer
+    ) GROUP BY custkey, src
+    """,
+)
+def union_all_key_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two key sources with provenance tag, then count —
+    the 'key spine' pattern for building a universe of ids across
+    tables. Union is a zero-shuffle concatenation; only the final
+    groupBy shuffles."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("custkey"), F.lit("orders").alias("src"))
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.lit("customer").alias("src")
+    )
+    return o.unionAll(c).groupBy("custkey", "src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "ntile_acctbal_quartiles",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER (PARTITION BY c_nationkey
+                ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_quartile
+    FROM customer
+    """,
+)
+def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing per nation under a TOTAL order (acctbal desc,
+    custkey) — deterministic quartile assignment cross-engine."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("bal_quartile")
+    )
+
+
+@query(
+    "grouping_sets_qty",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not cube/rollup) + grouping_id — one
+    shuffle computes all three aggregation shapes; gid disambiguates
+    null-as-subtotal from null-as-value."""
+    li = t(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast(
+        "long"
+    )
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_quantity", 2).alias("total_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "total_qty")
+    )
+
+
+@query(
+    "events_value_ohlc",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS hour_sec,
+             value, epoch_us(ts) AS us, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, hour_sec,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN value END) AS DOUBLE) AS open_value,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN value END) AS DOUBLE) AS close_value,
+           CAST(MIN(value) AS DOUBLE) AS low_value,
+           CAST(MAX(value) AS DOUBLE) AS high_value,
+           COUNT(*) AS n_events
+    FROM e GROUP BY user_id, hour_sec
+    """,
+)
+def events_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC-style rollup per (user, hour): first/last under a total
+    event-time order plus min/max — the time-series candlestick
+    pattern. min_by/max_by on a (ts, event_id) struct gives the
+    order-free single-pass form (no pre-sort, no second window pass
+    over the fact table)."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        us.alias("us"),
+        (F.floor(us / 3600000000).cast("long") * 3600).alias("hour_sec"),
+    )
+    ordkey = F.struct(F.col("us"), F.col("event_id"))
+    return ev.groupBy("user_id", "hour_sec").agg(
+        F.min_by("value", ordkey).cast("double").alias("open_value"),
+        F.max_by("value", ordkey).cast("double").alias("close_value"),
+        F.min("value").cast("double").alias("low_value"),
+        F.max("value").cast("double").alias("high_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "lineitem_qty_price_corr",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+      (n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+    FROM s
+    """,
+)
+def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from decimal-exact moment sums + double
+    arithmetic — unlike F.corr (float accumulation, order-dependent),
+    this is bit-reproducible across partitionings and engines."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(price).cast("double").alias("sy"),
+        F.sum(qty * price).cast("double").alias("sxy"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(price * price).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("qty_price_corr"),
+    )
+
+
+# approx_percentile is sketch-based (t-digest-like): results are
+# engine-specific by design → rows-only check; the exact
+# median_price_by_status query is the oracle-checked twin.
+@query("approx_quantile_price")
+def approx_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
+        .alias("p50_p95")
+    ).select(
+        "o_orderstatus",
+        F.col("p50_p95")[0].alias("p50"),
+        F.col("p50_p95")[1].alias("p95"),
+    )

@@ -44,7 +44,11 @@ class TestContract:
         assert len(q) >= 35
         assert set(o) <= set(q)
         # everything except declared non-SQL ops has an oracle
-        assert set(q) - set(o) == {"knn_lsh_hyperplane", "approx_distinct_parts"}
+        assert set(q) - set(o) == {
+            "knn_lsh_hyperplane",
+            "approx_distinct_parts",
+            "approx_quantile_price",
+        }
 
     @pytest.mark.parametrize("name", SAMPLE)
     def test_oracle_match(self, spark, name):

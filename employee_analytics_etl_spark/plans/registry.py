@@ -7,7 +7,7 @@ departments, orders/lineitem↔facts, events↔stream, documents/
 embeddings↔text & similarity extensions.
 
 Cross-engine determinism rules used throughout (verified empirically,
-see tests/test_oracle_parity.py):
+verified per-query by tools/selfcheck.py):
 - money sums/avgs go through DECIMAL (exact, order-independent) and
   cast back to DOUBLE — ``functions.expr.dsum/davg``;
 - time math runs on integer epoch-micros (``unix_micros`` ≡ DuckDB

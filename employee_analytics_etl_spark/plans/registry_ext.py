@@ -359,3 +359,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sim") >= 0.55)
         .select("id_a", "id_b", F.round("_sim", 4).alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal tier (operators/multimodal.py): binary payload + typed
+# metadata, Pandas-UDF decode plumbing. The fake-decode kernel is
+# deterministic, so frame sampling (pure metadata arithmetic) gets a
+# full oracle; byte-statistics features ride the mapInPandas path the
+# real codecs would use → rows-only check, pytest-verified kernel.
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(u.f AS INT) AS frame_idx
+    FROM documents, UNNEST(range(0, (doc_id % 10 + 1), 2)) AS u(f)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (every 2nd frame) over the fake media
+    table: explode(sequence(...)) on metadata only — no payload
+    decode, no Python; at scale this is the pre-filter that decides
+    WHICH frames are worth sending to the (expensive) decode UDF."""
+    from ..operators import multimodal as MM
+
+    media = MM.fake_media_from_documents(t(spark, sf_dir, "documents"))
+    return MM.sample_frames(media, every_k=2).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@query("media_feature_stats")
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind feature aggregates after the mapInPandas decode UDF
+    (fake kernel; schema/batching identical to a real codec). Rows-only
+    driver check; the kernel itself is pytest-pinned
+    (tests/test_extensions.py)."""
+    from ..operators import multimodal as MM
+
+    media = MM.fake_media_from_documents(t(spark, sf_dir, "documents"))
+    feats = MM.extract_features(media, decode="fake")
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.avg("mean_byte").alias("avg_mean_byte"),
+    )

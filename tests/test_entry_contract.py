@@ -48,6 +48,7 @@ class TestContract:
             "knn_lsh_hyperplane",
             "approx_distinct_parts",
             "approx_quantile_price",
+            "media_feature_stats",
         }
 
     @pytest.mark.parametrize("name", SAMPLE)

@@ -119,3 +119,52 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataF
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def clicks_before_purchase_stream(
+    events: DataFrame,
+    lookback_sec: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``lookback_sec``. The streaming twin
+    of operators.windows.range_join_count (batch, oracle-checked as
+    registry:range_clicks_before_purchase).
+
+    Both sides are watermarked and the join condition bounds click_ts
+    relative to purchase_ts, so state for either side is evictable once
+    the watermark passes the interval — the canonical bounded-state
+    stream-stream join. Output: one row per (purchase, click) pair;
+    downstream aggregation (count per purchase) is a separate stateful
+    stage in production, kept out of this job so the join's own output
+    is directly comparable to the batch pair-join.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user_id = p_user_id AND
+            click_ts >= purchase_ts - INTERVAL {lookback_sec} SECONDS AND
+            click_ts < purchase_ts
+            """
+        ),
+        "inner",
+    ).select("purchase_id", "click_id", "p_user_id")

@@ -43,3 +43,52 @@ class TestStreaming:
         ).collect()
         assert len(got) > 0
         assert all(r["n_events"] >= 1 for r in got)
+
+    def test_stream_stream_join_equals_batch_pairs(self, spark, batch_events):
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            clicks_before_purchase_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = (
+            clicks_before_purchase_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_ssjoin")
+            .trigger(availableNow=True)
+            .start()
+        )
+        got.awaitTermination()
+        got_pairs = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in spark.table("t_ssjoin").collect()
+        )
+
+        clicks = batch_events.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        purchases = batch_events.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        want_pairs = sorted(
+            (r["purchase_id"], r["click_id"])
+            for r in purchases.join(
+                clicks,
+                F.expr(
+                    """
+                    c_user_id = p_user_id AND
+                    click_ts >= purchase_ts - INTERVAL 3600 SECONDS AND
+                    click_ts < purchase_ts
+                    """
+                ),
+                "inner",
+            ).collect()
+        )
+        assert len(got_pairs) > 0
+        assert got_pairs == want_pairs

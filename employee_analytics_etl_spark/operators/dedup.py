@@ -54,11 +54,23 @@ def keyed_dedup_first(df: DataFrame, keys: list[str], order: list[str]) -> DataF
     )
 
 
-def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle).
 
     Tokenization and n-gram assembly are array expressions (codegen'd);
     explode fans out to one row per shingle.
+
+    ``distinct=True`` (set semantics) costs a full shuffle of shingle
+    strings — required when downstream counts shingles (Jaccard
+    intersections). Pass ``distinct=False`` for consumers where
+    duplicates are harmless (MinHash: min over a multiset equals min
+    over its set), saving that exchange entirely.
     """
     # Materialize the token array ONCE per row — embedding the regexp
     # inside size()/transform() would re-evaluate it several times per
@@ -71,14 +83,14 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: i
         f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
         f"ELSE array() END"
     )
-    return (
+    out = (
         df.select(
             F.col(id_col).alias("id"),
             F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias("_tk"),
         )
         .select("id", F.explode(F.expr(grams)).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -142,8 +154,10 @@ def minhash_signatures_wide(
     the aggregate takes the element-wise min. Output: (id, m0..m{k-1}).
 
     Shuffle volume = k small strings per doc (map-side partial min);
-    no (id, seed) re-shuffle, no seed explosion."""
-    sh = shingles(df, id_col, text_col, shingle_n)
+    no (id, seed) re-shuffle, no seed explosion. Shingles are taken
+    non-distinct: min over a multiset equals min over its set, so the
+    distinct's shuffle of raw shingle strings is skipped."""
+    sh = shingles(df, id_col, text_col, shingle_n, distinct=False)
     hashes = F.array(
         *[
             F.md5(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))

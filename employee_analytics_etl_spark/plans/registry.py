@@ -1345,3 +1345,53 @@ def approx_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p50_p95")[0].alias("p50"),
         F.col("p50_p95")[1].alias("p95"),
     )
+
+
+@query(
+    "salted_spend_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_o_totalprice,
+           COUNT(*) AS n_rows
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase (salted) grouped sum, oracle-checked against
+    a plain GROUP BY: o_orderstatus has only 3 values — exactly the
+    hot-key shape where one reducer would take ~all rows. Decimal
+    partials make the salted result bit-equal to the direct aggregate
+    regardless of how rand() spread the rows."""
+    from ..operators.partitioning import salted_groupby_sum
+
+    return salted_groupby_sum(
+        t(spark, sf_dir, "orders"), "o_orderstatus", "o_totalprice",
+        salt_buckets=16,
+    )
+
+
+@query(
+    "acctbal_rank_profile",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER w AS bal_pct_rank,
+           CUME_DIST() OVER w AS bal_cume_dist,
+           CAST(NTILE(10) OVER w AS INT) AS bal_decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-profile windows (percent_rank / cume_dist / ntile)
+    over one global total order. A single unpartitioned window is the
+    one sort this engine allows itself; at 100 TB you'd switch to
+    approx_percentile buckets (see approx_quantile_price) — kept here
+    because the exact form is the oracle-checkable ground truth."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+        F.ntile(10).over(w).alias("bal_decile"),
+    )

@@ -1395,3 +1395,160 @@ def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("bal_cume_dist"),
         F.ntile(10).over(w).alias("bal_decile"),
     )
+
+
+@query(
+    "cheapest_supplier_per_part",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+               AS unit_price
+      FROM lineitem WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price FROM offers GROUP BY l_partkey
+    )
+    SELECT o.l_partkey AS p_partkey,
+           MIN(o.l_suppkey) AS best_suppkey,
+           CAST(b.best_price AS DOUBLE) AS best_unit_price
+    FROM offers o JOIN best b
+      ON b.l_partkey = o.l_partkey AND o.unit_price = b.best_price
+    GROUP BY o.l_partkey, b.best_price
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 pattern: correlated 'supplier with the minimum price
+    per part' decorrelated into aggregate + join-back (min-id
+    tie-break). Unit prices are IEEE doubles computed identically on
+    both engines, so the min and the join-back equality are safe."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    # IEEE double division of identical operands is bit-identical in
+    # Spark and DuckDB; decimal division is NOT (engine-specific result
+    # scale), so double is the cross-engine-exact choice here.
+    unit = F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("unit_price")
+    )
+    best = (
+        offers.groupBy("l_partkey")
+        .agg(F.min("unit_price").alias("best_price"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_price") == F.col("best_price")),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "best_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+        .select(
+            "p_partkey",
+            "best_suppkey",
+            F.col("best_price").cast("double").alias("best_unit_price"),
+        )
+    )
+
+
+@query(
+    "parts_above_global_share",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+      FROM lineitem GROUP BY l_partkey
+    ), total AS (
+      SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) AS all_qty FROM lineitem
+    )
+    SELECT l_partkey, CAST(part_qty AS DOUBLE) AS part_qty
+    FROM per_part, total
+    WHERE part_qty > all_qty * 0.0005
+    """,
+)
+def parts_above_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 pattern: groups whose aggregate exceeds a fraction of
+    the GLOBAL aggregate — the scalar subquery becomes a broadcast
+    cross-join of a 1-row total; both sums share one scan via
+    re-aggregation of the per-part partials."""
+    li = t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("part_qty")
+    )
+    total = per_part.agg(F.sum("part_qty").alias("all_qty"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_qty") > F.col("all_qty") * 0.0005)
+        .select("l_partkey", F.col("part_qty").cast("double").alias("part_qty"))
+    )
+
+
+@query(
+    "customer_order_count_histogram",
+    oracle="""
+    WITH counts AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM counts GROUP BY n_orders
+    """,
+)
+def customer_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 pattern: two-level aggregation — per-customer order
+    counts (left join keeps zero-order customers), then the
+    distribution of those counts. COUNT(col) ignores the nulls the
+    left join introduces, so zero-order customers land in bucket 0."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return counts.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "top_revenue_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_rev
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 pattern: argmax over an aggregated view — the scalar
+    MAX subquery becomes a broadcast 1-row join; exact decimal revenue
+    makes the equality join safe (no float-compare hazard)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= "1997-01-01")
+        & (F.col("l_shipdate").cast("date") < "1997-04-01")
+    )
+    s = t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast("decimal(5,2)")
+        ).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), s.s_suppkey == rev.l_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
+        )
+    )

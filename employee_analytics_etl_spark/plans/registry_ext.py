@@ -405,3 +405,71 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.avg("mean_byte").alias("avg_mean_byte"),
     )
+
+
+@query(
+    "dedup_survivors",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    pairs AS (
+      SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS inter
+      FROM (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s1
+      JOIN (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s2
+        ON s1.shingle = s2.shingle AND s1.id < s2.id
+      GROUP BY s1.id, s2.id
+    ),
+    near_drops AS (
+      SELECT DISTINCT p.id_b AS doc_id
+      FROM pairs p
+      JOIN sizes sa ON sa.id = p.id_a
+      JOIN sizes sb ON sb.id = p.id_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.set_size + sb.set_size - p.inter) >= 0.5
+    ),
+    exact_drops AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+        FROM documents
+      ) WHERE doc_id <> canonical
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM exact_drops)
+      AND d.doc_id NOT IN (SELECT doc_id FROM near_drops)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup resolution: exact-duplicate groups drop
+    non-canonical copies (keep min doc_id per content hash); near-dup
+    pairs at Jaccard ≥ 0.5 drop the higher id of each pair (one-hop
+    pair-pruning policy — deterministic, no transitive closure, so a
+    chain A~B~C keeps A and C: documented behavior, not an accident).
+    Survivors are everything not dropped — composed entirely from the
+    generate→verify operators, two anti-joins, no new shuffles beyond
+    the underlying candidates."""
+    docs = t(spark, sf_dir, "documents")
+    exact_drops = (
+        D.exact_dedup_groups(docs, "doc_id", "text")
+        .filter(F.col("n_copies") > 1)
+        .join(
+            docs.select("doc_id", F.md5("text").alias("content_md5")),
+            "content_md5",
+        )
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+    )
+    near_drops = (
+        D.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5,
+                              max_shingle_df=25)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.select("doc_id")
+        .join(exact_drops, "doc_id", "left_anti")
+        .join(near_drops, "doc_id", "left_anti")
+    )

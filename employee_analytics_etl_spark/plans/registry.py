@@ -1552,3 +1552,72 @@ def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev")
         )
     )
+
+
+@query(
+    "rolling_7d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(CAST(o_orderdate AS TIMESTAMP))
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_7d
+    FROM orders WHERE o_custkey IS NOT NULL
+    """,
+)
+def rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling aggregate: per-customer 7-day trailing
+    spend ordered by event time in epoch seconds. RANGE (value-based)
+    frames differ from ROWS frames on duplicate timestamps — all
+    same-instant orders enter the frame together, which is the correct
+    time-series semantics; decimal partials keep the window sum exact."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    sec = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@query(
+    "idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (SELECT AVG(CAST(c_acctbal AS DECIMAL(12,2))) AS a FROM customer
+                     WHERE c_acctbal > 0)
+    SELECT c.c_custkey, c.c_acctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01')
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 pattern: above-global-average balance AND no recent
+    orders — a scalar-average subquery (broadcast 1-row) composed with
+    an anti-join on a filtered fact (the date filter pushes into the
+    anti-join's build side). The exact decimal average makes the >
+    comparison engine-stable even for balances equal to the mean."""
+    c = t(spark, sf_dir, "customer")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= "1999-01-01")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg(F.col("c_acctbal").cast("decimal(12,2)")).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )

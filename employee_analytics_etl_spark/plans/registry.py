@@ -327,6 +327,9 @@ def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
                ('AUTOMOBILE','BUILDING','FURNITURE','MACHINERY','HOUSEHOLD')
                THEN 1 ELSE 0 END) AS BIGINT) FROM customer
     UNION ALL
+    SELECT 'customer', 'acctbal_negative',
+           CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+    UNION ALL
     SELECT 'orders', 'status_enum',
            CAST(SUM(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('O','F','P')
                THEN 1 ELSE 0 END) AS BIGINT) FROM orders
@@ -341,6 +344,9 @@ def order_fulfillment_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lineitem', 'quantity_range',
            CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1.0 AND 50.0
                THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'quantity_at_cap',
+           CAST(SUM(CASE WHEN l_quantity >= 49 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
     UNION ALL
     SELECT 'orders', 'ri_custkey',
            (SELECT COUNT(*) FROM (
@@ -386,6 +392,10 @@ def validation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.Check("acctbal_complete", F.col("c_acctbal").isNull()),
         V.enum_valid("c_mktsegment",
                      ["AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD"]),
+        # distribution monitor, not a hard constraint: negative balances
+        # EXIST in the fixtures (122 at sf0.01) so the oracle hash
+        # verifies a live nonzero count, not just structural zeros
+        V.Check("acctbal_negative", F.col("c_acctbal") < 0),
     ]
     cust_checks[2].name = "segment_enum"
     order_checks = [
@@ -397,6 +407,9 @@ def validation_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_checks = [
         V.in_range("l_discount", 0.0, 0.1),
         V.in_range("l_quantity", 1.0, 50.0),
+        # distribution monitor: order-cap quantities (>= 49) — nonzero
+        # on the fixtures, same rationale as acctbal_negative
+        V.Check("quantity_at_cap", F.col("l_quantity") >= 49),
     ]
     li_checks[0].name = "discount_range"
     li_checks[1].name = "quantity_range"

@@ -1634,3 +1634,54 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_acctbal")
     )
+
+
+@query(
+    "events_multi_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) * 3600 AS hour_sec,
+             ((epoch_us(ts) // 3600000000) // 24) * 86400 AS day_sec,
+             value
+      FROM events
+    )
+    SELECT event_type, hour_sec, day_sec,
+           CAST(GROUPING(hour_sec) + GROUPING(day_sec) * 2 AS BIGINT) AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((event_type, hour_sec), (event_type, day_sec), (event_type))
+    """,
+)
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly, daily, and
+    all-time totals per event type in ONE grouping-sets pass — the
+    batch form of maintaining multiple materialized rollup levels.
+    Bucket ids are integer epoch-second arithmetic (hour buckets nest
+    exactly into day buckets), decimal-exact sums at every level."""
+    hour = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000") * 3600
+    day = (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000") / 24).cast(
+        "long"
+    ) * 86400
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        hour.alias("hour_sec"),
+        day.alias("day_sec"),
+        "value",
+    )
+    gid = (F.grouping("hour_sec") + F.grouping("day_sec") * 2).cast("long")
+    return (
+        ev.groupingSets(
+            [["event_type", "hour_sec"], ["event_type", "day_sec"], ["event_type"]],
+            "event_type",
+            "hour_sec",
+            "day_sec",
+        )
+        .agg(
+            gid.alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select("event_type", "hour_sec", "day_sec", "gid", "n_events", "total_value")
+    )

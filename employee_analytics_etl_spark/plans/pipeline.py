@@ -55,6 +55,13 @@ OUTPUT_COLUMNS = {
 }
 
 
+def register_output_views(spark: SparkSession, outputs: dict[str, DataFrame]) -> None:
+    """Register every output table as a temp view (SQL surface parity:
+    each business insight becomes a one-line spark.sql query)."""
+    for name, df in outputs.items():
+        df.createOrReplaceTempView(name)
+
+
 def _select_existing(df: DataFrame, cols: list[str]) -> DataFrame:
     """Best-effort projection (reference scripts/main.py:99-105 pattern)."""
     present = [c for c in cols if c in df.columns]
@@ -145,6 +152,10 @@ def run_pipeline(spark: SparkSession, conf: PipelineConfig) -> dict:
                 ),
             )
     timings["load"] = time.time() - t3
+
+    # --- SQL surface (SURVEY.md §3.3): every output table as a temp
+    # view, so each report insight is a spark.sql one-liner ------------------
+    register_output_views(spark, outputs)
 
     # --- report (S9, T1-T4, A5) --------------------------------------------
     t4 = time.time()

@@ -17,6 +17,15 @@ def raw_dir(spark, hr, tmp_path_factory):
     for name, df in hr.items():
         # write single CSV file named <table>.csv (pipeline contract)
         pdf = df.toPandas()
+        # pandas serializes nullable int columns as floats ("101.0") —
+        # the exact S4 round-trip bug the reference exhibits (SURVEY
+        # §2.1); use nullable Int64 so ints stay ints like the real
+        # reference CSVs
+        for field in df.schema.fields:
+            if field.dataType.simpleString() in ("bigint", "int") and (
+                pdf[field.name].dtype.kind == "f"
+            ):
+                pdf[field.name] = pdf[field.name].astype("Int64")
         pdf.to_csv(os.path.join(base, f"{name}.csv"), index=False)
     return str(base)
 
@@ -76,3 +85,15 @@ class TestPipeline:
         # workload summary (reference scripts/main.py:107-115); we keep it
         res, _ = result
         assert res["outputs"]["summary_project_workload"].count() > 0
+
+    def test_sql_surface(self, spark, result):
+        # every output is a temp view; insight A is a SQL one-liner
+        res, _ = result
+        assert set(res["outputs"]) <= {
+            t.name for t in spark.catalog.listTables()
+        }
+        top = spark.sql(
+            """SELECT name, avg_salary FROM summary_dept_metrics
+               ORDER BY avg_salary DESC, department_id LIMIT 1"""
+        ).collect()
+        assert len(top) == 1 and top[0]["avg_salary"] > 0

@@ -283,3 +283,63 @@ def simhash_signatures(
         .groupBy("id")
         .agg(F.sum("bit_val").cast("long").alias("simhash"))
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node's label converges to the minimum node id reachable in
+    its component. Returns (id, cluster_id).
+
+    Each iteration is one shuffle (groupBy dst of the symmetric edge
+    list) plus a join back to labels; iteration stops early when no
+    label changed. ``localCheckpoint`` truncates the lineage so the
+    plan doesn't grow with iterations — the standard Spark pattern for
+    iterative graph algorithms (GraphFrames/GraphX do the same under
+    the hood; diameter of near-dup clusters is tiny, so convergence is
+    a handful of rounds).
+    """
+    from pyspark.sql import functions as F
+
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.id == sym.src)
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

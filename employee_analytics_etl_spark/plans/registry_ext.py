@@ -475,3 +475,54 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact_drops, "doc_id", "left_anti")
         .join(near_drops, "doc_id", "left_anti")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    pairs AS (
+      SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS inter
+      FROM (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s1
+      JOIN (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s2
+        ON s1.shingle = s2.shingle AND s1.id < s2.id
+      GROUP BY s1.id, s2.id
+    ),
+    edges AS (
+      SELECT p.id_a AS src, p.id_b AS dst
+      FROM pairs p JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.set_size + sb.set_size - p.inter) >= 0.2
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster_id
+    FROM walk GROUP BY id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    Jaccard >= 0.2 pair graph (the closure that one-hop pair-pruning
+    in dedup_survivors deliberately skips). cluster_id = min doc_id of
+    the component; singletons cluster with themselves.
+
+    Cross-checked against a fundamentally different algorithm: Spark
+    runs iterative min-label propagation, the DuckDB oracle runs a
+    recursive-CTE reachability walk — agreement pins the closure
+    semantics, not just the implementation."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=25
+    ).select("id_a", "id_b")
+    nodes = docs.select("doc_id")
+    return D.connected_components(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    ).select(F.col("id").alias("doc_id"), "cluster_id")

@@ -232,3 +232,24 @@ class TestMultimodal:
         out = MM.sample_frames(media, every_k=2).collect()
         assert len(out) > 0
         assert all(r["frame_idx"] % 2 == 0 for r in out)
+
+
+class TestConnectedComponents:
+    def test_chain_closure_and_singleton(self, spark):
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            connected_components,
+        )
+
+        nodes = spark.createDataFrame([Row(id=i) for i in [1, 2, 3, 4, 9]])
+        # chain 1-2, 2-3, plus 4 alone and 9 isolated; transitivity must
+        # pull 3 into cluster 1 even though (1,3) is not an edge
+        edges = spark.createDataFrame(
+            [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(nodes, edges, id_col="id").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}

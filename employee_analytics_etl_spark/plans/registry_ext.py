@@ -526,3 +526,50 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(
         nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     ).select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "doc_vocab_topk",
+    oracle=f"""
+    WITH tk AS (
+      SELECT u.tok FROM (SELECT {_TOKS} AS toks FROM documents) t,
+                        UNNEST(t.toks) AS u(tok)
+    )
+    SELECT tok, COUNT(*) AS freq FROM tk
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top 100
+    under a total order (freq desc, token asc). explode + one hash
+    aggregate + TakeOrdered — the map-side partial counts mean the
+    shuffle carries one row per distinct token per partition, not one
+    per occurrence; at 100 TB this is the standard first pass of
+    tokenizer/vocab training."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(TX.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(100)
+    )
+
+
+# Seeded sampling is deterministic WITHIN Spark (hash-based Bernoulli
+# per partition) but not reproducible in DuckDB → rows-only check;
+# the statistical contract (per-stratum fractions) is pytest-gated.
+@query("stratified_sample_documents")
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language: keep 50% of 'en' docs and 10%
+    of everything else (seeded sampleBy — the training-data rebalancing
+    primitive). Runs entirely scan-side: no shuffle, each partition
+    filters by a seeded hash."""
+    docs = TX.with_lang_id(t(spark, sf_dir, "documents"), "text")
+    langs = [r["lang_pred"] for r in docs.select("lang_pred").distinct().collect()]
+    fractions = {l: (0.5 if l == "en" else 0.1) for l in langs}
+    return docs.sampleBy("lang_pred", fractions, seed=42).select(
+        "doc_id", "lang_pred"
+    )

@@ -49,6 +49,7 @@ class TestContract:
             "approx_distinct_parts",
             "approx_quantile_price",
             "media_feature_stats",
+            "stratified_sample_documents",
         }
 
     @pytest.mark.parametrize("name", SAMPLE)

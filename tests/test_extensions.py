@@ -253,3 +253,32 @@ class TestConnectedComponents:
             for r in connected_components(nodes, edges, id_col="id").collect()
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}
+
+
+class TestStratifiedSample:
+    def test_per_stratum_fractions(self, spark):
+        from employee_analytics_etl_spark.plans import registry_ext as RX
+        from tests.conftest import SF_SMOKE
+
+        full = RX.TX.with_lang_id(
+            RX.t(spark, SF_SMOKE, "documents"), "text"
+        ).groupBy("lang_pred").count().collect()
+        totals = {r["lang_pred"]: r["count"] for r in full}
+        sampled = (
+            RX.stratified_sample_documents(spark, SF_SMOKE)
+            .groupBy("lang_pred").count().collect()
+        )
+        got = {r["lang_pred"]: r["count"] for r in sampled}
+        for lang, n in totals.items():
+            frac = (got.get(lang, 0)) / n
+            want = 0.5 if lang == "en" else 0.1
+            # Bernoulli sampling tolerance on small strata
+            assert abs(frac - want) < 0.25, (lang, frac, want, n)
+
+    def test_seeded_determinism(self, spark):
+        from employee_analytics_etl_spark.plans import registry_ext as RX
+        from tests.conftest import SF_SMOKE
+
+        a = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
+        b = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
+        assert a == b and len(a) > 0

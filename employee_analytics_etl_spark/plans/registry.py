@@ -1685,3 +1685,47 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "hour_sec", "day_sec", "gid", "n_events", "total_value")
     )
+
+
+@query(
+    "top_users_per_hour",
+    oracle="""
+    WITH per_user AS (
+      SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_sec, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_sec, user_id, total_value,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_sec
+                 ORDER BY total_value DESC, user_id) AS rnk
+      FROM per_user
+    ) WHERE rnk <= 3
+    """,
+)
+def top_users_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed top-k per group: top-3 users by spend within each
+    hour. Aggregate first (shrinks the window input to one row per
+    (hour, user)), then rank per hour under a total order and filter
+    rn <= k — the scalable form; a global sort or per-group collect
+    would not survive 100x. Decimal-exact sums make the rank order
+    engine-stable."""
+    ev = t(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy(
+            (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000") * 3600).alias(
+                "hour_sec"
+            ),
+            "user_id",
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"))
+    )
+    w = Window.partitionBy("hour_sec").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("hour_sec", "user_id", "total_value", "rnk")
+    )

@@ -1729,3 +1729,246 @@ def top_users_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("hour_sec", "user_id", "total_value", "rnk")
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, 3
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 pattern: cross-nation trade volume by year. The nation
+    dimension joins twice under different roles (supplier vs customer
+    side) — both broadcast; the inequality n1<>n2 is a post-join filter
+    on broadcast columns, costing nothing extra."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= "1996-01-01")
+        & (F.col("l_shipdate").cast("date") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("date")).alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH flows AS (
+      SELECT CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n2.n_regionkey
+      WHERE r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 pattern: one nation's share of a region's purchase
+    volume per year — conditional share inside a single aggregate
+    (no second pass, no self-join); the share division runs in IEEE
+    double over decimal-exact numerator/denominator."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(F.broadcast(n2), n2.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n2.n_regionkey)
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            (F.sum(china).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%green%' OR p.p_type = 'PROMO'
+    GROUP BY n.n_name, 2
+    """,
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 pattern: profit by supplier nation and year for a
+    part subset selected by LIKE/equality — the part filter applies on
+    the broadcast side BEFORE the join, shrinking the probe instead of
+    filtering after."""
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%green%") | (F.col("p_type") == "PROMO"))
+        .select("p_partkey")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation_name"))
+    profit = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .groupBy(
+            "nation_name", F.year(F.col("o_orderdate").cast("date")).alias("o_year")
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey, 0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN avg_qty a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < a.half_avg
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17 pattern: rows below half their group's average — the
+    correlated per-part AVG subquery decorrelated into one aggregate
+    joined back to the fact on the same key (partial sums shrink the
+    build side to one row per part). davg-style exact mean keeps the
+    < comparison engine-stable."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (
+            F.lit(0.5)
+            * F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("half_avg")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.a_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double") / 7.0)
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19 pattern: OR-of-ANDs spanning both join sides.
+    Catalyst derives the single-side implications (brand IN (...) on
+    part, quantity range on lineitem) and pushes them below the join;
+    the full disjunction applies after — the classic disjunctive
+    predicate-pushdown test."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(5,2)")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

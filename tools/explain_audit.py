@@ -123,6 +123,12 @@ def main() -> None:
         "salted_spend_by_status",
         "grouping_sets_qty",
         "events_value_ohlc",
+        "tpch_q7_nation_volume",
+        "tpch_q8_market_share",
+        "tpch_q9_product_profit",
+        "tpch_q17_small_quantity_revenue",
+        "tpch_q19_disjunctive_revenue",
+        "top_users_per_hour",
     ]
     names = sys.argv[2:] or (HEADLINE + extra)
     # AQE off for the audit only: the adaptive wrapper defers physical

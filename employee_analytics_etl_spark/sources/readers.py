@@ -82,6 +82,25 @@ def read_parquet_table(spark: SparkSession, sf_dir: str, table: str) -> DataFram
     return df
 
 
+def read_json_table(
+    spark: SparkSession, path: str, schema, timestamp_cols: list[str] | None = None
+) -> DataFrame:
+    """JSON-lines scan with an EXPLICIT schema — inference over JSON is
+    doubly banned at scale (it costs a full extra pass AND guesses
+    types per-file). ``timestamp_cols`` are read as ISO-8601 strings
+    and parsed to TIMESTAMP_NTZ via try_cast (JSON has no timestamp
+    type): unparseable values become NULL instead of failing the job
+    under ANSI mode — PERMISSIVE end to end, matching the reference's
+    tolerance. Catch data-quality fallout with the validation suite's
+    completeness checks, not mid-scan exceptions."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    for c in timestamp_cols or []:
+        df = df.withColumn(c, F.expr(f"try_cast({c} AS TIMESTAMP_NTZ)"))
+    return df
+
+
 def load_sf_tables(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:

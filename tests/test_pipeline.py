@@ -97,3 +97,39 @@ class TestPipeline:
                ORDER BY avg_salary DESC, department_id LIMIT 1"""
         ).collect()
         assert len(top) == 1 and top[0]["avg_salary"] > 0
+
+
+class TestJsonSource:
+    def test_json_roundtrip_equals_parquet(self, spark, tmp_path_factory):
+        import os
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from employee_analytics_etl_spark.sources.readers import (
+            read_json_table,
+            read_parquet_table,
+        )
+        from tests.conftest import SF_SMOKE
+
+        pq = read_parquet_table(spark, SF_SMOKE, "events")
+        base = str(tmp_path_factory.mktemp("json")) + "/events.json"
+        pq.withColumn(
+            "ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        ).write.mode("overwrite").json(base)
+
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.StringType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        )
+        js = read_json_table(spark, base, schema, timestamp_cols=["ts"])
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        a = sorted(map(tuple, pq.select(cols).collect()))
+        b = sorted(map(tuple, js.select(cols).collect()))
+        assert a == b

@@ -168,3 +168,35 @@ def clicks_before_purchase_stream(
         ),
         "inner",
     ).select("purchase_id", "click_id", "p_user_id")
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Exactly-once file sink via foreachBatch: each micro-batch writes
+    to a ``batch_id=N`` subdirectory with mode=overwrite, so a batch
+    replayed after a failure overwrites its own output instead of
+    appending duplicates — idempotence from (deterministic batch id ×
+    overwrite), the standard recipe for non-transactional sinks
+    (JDBC upserts follow the same shape with a keyed MERGE).
+
+    The checkpoint directory records which batches committed; on
+    restart Structured Streaming replays only uncommitted batches.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

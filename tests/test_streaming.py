@@ -92,3 +92,21 @@ class TestStreaming:
         )
         assert len(got_pairs) > 0
         assert got_pairs == want_pairs
+
+    def test_foreach_batch_sink_idempotent(self, spark, batch_events, tmp_path_factory):
+        from employee_analytics_etl_spark.streaming.jobs import (
+            run_foreach_batch_parquet,
+        )
+
+        out = str(tmp_path_factory.mktemp("fb_out"))
+        ckpt = str(tmp_path_factory.mktemp("fb_ckpt"))
+        stream = build_events_stream(spark, SF_SMOKE)
+        run_foreach_batch_parquet(stream, out, ckpt)
+        n1 = spark.read.parquet(out).count()
+        # rerun with the SAME checkpoint: all batches already committed,
+        # nothing replays, output unchanged (no duplicates)
+        stream2 = build_events_stream(spark, SF_SMOKE)
+        run_foreach_batch_parquet(stream2, out, ckpt)
+        n2 = spark.read.parquet(out).count()
+        want = batch_events.count()
+        assert n1 == want and n2 == want

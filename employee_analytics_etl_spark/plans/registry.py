@@ -1972,3 +1972,151 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 pattern: distinct-count of suppliers per part class
+    with a NOT-IN blacklist subquery. The supply association is the
+    distinct (l_partkey, l_suppkey) projection of the fact (this corpus
+    has no partsupp table). NOT IN over a non-nullable key is exactly a
+    left-anti hash join; the part-class filter and the blacklist are
+    both broadcast, so the only shuffle is the final 3-key aggregate.
+    Reference analogue: the distinct-key validation scans
+    (validation.py:37-38) composed with grouped counts."""
+    ps = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 2000)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(blacklist), ps.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20_promo_bulk_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 800
+    )
+    """,
+)
+def tpch_q20_promo_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 pattern: nested IN subqueries with a correlated
+    aggregate threshold — suppliers who moved > 800 units of PROMO
+    parts in the window. Decorrelated Spark plan: broadcast-semi-join
+    the promo part keys into the date-pruned fact scan, aggregate
+    quantity per supplier (partial agg shrinks the shuffle to one row
+    per supplier), HAVING-filter, then left-semi back into supplier.
+    Both reduction joins are broadcasts; the shipdate+type predicates
+    reach the scan."""
+    promo = (
+        t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= "1996-01-01")
+        & (F.col("l_shipdate").cast("date") < "1998-01-01")
+    )
+    bulk = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("promo_qty"))
+        .filter(F.col("promo_qty") > 800)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(bulk), s.s_suppkey == bulk.l_suppkey, "left_semi"
+    ).select(
+        "s_suppkey", "s_name", F.col("s_acctbal").cast("double").alias("acctbal")
+    )
+
+
+@query(
+    "tpch_q21_sole_returning_supplier",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def tpch_q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 pattern: the double correlated EXISTS / NOT-EXISTS
+    self-join ("supplier who kept the order waiting", here: the only
+    supplier with returned lines on a multi-supplier finished order).
+    The oracle states it with literal correlated subqueries; the Spark
+    plan decorrelates both into ONE per-order aggregate —
+    EXISTS(other supplier)  ⟺  count(distinct suppkey) ≥ 2,
+    NOT EXISTS(other 'R' supplier) ⟺ count(distinct suppkey | flag=R) = 1
+    — so the fact is scanned twice (once for l1 rows, once for the
+    order profile) instead of three correlated probes, and everything
+    meets on the already-shuffled l_orderkey."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_returnflag")
+    ord_stats = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("nsupp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("nsupp_r"),
+        )
+        .filter((F.col("nsupp") >= 2) & (F.col("nsupp_r") == 1))
+        .select("l_orderkey")
+    )
+    fin = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(fin, li.l_orderkey == fin.o_orderkey, "left_semi")
+        .join(ord_stats, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -43,6 +43,8 @@ PUSHDOWN = {
     "tpch_q10_returned_topk": "EqualTo(l_returnflag,R)",
     "tpch_q12_priority_shipmode": "GreaterThanOrEqual(l_shipdate",
     "tpch_q3_shipping_topk": "EqualTo(c_mktsegment",
+    "tpch_q20_promo_bulk_suppliers": "GreaterThanOrEqual(l_shipdate",
+    "tpch_q21_sole_returning_supplier": "EqualTo(l_returnflag,R)",
 }
 
 BROADCAST = [
@@ -129,6 +131,9 @@ def main() -> None:
         "tpch_q17_small_quantity_revenue",
         "tpch_q19_disjunctive_revenue",
         "top_users_per_hour",
+        "tpch_q16_supplier_count",
+        "tpch_q20_promo_bulk_suppliers",
+        "tpch_q21_sole_returning_supplier",
     ]
     names = sys.argv[2:] or (HEADLINE + extra)
     # AQE off for the audit only: the adaptive wrapper defers physical

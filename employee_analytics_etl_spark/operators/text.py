@@ -145,3 +145,49 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content_md5", md5).withColumn(
         "fingerprint", F.expr(f"CAST(conv(substr(md5({text_col}),1,15),16,10) AS BIGINT)")
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, computed per row with
+    pure array expressions — NO shuffle, no UDF: each document's token
+    array lives in its own row, so distinct-ratio / top-term frequency
+    are embarrassingly parallel scan-side work even at 100 TB (the
+    alternative — explode + two groupBys — shuffles one row per token
+    occurrence for no gain on bounded-length documents).
+
+    Emits: n_words, distinct_word_frac (|vocab|/n), top_word_frac
+    (mode frequency / n), top_bigram_frac (mode bigram / (n-1)).
+    Per-doc cost is O(|vocab| * n); documents are bounded (chunked
+    upstream), so this stays constant-per-row.
+    """
+    tk = tokens_col(text_col)
+    d = df.withColumn("_tk", tk)
+    n = F.size("_tk")
+    top_word = F.expr(
+        "array_max(transform(array_distinct(_tk), w -> size(filter(_tk, x -> x = w))))"
+    )
+    bigrams = F.expr(
+        "transform(sequence(0, size(_tk) - 2), i -> concat(_tk[i], ' ', _tk[i+1]))"
+    )
+    top_bigram = F.expr(
+        "array_max(transform(array_distinct(_bg), w -> size(filter(_bg, x -> x = w))))"
+    )
+    return (
+        d.withColumn("_bg", F.when(n >= 2, bigrams))
+        .withColumn("n_words", n)
+        .withColumn(
+            "distinct_word_frac",
+            F.when(n > 0, F.size(F.array_distinct(F.col("_tk"))).cast("double") / n)
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_word_frac",
+            F.when(n > 0, top_word.cast("double") / n).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "top_bigram_frac",
+            F.when(n >= 2, top_bigram.cast("double") / (n - F.lit(1)))
+            .otherwise(F.lit(0.0)),
+        )
+        .drop("_tk", "_bg")
+    )

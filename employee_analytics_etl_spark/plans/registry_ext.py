@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -572,4 +573,140 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {l: (0.5 if l == "en" else 0.1) for l in langs}
     return docs.sampleBy("lang_pred", fractions, seed=42).select(
         "doc_id", "lang_pred"
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, tk,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+             END AS bgl
+      FROM tk
+    ),
+    st AS (
+      SELECT doc_id,
+        CAST(len(tk) AS INT) AS n_words,
+        CASE WHEN len(tk) > 0
+             THEN CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             ELSE 0.0 END AS distinct_word_frac,
+        CASE WHEN len(tk) > 0
+             THEN CAST(list_max(list_transform(list_distinct(tk),
+                    w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk)
+             ELSE 0.0 END AS top_word_frac,
+        CASE WHEN len(tk) >= 2
+             THEN CAST(list_max(list_transform(list_distinct(bgl),
+                    w -> len(list_filter(bgl, x -> x = w)))) AS DOUBLE) / (len(tk) - 1)
+             ELSE 0.0 END AS top_bigram_frac
+      FROM bg
+    )
+    SELECT doc_id, n_words, distinct_word_frac, top_word_frac, top_bigram_frac,
+           (distinct_word_frac < 0.4 OR top_word_frac > 0.12) AS repetition_flagged
+    FROM st
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals (duplicate-word ratio,
+    mode word/bigram frequency) with a composite flag. Pure scan-side
+    array expressions — zero shuffle (see
+    operators/text.py:with_repetition_stats for the scale rationale).
+    Quality-filtering analogue of the reference's accuracy checks
+    (validation.py:47-57) applied to text instead of columns."""
+    docs = t(spark, sf_dir, "documents")
+    st = TX.with_repetition_stats(docs, "text")
+    return st.select(
+        "doc_id",
+        "n_words",
+        "distinct_word_frac",
+        "top_word_frac",
+        "top_bigram_frac",
+        (
+            (F.col("distinct_word_frac") < 0.4) | (F.col("top_word_frac") > 0.12)
+        ).alias("repetition_flagged"),
+    )
+
+
+@query(
+    "domain_quota_sample",
+    oracle="""
+    SELECT source, doc_id, CAST(rn AS INT) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most K=5 documents per
+    source, selected in md5(doc_id) hash order — deterministic,
+    seed-free, and engine-independent (unlike seeded Bernoulli
+    sampling, the pick is a pure function of the data). One shuffle on
+    source; rank truncation happens inside each partition, so the
+    output is K·|domains| rows no matter the corpus size — the
+    standard per-domain cap in web-crawl curation."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 5)
+    )
+
+
+@query(
+    "doc_length_band_filter",
+    oracle="""
+    WITH st AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_kept,
+           MIN(d.n_chars) AS min_chars,
+           MAX(d.n_chars) AS max_chars,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d
+    JOIN st ON st.lang = d.lang
+    WHERE d.n_chars >= st.p05 AND d.n_chars <= st.p95
+    GROUP BY d.lang
+    """,
+)
+def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-percentile outlier filter: keep documents inside their
+    language's [p05, p95] n_chars band (drop truncation stubs and
+    concatenation monsters — the distribution-trimming step of corpus
+    curation). Exact interpolated percentiles per language (small
+    group cardinality → tiny aggregate), broadcast back onto the
+    corpus scan, then a per-language profile of what survived. Two
+    scans of documents, one broadcast, one 5-row shuffle."""
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    st = docs.groupBy(F.col("lang").alias("s_lang")).agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    return (
+        docs.join(F.broadcast(st), docs.lang == st.s_lang)
+        .filter(F.col("n_chars").between(F.col("p05"), F.col("p95")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
     )

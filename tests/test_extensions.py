@@ -282,3 +282,51 @@ class TestStratifiedSample:
         a = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
         b = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
         assert a == b and len(a) > 0
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "a a a b"),          # top word 'a' 3/4; bigrams: 'a a' x2 of 3
+                (2, "x y z"),            # all distinct
+                (3, ""),                 # empty → all zeros
+                (4, "w"),                # single token → no bigrams
+            ],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in TX.with_repetition_stats(df).collect()}
+        assert r[1]["n_words"] == 4
+        assert r[1]["top_word_frac"] == pytest.approx(0.75)
+        assert r[1]["distinct_word_frac"] == pytest.approx(0.5)
+        assert r[1]["top_bigram_frac"] == pytest.approx(2 / 3)
+        assert r[2]["distinct_word_frac"] == 1.0
+        assert r[2]["top_word_frac"] == pytest.approx(1 / 3)
+        assert r[3]["n_words"] == 0
+        assert r[3]["top_word_frac"] == 0.0
+        assert r[3]["top_bigram_frac"] == 0.0
+        assert r[4]["n_words"] == 1
+        assert r[4]["top_bigram_frac"] == 0.0
+
+    def test_no_shuffle_in_plan(self, spark):
+        df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+        plan = TX.with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestDomainQuota:
+    def test_quota_and_determinism(self, spark):
+        from employee_analytics_etl_spark.plans import registry_ext  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        out = QUERIES["domain_quota_sample"](spark, SF_SMOKE)
+        rows = out.collect()
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) <= 5 for v in per_src.values())
+        # pure function of the data: a second run picks identical docs
+        rows2 = QUERIES["domain_quota_sample"](spark, SF_SMOKE).collect()
+        assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
+            (r["source"], r["doc_id"]) for r in rows2
+        )

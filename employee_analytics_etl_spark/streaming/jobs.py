@@ -106,12 +106,34 @@ def session_window_stream(
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession) -> DataFrame:
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming deduplication by event_id, state bounded by the
+    watermark horizon (dropDuplicatesWithinWatermark). Plain
+    dropDuplicates on a stream keeps every key ever seen — state grows
+    without bound; the within-watermark variant evicts a key once the
+    watermark passes its event time, so state is (arrival rate ×
+    horizon) regardless of stream age. Emits each event_id's first
+    arrival (append mode). Batch twin: keyed_dedup_first
+    (operators/dedup.py) — same survivor set when duplicates fall
+    inside one horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> DataFrame:
     """Drive a (bounded) stream to completion with availableNow into a
     memory sink; returns the materialized result as a DataFrame. Test/
     smoke harness — production sinks go through foreachBatch/kafka."""
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

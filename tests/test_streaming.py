@@ -110,3 +110,37 @@ class TestStreaming:
         n2 = spark.read.parquet(out).count()
         want = batch_events.count()
         assert n1 == want and n2 == want
+
+
+class TestStreamingDedup:
+    def test_dedup_within_watermark_equals_batch_distinct(
+        self, spark, batch_events, tmp_path_factory
+    ):
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            dedup_events_stream,
+            events_schema_nanos,
+        )
+
+        # build a source with every event duplicated (2nd copy 1 min late)
+        src = str(tmp_path_factory.mktemp("dup_events"))
+        base = batch_events.limit(200)
+        dup = base.withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+        )
+        base.unionByName(dup).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(batch_events.schema)
+            .load(src)
+            # events.ts is TIMESTAMP_NTZ; watermarks require TIMESTAMP
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        got = run_to_memory(
+            dedup_events_stream(stream), "t_dedup", spark, output_mode="append"
+        )
+        ids = [r["event_id"] for r in got.select("event_id").collect()]
+        assert len(ids) == 200  # one survivor per event_id
+        assert len(set(ids)) == 200

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.expr import dsum
 from .registry import query, t
@@ -199,4 +200,141 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "scd2_order_status_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_custkey, o_orderstatus,
+             CAST(o_orderdate AS DATE) AS odate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_status
+      FROM orders
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderstatus, odate, o_orderkey FROM ordered
+      WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+    )
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           odate AS valid_from,
+           lead(odate) OVER (PARTITION BY o_custkey
+                             ORDER BY odate, o_orderkey) AS valid_to,
+           lead(odate) OVER (PARTITION BY o_custkey
+                             ORDER BY odate, o_orderkey) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: collapse each
+    customer's order-status timeline into effective-dated rows
+    (valid_from / valid_to / is_current). Change detection is lag()
+    over a TOTAL order (odate, orderkey — the determinism invariant),
+    effective dating is lead() over the surviving rows. Both windows
+    share one partitioning, so the whole history build is a single
+    shuffle on custkey — the idiomatic distributed form of the
+    reference's truncate-and-replace dimension loads (load.py:35),
+    upgraded to keep history."""
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    ordered = (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderkey",
+        )
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+    )
+    changes = ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("odate").alias("valid_from"),
+        F.lead("odate").over(w2).alias("valid_to"),
+        F.lead("odate").over(w2).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(tus) AS t2 FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE event_type = 'click' AND tus > t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(tus) AS t3 FROM e
+           JOIN s2 ON s2.user_id = e.user_id
+           WHERE event_type = 'purchase' AND tus > t2 GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_view_click,
+           (SELECT COUNT(*) FROM s3) AS n_full_funnel,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / greatest((SELECT COUNT(*) FROM s1), 1) AS view_click_rate,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / greatest((SELECT COUNT(*) FROM s2), 1) AS click_purchase_rate
+    """,
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (view → click → purchase, strictly
+    increasing event times). The oracle states it as three stage-wise
+    min-aggregates re-joined per stage (three shuffles); the Spark plan
+    does ONE shuffle: group events per user, sort the (time, type)
+    array, and walk it left-to-right with a codegen'd aggregate()
+    lambda that latches each stage's first qualifying timestamp.
+    Per-user state is 3 BIGINTs; array length is bounded by per-user
+    activity (skewed power users cap at their event count, not corpus
+    size). At 100 TB the three-self-join form reshuffles the full fact
+    three times — the fold does it once."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("tus", "event_type"))).alias("evs")
+    )
+    funnel = per_user.withColumn(
+        "f",
+        F.expr(
+            """
+            aggregate(
+              evs,
+              named_struct('t1', CAST(NULL AS BIGINT),
+                           't2', CAST(NULL AS BIGINT),
+                           't3', CAST(NULL AS BIGINT)),
+              (acc, e) -> named_struct(
+                't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                           THEN e.tus ELSE acc.t1 END,
+                't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                                AND e.event_type = 'click' AND e.tus > acc.t1
+                           THEN e.tus ELSE acc.t2 END,
+                't3', CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL
+                                AND e.event_type = 'purchase' AND e.tus > acc.t2
+                           THEN e.tus ELSE acc.t3 END))
+            """
+        ),
+    )
+    return funnel.agg(
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_view_click"),
+        F.count("f.t3").alias("n_full_funnel"),
+        (
+            F.count("f.t2").cast("double")
+            / F.greatest(F.count("f.t1"), F.lit(1))
+        ).alias("view_click_rate"),
+        (
+            F.count("f.t3").cast("double")
+            / F.greatest(F.count("f.t2"), F.lit(1))
+        ).alias("click_purchase_rate"),
     )

@@ -330,3 +330,78 @@ class TestDomainQuota:
         assert sorted((r["source"], r["doc_id"]) for r in rows) == sorted(
             (r["source"], r["doc_id"]) for r in rows2
         )
+
+
+class TestFunnelAndSCD2:
+    @pytest.fixture(scope="class")
+    def fixture_dir(self, spark, tmp_path_factory):
+        import datetime as _dt
+
+        d = str(tmp_path_factory.mktemp("funnel_sf"))
+
+        def ts(m):
+            return _dt.datetime(2026, 1, 1, 0, m)
+
+        ev = [
+            # user 1: clean view -> click -> purchase
+            (1, ts(1), 1, "view", 1.0, None),
+            (2, ts(2), 1, "click", 1.0, None),
+            (3, ts(3), 1, "purchase", 1.0, None),
+            # user 2: click ties with first view (strict > excludes it)
+            (4, ts(2), 2, "view", 1.0, None),
+            (5, ts(2), 2, "click", 1.0, None),
+            (6, ts(5), 2, "purchase", 1.0, None),
+            # user 3: purchase happens before the click -> stage 2 only
+            (7, ts(1), 3, "purchase", 1.0, None),
+            (8, ts(2), 3, "view", 1.0, None),
+            (9, ts(3), 3, "click", 1.0, None),
+        ]
+        spark.createDataFrame(
+            ev,
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        return d
+
+    def test_funnel_strict_sequencing(self, spark, fixture_dir):
+        from employee_analytics_etl_spark.plans import registry_funcs  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        r = QUERIES["funnel_view_click_purchase"](spark, fixture_dir).collect()[0]
+        assert r["n_view"] == 3
+        assert r["n_view_click"] == 2  # users 1 and 3
+        assert r["n_full_funnel"] == 1  # user 1 only
+        assert r["view_click_rate"] == pytest.approx(2 / 3)
+
+    def test_scd2_effective_dating(self, spark, tmp_path_factory):
+        import datetime as _dt
+
+        from employee_analytics_etl_spark.plans import registry_funcs  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        d = str(tmp_path_factory.mktemp("scd2_sf"))
+        rows = [
+            # custkey 1: O,O,F,O -> 3 change rows (O, F, O)
+            (10, 1, "O", 100.0, _dt.datetime(2026, 1, 1), "5-LOW"),
+            (11, 1, "O", 100.0, _dt.datetime(2026, 1, 2), "5-LOW"),
+            (12, 1, "F", 100.0, _dt.datetime(2026, 1, 3), "5-LOW"),
+            (13, 1, "O", 100.0, _dt.datetime(2026, 1, 4), "5-LOW"),
+            # custkey 2: single order -> one open-ended row
+            (20, 2, "P", 100.0, _dt.datetime(2026, 1, 1), "5-LOW"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+
+        out = QUERIES["scd2_order_status_history"](spark, d).collect()
+        c1 = sorted(
+            [r for r in out if r["custkey"] == 1], key=lambda r: r["valid_from"]
+        )
+        assert [r["status"] for r in c1] == ["O", "F", "O"]
+        assert c1[0]["valid_to"] == _dt.date(2026, 1, 3)
+        assert c1[1]["valid_to"] == _dt.date(2026, 1, 4)
+        assert c1[2]["valid_to"] is None and c1[2]["is_current"]
+        (c2,) = [r for r in out if r["custkey"] == 2]
+        assert c2["is_current"] and c2["valid_from"] == _dt.date(2026, 1, 1)

@@ -134,6 +134,8 @@ def main() -> None:
         "tpch_q16_supplier_count",
         "tpch_q20_promo_bulk_suppliers",
         "tpch_q21_sole_returning_supplier",
+        "scd2_order_status_history",
+        "funnel_view_click_purchase",
     ]
     names = sys.argv[2:] or (HEADLINE + extra)
     # AQE off for the audit only: the adaptive wrapper defers physical

@@ -338,3 +338,85 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.count("f.t2"), F.lit(1))
         ).alias("click_purchase_rate"),
     )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    WITH m AS (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT 'tax', l_tax FROM lineitem
+    )
+    SELECT metric,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean
+    FROM m GROUP BY metric
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the four lineitem measures, then a
+    per-metric profile. Spark's native unpivot expands rows scan-side
+    (an Expand node — no shuffle, no UNION-of-scans: ONE pass over the
+    fact instead of the oracle's four). The aggregate then shuffles
+    4 rows per partition. The reshape primitive for feature-table
+    normalization at scale."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="raw_metric",
+        valueColumnName="val",
+    ).select(
+        F.expr("substr(raw_metric, 3)").alias("metric"),  # strip 'l_'
+        "val",
+    )
+    total = F.sum(F.col("val").cast("decimal(18,2)")).cast("double")
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        total.alias("total"),
+        (total / F.count(F.lit(1))).alias("mean"),
+    )
+
+
+@query(
+    "nullsafe_event_category_counts",
+    oracle="""
+    WITH fact AS (
+      SELECT NULLIF(event_type, 'error') AS et FROM events
+    ),
+    dim AS (
+      SELECT et, COALESCE(et, 'uncategorized') AS category
+      FROM (SELECT DISTINCT NULLIF(event_type, 'error') AS et FROM events)
+    )
+    SELECT d.category, COUNT(*) AS n_events
+    FROM fact f JOIN dim d ON f.et IS NOT DISTINCT FROM d.et
+    GROUP BY d.category
+    """,
+)
+def nullsafe_event_category_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the fact's
+    NULL keys (here: 'error' events nulled out by NULLIF) match the
+    dimension's NULL row instead of silently dropping — the SQL
+    three-valued-logic trap the reference hit with pandas NaN joins
+    (SURVEY §2.2 P1 caveat). eqNullSafe keys still hash-partition
+    (NULL hashes like a value), so this stays a broadcast/hash join —
+    no fallback to nested loops."""
+    ev = t(spark, sf_dir, "events").select(
+        F.expr("NULLIF(event_type, 'error')").alias("et")
+    )
+    dim = (
+        ev.distinct()
+        .select("et", F.coalesce("et", F.lit("uncategorized")).alias("category"))
+        .withColumnRenamed("et", "d_et")
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.et.eqNullSafe(F.col("d_et")))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

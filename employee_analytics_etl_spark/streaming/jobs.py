@@ -222,3 +222,23 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def enriched_segment_counts_stream(
+    events: DataFrame, customer_dim: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (user → market segment), then count per segment. The
+    static side needs NO streaming state — Spark re-plans it into each
+    micro-batch as an ordinary broadcast-hash join, so dimension
+    updates between batches are picked up for free. This is the
+    streaming twin of J3 (emp ⟕ dept name lookup, transform.py:163):
+    same join, unbounded probe side."""
+    dim = customer_dim.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id", "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )

@@ -144,3 +144,20 @@ class TestStreamingDedup:
         ids = [r["event_id"] for r in got.select("event_id").collect()]
         assert len(ids) == 200  # one survivor per event_id
         assert len(set(ids)) == 200
+
+
+class TestStreamStatic:
+    def test_stream_static_join_equals_batch(self, spark, batch_events):
+        from employee_analytics_etl_spark.streaming.jobs import (
+            enriched_segment_counts_stream,
+        )
+
+        dim = read_parquet_table(spark, SF_SMOKE, "customer")
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            enriched_segment_counts_stream(stream, dim), "t_enrich", spark
+        ).collect()
+        want = enriched_segment_counts_stream(batch_events, dim).collect()
+        key = lambda rows: sorted((r["segment"], r["n_events"]) for r in rows)
+        assert key(got) == key(want)
+        assert sum(r["n_events"] for r in got) == batch_events.count()

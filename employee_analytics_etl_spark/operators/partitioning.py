@@ -85,3 +85,23 @@ def explain_has_exchange(df: DataFrame) -> bool:
     helper for asserting shuffle-free bucketed joins."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a narrowly-partitioned input before
+    compute-heavy per-row work (shingling, hashing, vector math).
+
+    A parquet file with a single row group plans as ONE scan task, and
+    every pre-shuffle expression (explode, md5, partial aggregation)
+    inherits that single thread. When the source partitioning is far
+    below the session's parallelism, one extra row shuffle unlocks the
+    whole executor pool — the explicit form of what multi-file input
+    provides naturally. No-op when the input is already parallel (the
+    100 TB case), so callers apply it unconditionally; results are
+    unchanged because every downstream consumer here is
+    order-independent (min/count/sum aggregates, hash joins)."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df

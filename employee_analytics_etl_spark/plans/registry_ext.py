@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators import dedup as D
+from ..operators.partitioning import fan_out
 from ..operators import similarity as S
 from ..operators import text as TX
 from .registry import ORACLE, QUERIES, query, t
@@ -189,7 +190,7 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (stop-shingle pruned)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return D.ngram_jaccard_pairs(docs, "doc_id", "text",
                                  n=3, threshold=0.2, max_shingle_df=25)
 
@@ -219,7 +220,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs (8 hashes, 4 bands × 2 rows) — the
     linear-cost near-dup candidate generator; exact Jaccard
     (dedup_ngram_jaccard) is the verifier."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return D.minhash_lsh_candidates(docs, "doc_id", "text",
                                     num_hashes=8, rows_per_band=2, shingle_n=3)
 
@@ -243,7 +244,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signatures over distinct word tokens."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return D.simhash_signatures(docs, "doc_id", "text", bits=32)
 
 
@@ -454,7 +455,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Survivors are everything not dropped — composed entirely from the
     generate→verify operators, two anti-joins, no new shuffles beyond
     the underlying candidates."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     exact_drops = (
         D.exact_dedup_groups(docs, "doc_id", "text")
         .filter(F.col("n_copies") > 1)
@@ -519,7 +520,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs iterative min-label propagation, the DuckDB oracle runs a
     recursive-CTE reachability walk — agreement pins the closure
     semantics, not just the implementation."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     pairs = D.ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=25
     ).select("id_a", "id_b")

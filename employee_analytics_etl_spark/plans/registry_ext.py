@@ -711,3 +711,53 @@ def doc_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@query(
+    "embedding_centroid_components",
+    oracle="""
+    SELECT e.label, CAST(r.i - 1 AS INT) AS dim,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) AS DECIMAL(28,12)))
+                AS DOUBLE) / COUNT(*), 6) AS mean_v
+    FROM embeddings e, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+    GROUP BY e.label, r.i
+    """,
+)
+def embedding_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long form
+    (label, dim, mean component) — the k-means/IVF centroid-update
+    step as one posexplode + grouped aggregate. Shuffle carries
+    (labels × dims) partial sums, not vectors; the decimal-sum rule
+    keeps the reduction order-independent (float addition is not
+    associative — summing in decimal is how the mean stays identical
+    across any partitioning / executor count; the 6-dp output rounding
+    absorbs the one place the engines legitimately disagree — the
+    tie-rounding rule of the double→decimal cast's last digit)."""
+    e = t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    total = F.sum(F.col("v").cast("double").cast("decimal(28,12)")).cast("double")
+    return ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(total / F.count(F.lit(1)), 6).alias("mean_v"),
+    )
+
+
+@query(
+    "custkeys_f_exceptall_o",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def custkeys_f_exceptall_o(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — keeps surplus multiplicity,
+    unlike the distinct EXCEPT twin custkeys_f_except_o). Spark plans
+    a single hash aggregate counting per-key multiplicities on both
+    sides and replays max(left − right, 0) copies — one shuffle, no
+    distinct."""
+    orders = t(spark, sf_dir, "orders")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.exceptAll(o)

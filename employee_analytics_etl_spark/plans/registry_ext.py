@@ -761,3 +761,124 @@ def custkeys_f_exceptall_o(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.exceptAll(o)
+
+
+@query(
+    "doc_train_split",
+    oracle="""
+    SELECT doc_id,
+      CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+           ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by content-free stable hash
+    of the document id — the standard way a training pipeline assigns
+    splits so they survive re-runs, repartitioning, and incremental
+    appends (no rand(), no order dependence). md5 hex digits are
+    uniform and '0'-'9','a'-'f' are ASCII-ordered, so a lexicographic
+    threshold on the first two digits carves exact 240/8/8-in-256
+    (93.75%/3.125%/3.125%) buckets using a hash both engines define
+    identically. Per-row expression only — no shuffle at any scale."""
+    docs = t(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.select(
+        "doc_id",
+        F.when(h2 < "f0", "train").when(h2 < "f8", "val")
+         .otherwise("test").alias("split"),
+    )
+
+
+@query(
+    "doc_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE id % 97 = 0),
+    tr AS (SELECT id, shingle FROM sh WHERE id % 97 <> 0),
+    tot AS (SELECT id, COUNT(*) AS n_shingles FROM tr GROUP BY id),
+    ov AS (SELECT tr.id, COUNT(*) AS n_shared
+           FROM tr JOIN ev USING (shingle) GROUP BY tr.id)
+    SELECT ov.id AS doc_id, ov.n_shared, tot.n_shingles,
+           ROUND(CAST(ov.n_shared AS DOUBLE) / tot.n_shingles, 6)
+             AS contamination_ratio
+    FROM ov JOIN tot USING (id)
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of
+    its distinct word-3-gram shingles also occur in a held-out eval
+    set (here: doc_id % 97 == 0, standing in for the benchmark
+    corpus). The eval shingle set is tiny relative to the corpus, so
+    it broadcasts — the corpus side is never shuffled by shingle, and
+    the only exchange is the per-doc count aggregate. This is the
+    n-gram-overlap decontamination pass (a la GPT-3/PaLM dataset
+    reports) expressed as a broadcast semi-structured join."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.shingles(docs, "doc_id", "text", 3, distinct=True)
+    ev = (
+        sh.filter(F.col("id") % 97 == 0).select("shingle").distinct()
+    )
+    tr = sh.filter(F.col("id") % 97 != 0)
+    tot = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ov = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        ov.join(tot, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_shared",
+            "n_shingles",
+            F.round(
+                F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+@query(
+    "doc_salient_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS INT) AS rank
+      FROM tf JOIN dfq USING (term)
+    )
+    SELECT doc_id, term, tf, df, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document — the TF-IDF keyword-extraction
+    shape with a purely integer ordering (tf desc, then rarer-term df
+    asc, then term) so the ranking is exactly portable across engines
+    (no float idf in the sort key; idf is monotone in df, so df-asc IS
+    the idf tiebreak). Two hash aggregates + a broadcast of the tiny
+    term→df table + one per-doc window; the token explode is the only
+    row fanout and it never shuffles raw text."""
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.text import tokens_col
+
+    toks = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )

@@ -882,3 +882,86 @@ def doc_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+@query(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence construction: per user, the full event-type
+    history as one ordered string — the sequence-building step of a
+    behavioral / session training-data pipeline. Order is the TOTAL
+    order (ts, event_id): collect_list alone is partition-order-
+    dependent, so the structs are array_sort-ed AFTER collection —
+    one groupBy shuffle, deterministic under any partitioning, and no
+    window (a window would add a second sort). At scale the state per
+    user is the user's own history only, so this parallelizes by
+    user_id with no global sort."""
+    ev = t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ">",
+    )
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), seq.alias("seq")
+    )
+
+
+@query(
+    "doc_pack_sequential",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) AS pack_id,
+           cum - n_chars
+             - CAST(floor((cum - n_chars) / 4096.0) AS BIGINT) * 4096
+             AS pack_offset
+    FROM c
+    """,
+)
+def doc_pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential example packing: assign each document to a fixed-size
+    context-window pack (4096 chars here) by running size within its
+    source shard — the deterministic streaming-concat approximation of
+    bin packing that training pipelines actually use (greedy global
+    bin packing is order-dependent and unparallelizable). Partitioning
+    the running sum BY SOURCE is the scale decision: one window sort
+    per shard instead of a single global ORDER BY (which would funnel
+    100 TB through one task). Integer arithmetic throughout, exact in
+    both engines."""
+    docs = t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = docs.select(
+        "doc_id", "source", "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    start = F.col("cum") - F.col("n_chars")
+    pack = F.floor(start / 4096.0)
+    return with_cum.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        pack.alias("pack_id"),
+        (start - pack * 4096).alias("pack_offset"),
+    )

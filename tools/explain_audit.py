@@ -52,6 +52,10 @@ BROADCAST = [
     "tpch_q10_returned_topk",
     "tpch_q14_promo_share",
     "nation_account_summary",
+    # eval-shingle set and term→df table are small by construction —
+    # the corpus side must never shuffle by shingle/term
+    "doc_decontaminate",
+    "doc_salient_terms",
 ]
 
 # max columns a single parquet scan may read (pruning budget)
@@ -60,6 +64,9 @@ READ_BUDGET = {
     "tpch_q6_revenue_delta": 4,
     "tpch_q18_large_orders": 5,
     "top_customers_by_spend": 5,
+    "doc_train_split": 1,  # split needs doc_id ONLY — never reads text
+    "doc_pack_sequential": 3,  # doc_id, source, n_chars — never text
+    "user_event_sequences": 4,  # ts, event_id, user_id, event_type
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
@@ -136,6 +143,11 @@ def main() -> None:
         "tpch_q21_sole_returning_supplier",
         "scd2_order_status_history",
         "funnel_view_click_purchase",
+        "doc_train_split",
+        "doc_decontaminate",
+        "doc_salient_terms",
+        "user_event_sequences",
+        "doc_pack_sequential",
     ]
     names = sys.argv[2:] or (HEADLINE + extra)
     # AQE off for the audit only: the adaptive wrapper defers physical

@@ -965,3 +965,45 @@ def doc_pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack.alias("pack_id"),
         (start - pack * 4096).alias("pack_offset"),
     )
+
+
+@query(
+    "source_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, total_chars,
+           ROUND(CAST(total_chars AS DOUBLE)
+                 / (SELECT SUM(total_chars) FROM per_src), 6) AS corpus_share,
+           ROUND((1.0 / (SELECT COUNT(*) FROM per_src))
+                 / (CAST(total_chars AS DOUBLE)
+                    / (SELECT SUM(total_chars) FROM per_src)), 6)
+             AS uniform_multiplier
+    FROM per_src
+    """,
+)
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture weighting: each source's share of the corpus (by
+    chars) and the resampling multiplier that would equalize sources —
+    the mixture-rebalancing step of a pretraining pipeline. One
+    groupBy(source) shuffle; the global totals are windows over the
+    ALREADY-AGGREGATED per-source frame (a handful of rows), so the
+    single-partition window costs nothing at any corpus size — the
+    100 TB never flows through it."""
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars").cast("double") / F.sum("total_chars").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(share, 6).alias("corpus_share"),
+        F.round((F.lit(1.0) / n_sources) / share, 6).alias("uniform_multiplier"),
+    )

@@ -405,3 +405,72 @@ class TestFunnelAndSCD2:
         assert c1[2]["valid_to"] is None and c1[2]["is_current"]
         (c2,) = [r for r in out if r["custkey"] == 2]
         assert c2["is_current"] and c2["valid_from"] == _dt.date(2026, 1, 1)
+
+
+class TestTrainingPipelineOps:
+    """Property checks for the split / packing / sequencing / mixture /
+    decontamination queries (value-parity vs DuckDB is covered by
+    selfcheck; these pin the semantic invariants)."""
+
+    @pytest.fixture(scope="class")
+    def q(self):
+        from employee_analytics_etl_spark.plans import (  # noqa: F401
+            registry,
+            registry_ext,
+            registry_funcs,
+        )
+
+        return registry.QUERIES
+
+    def test_split_total_and_determinism(self, spark, q):
+        a = q["doc_train_split"](spark, SF_SMOKE).collect()
+        b = q["doc_train_split"](spark, SF_SMOKE).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+        splits = {r["split"] for r in a}
+        assert splits <= {"train", "val", "test"}
+        n = len(a)
+        n_train = sum(1 for r in a if r["split"] == "train")
+        assert n_train / n > 0.8  # 93.75% expected; loose bound for small N
+
+    def test_packing_recomputes_exactly(self, spark, q):
+        rows = q["doc_pack_sequential"](spark, SF_SMOKE).collect()
+        by_src = {}
+        for r in sorted(rows, key=lambda r: (r["source"], r["doc_id"])):
+            start = by_src.get(r["source"], 0)
+            assert r["pack_id"] == start // 4096
+            assert r["pack_offset"] == start - (start // 4096) * 4096
+            by_src[r["source"]] = start + r["n_chars"]
+
+    def test_sequences_lengths_conserve_events(self, spark, q):
+        rows = q["user_event_sequences"](spark, SF_SMOKE).collect()
+        ev_n = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+        assert sum(r["n_events"] for r in rows) == ev_n
+        for r in rows:
+            assert len(r["seq"].split(">")) == r["n_events"]
+
+    def test_decontamination_bounds(self, spark, q):
+        for r in q["doc_decontaminate"](spark, SF_SMOKE).collect():
+            assert 0 < r["n_shared"] <= r["n_shingles"]
+            assert 0.0 < r["contamination_ratio"] <= 1.0
+            assert r["doc_id"] % 97 != 0  # eval docs never in the output
+
+    def test_mixture_shares_sum_to_one(self, spark, q):
+        rows = q["source_mixture_weights"](spark, SF_SMOKE).collect()
+        assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
+        n = len(rows)
+        for r in rows:
+            # multiplier * share == uniform target share
+            assert abs(r["uniform_multiplier"] * r["corpus_share"] - 1.0 / n) < 1e-4
+
+    def test_salient_terms_rank_contract(self, spark, q):
+        rows = q["doc_salient_terms"](spark, SF_SMOKE).collect()
+        per_doc = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_rows in per_doc.values():
+            ranks = sorted(r["rank"] for r in doc_rows)
+            assert ranks == list(range(1, len(ranks) + 1))  # dense 1..k, k<=3
+            assert len(ranks) <= 3
+            # ordering: tf desc, then df asc, then term asc
+            key = [(-r["tf"], r["df"], r["term"]) for r in sorted(doc_rows, key=lambda r: r["rank"])]
+            assert key == sorted(key)

@@ -56,15 +56,23 @@ def clean_employees(df: DataFrame, as_of: dt.date) -> DataFrame:
 def clean_reviews(df: DataFrame) -> DataFrame:
     """P3 C3 C4 W1 W3 (reference scripts/transform.py:33-53).
 
-    - keyed dedup on (employee_id, review_date) (W3)
+    - keyed dedup on (employee_id, review_date) (W3) under a TOTAL
+      order (review_id tiebreak): ``dropDuplicates`` keeps an
+      *arbitrary* survivor when duplicate keys carry different
+      rating/reviewer_id, so a recomputation after the pipeline cache
+      is released could emit a different row than the one validated.
+      ``row_number`` over (key, review_id) pins one survivor — the
+      engine-wide determinism invariant (SURVEY.md §7.3 item 3).
     - rating range filter [1.0, 5.0] — nulls dropped, matching pandas (P3)
     - is_self_review bool with null→False parity (C4)
     - performance_category CASE WHEN (C3)
     - latest_rating broadcast to every row of the employee (W1): an
       unbounded window ordered by review_date. Deterministic because
-      the dedup key equals the order key (SURVEY.md §7.3 item 3).
+      the dedup key equals the order key.
     """
     from pyspark.sql.window import Window
+
+    from .dedup import keyed_dedup_first
 
     w = (
         Window.partitionBy("employee_id")
@@ -72,7 +80,7 @@ def clean_reviews(df: DataFrame) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
-        df.dropDuplicates(["employee_id", "review_date"])
+        keyed_dedup_first(df, ["employee_id", "review_date"], ["review_id"])
         .filter(F.col("rating").between(1.0, 5.0))
         .withColumn("is_self_review", null_safe_eq_bool("reviewer_id", "employee_id"))
         .withColumn("performance_category", performance_category("rating"))

@@ -14,6 +14,8 @@ import datetime as dt
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.expr import dsum
+
 
 def dept_summary(
     departments: DataFrame,
@@ -41,7 +43,9 @@ def dept_summary(
         .groupBy("department_id")
         .agg(
             F.count("project_id").alias("active_projects"),
-            F.sum("budget").alias("total_project_budget"),
+            # decimal-exact sum (dsum): raw double F.sum is
+            # accumulation-order-dependent in the last ulps at scale
+            dsum("budget").alias("total_project_budget"),
         )
     )
     dims = departments.select("department_id", "department_name", "location")
@@ -112,7 +116,7 @@ def project_workload(
     """
     workload = assignments_clean.groupBy("project_id").agg(
         F.countDistinct("employee_id").alias("total_team_size"),
-        F.sum("allocation_percentage").alias("total_allocation"),
+        dsum("allocation_percentage").alias("total_allocation"),
         F.round(F.avg("allocation_percentage"), 1).alias("avg_allocation"),
     )
     return (

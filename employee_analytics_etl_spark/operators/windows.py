@@ -186,12 +186,20 @@ def range_join_count(
     equi-join on coarse time buckets (bucket width = lookback), then
     filter the exact range. Each right row lands in exactly one bucket;
     each left row probes two buckets — no duplicate pairs, no
-    BroadcastNestedLoopJoin. Returns ``left`` + ``n_in_range``."""
+    BroadcastNestedLoopJoin. Returns ``left`` + ``n_in_range``.
+
+    Left rows are restored after the bucket-explode by grouping on a
+    per-row id + all left columns, so fully identical duplicate left
+    rows keep their cardinality instead of collapsing into one merged
+    row. ``monotonically_increasing_id`` is stable within the job that
+    evaluates it — the grouping consumes it in the same plan, and the
+    id never escapes the operator."""
     bucket_sec = bucket_sec or lookback_sec
     bus = bucket_sec * US_PER_SEC
     lus = lookback_sec * US_PER_SEC
     l2 = left.select(
         "*",
+        F.monotonically_increasing_id().alias("_rowid"),
         _micros(left_ts).alias("_lt"),
     ).withColumn(
         "_probe_bucket",
@@ -214,8 +222,9 @@ def range_join_count(
         & (F.col("_rt") <= F.col("_lt")),
         "left",
     )
-    group_cols = [c for c in left.columns]
+    group_cols = ["_rowid", *left.columns]
     return (
         joined.groupBy(*group_cols)
         .agg(F.count(F.col("_rk")).cast("long").alias("n_in_range"))
+        .drop("_rowid")
     )

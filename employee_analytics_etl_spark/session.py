@@ -25,7 +25,12 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Default local parallelism: the actual host core count (capped at 32 —
+# beyond that a single local JVM is scheduler-bound), env-overridable.
+# A hardcoded constant would oversubscribe smaller machines.
+DEFAULT_CPUS = int(
+    os.environ.get("SPARK_GRAFT_CPUS", str(min(32, os.cpu_count() or 4)))
+)
 
 
 def build_session(

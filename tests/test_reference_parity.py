@@ -56,10 +56,14 @@ def golden():
 
     rev = pd.read_csv(f"{RAW}/performance_reviews.csv")
     rev["review_date"] = pd.to_datetime(rev["review_date"])
+    # Dedup BEFORE the rating filter (reference transform.py:38-42 order:
+    # a duplicate key whose first row is out-of-range must drop the whole
+    # key's out-of-range survivor, not fall back to a later in-range row).
+    # review_id tiebreak = the Spark pipeline's total order.
+    rev = rev.sort_values(
+        ["employee_id", "review_date", "review_id"]
+    ).drop_duplicates(subset=["employee_id", "review_date"], keep="first")
     rev = rev[(rev["rating"] >= 1.0) & (rev["rating"] <= 5.0)]
-    rev = rev.sort_values(["employee_id", "review_date"]).drop_duplicates(
-        subset=["employee_id", "review_date"]
-    )
 
     proj = pd.read_csv(f"{RAW}/projects.csv")
     proj["start_date"] = pd.to_datetime(proj["start_date"])

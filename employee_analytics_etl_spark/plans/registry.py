@@ -1347,16 +1347,90 @@ def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_percentile is sketch-based (t-digest-like): results are
 # engine-specific by design → rows-only check; the exact
 # median_price_by_status query is the oracle-checked twin.
-@query("approx_quantile_price")
+@query(
+    "approx_quantile_price",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p50_exact,
+           MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                    THEN o_totalprice END) AS p95_exact,
+           TRUE AS p50_in_bounds,
+           TRUE AS p95_in_bounds
+    FROM ranked GROUP BY o_orderstatus
+    """,
+)
 def approx_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), 10000)
-        .alias("p50_p95")
-    ).select(
+    """Bounds-style oracle for ``approx_percentile`` (KLL-ish sketch):
+    the output carries the EXACT rank-based quantiles (value at 1-based
+    rank ``ceil(p*n)`` — an actual data value, so DuckDB reproduces it
+    bit-for-bit with the same window expression) plus booleans
+    asserting the sketch value lands within the documented rank-error
+    envelope (±n/accuracy ranks, widened by 1 rank for boundary
+    conventions). DuckDB verifies the exact quantiles and expects the
+    bounds checks to be TRUE — a hash mismatch means either the exact
+    values diverged or the sketch violated its error contract."""
+    acc = 10_000
+    eps = 1.0 / acc
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+
+    def pick(rank_expr):
+        return F.max(F.when(F.col("rn") == rank_expr, F.col("o_totalprice")))
+
+    def rk(p):
+        return F.ceil(F.lit(p) * F.col("n"))
+
+    def rk_lo(p):
+        return F.greatest(
+            F.lit(1).cast("long"),
+            F.floor((F.lit(p) - F.lit(eps)) * F.col("n")) - 1,
+        )
+
+    def rk_hi(p):
+        return F.least(
+            F.col("n").cast("long"),
+            F.ceil((F.lit(p) + F.lit(eps)) * F.col("n")) + 1,
+        )
+
+    exact = ranked.groupBy("o_orderstatus").agg(
+        pick(rk(0.5)).alias("p50_exact"),
+        pick(rk(0.95)).alias("p95_exact"),
+        pick(rk_lo(0.5)).alias("_p50_lo"),
+        pick(rk_hi(0.5)).alias("_p50_hi"),
+        pick(rk_lo(0.95)).alias("_p95_lo"),
+        pick(rk_hi(0.95)).alias("_p95_hi"),
+    )
+    approx = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.95)), acc
+            ).alias("pp")
+        )
+        .select(
+            "o_orderstatus",
+            F.col("pp")[0].alias("_a50"),
+            F.col("pp")[1].alias("_a95"),
+        )
+    )
+    return exact.join(F.broadcast(approx), "o_orderstatus").select(
         "o_orderstatus",
-        F.col("p50_p95")[0].alias("p50"),
-        F.col("p50_p95")[1].alias("p95"),
+        "p50_exact",
+        "p95_exact",
+        F.col("_a50").between(F.col("_p50_lo"), F.col("_p50_hi")).alias("p50_in_bounds"),
+        F.col("_a95").between(F.col("_p95_lo"), F.col("_p95_hi")).alias("p95_in_bounds"),
     )
 
 

@@ -560,20 +560,78 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Seeded sampling is deterministic WITHIN Spark (hash-based Bernoulli
-# per partition) but not reproducible in DuckDB → rows-only check;
-# the statistical contract (per-stratum fractions) is pytest-gated.
-@query("stratified_sample_documents")
-def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling by language: keep 50% of 'en' docs and 10%
-    of everything else (seeded sampleBy — the training-data rebalancing
-    primitive). Runs entirely scan-side: no shuffle, each partition
-    filters by a seeded hash."""
+def stratified_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling primitive: keep 50% of 'en' docs and 10% of
+    everything else (seeded ``sampleBy`` — the training-data
+    rebalancing primitive). Runs entirely scan-side: no shuffle, each
+    partition filters by a seeded hash. The stratum domain comes from
+    the STATIC language inventory (``LANG_STOPWORDS`` + 'und') — no
+    ``distinct().collect()`` driver round-trip, so building the plan
+    costs zero Spark jobs at any scale."""
     docs = TX.with_lang_id(t(spark, sf_dir, "documents"), "text")
-    langs = [r["lang_pred"] for r in docs.select("lang_pred").distinct().collect()]
+    langs = [*sorted(TX.LANG_STOPWORDS), "und"]
     fractions = {l: (0.5 if l == "en" else 0.1) for l in langs}
     return docs.sampleBy("lang_pred", fractions, seed=42).select(
         "doc_id", "lang_pred"
+    )
+
+
+# Seeded sampling is deterministic WITHIN Spark (hash-based Bernoulli
+# per partition) but not reproducible in DuckDB, so the oracle is
+# bounds-style: DuckDB verifies the exact per-stratum population
+# counts, and Spark self-asserts the realized sample count within a
+# 5σ binomial envelope (+1 absolute slack for tiny strata).
+@query(
+    "stratified_sample_documents",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_count_sql('en')} AS sw_en,
+             {_lang_count_sql('es')} AS sw_es,
+             {_lang_count_sql('de')} AS sw_de,
+             {_lang_count_sql('fr')} AS sw_fr
+      FROM documents
+    ),
+    lang AS (
+      SELECT doc_id,
+        CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) <= 0 THEN 'und'
+             WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+             WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+             WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+             ELSE 'fr' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_total,
+           TRUE AS sample_in_bounds
+    FROM lang GROUP BY lang_pred
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-style oracle wrapper around :func:`stratified_sample_rows`:
+    per stratum, the exact population count (DuckDB-verified) plus a
+    boolean asserting |n_sampled − f·n| ≤ 5·sqrt(f·(1−f)·n) + 1 — the
+    5σ binomial envelope for seeded Bernoulli sampling."""
+    docs = TX.with_lang_id(t(spark, sf_dir, "documents"), "text")
+    sampled = stratified_sample_rows(spark, sf_dir)
+    frac = F.when(F.col("lang_pred") == "en", F.lit(0.5)).otherwise(F.lit(0.1))
+    n_tot = docs.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    n_smp = sampled.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_sampled")
+    )
+    return (
+        n_tot.join(F.broadcast(n_smp), "lang_pred", "left")
+        .withColumn("_n_sampled", F.coalesce("_n_sampled", F.lit(0)))
+        .select(
+            "lang_pred",
+            "n_total",
+            (
+                F.abs(F.col("_n_sampled") - frac * F.col("n_total"))
+                <= F.lit(5.0) * F.sqrt(frac * (F.lit(1.0) - frac) * F.col("n_total"))
+                + F.lit(1.0)
+            ).alias("sample_in_bounds"),
+        )
     )
 
 

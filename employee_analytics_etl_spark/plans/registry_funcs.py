@@ -191,15 +191,38 @@ def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate distinct (HLL) is engine-specific by construction — no
 # cross-engine oracle; the exact twin column is the in-query ground
 # truth and pytest asserts the approx is within HLL error of it.
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_in_bounds
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to its exact twin —
     the default distinct-count path at 100 TB (no exact-distinct
-    expand/shuffle)."""
+    expand/shuffle). Bounds-style oracle: DuckDB verifies the exact
+    count; the sketch estimate is asserted within 4× the configured
+    relative standard deviation (rsd=0.05 → ±20%, a ~4σ envelope the
+    HLL++ bias correction keeps with overwhelming margin)."""
+    rsd = 0.05
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey", rsd).alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("_approx") - F.col("exact_parts"))
+                <= F.lit(4 * rsd) * F.col("exact_parts")
+            ).alias("approx_in_bounds"),
+        )
     )
 
 

@@ -46,10 +46,7 @@ class TestContract:
         # everything except declared non-SQL ops has an oracle
         assert set(q) - set(o) == {
             "knn_lsh_hyperplane",
-            "approx_distinct_parts",
-            "approx_quantile_price",
             "media_feature_stats",
-            "stratified_sample_documents",
         }
 
     @pytest.mark.parametrize("name", SAMPLE)

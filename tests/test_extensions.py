@@ -265,7 +265,7 @@ class TestStratifiedSample:
         ).groupBy("lang_pred").count().collect()
         totals = {r["lang_pred"]: r["count"] for r in full}
         sampled = (
-            RX.stratified_sample_documents(spark, SF_SMOKE)
+            RX.stratified_sample_rows(spark, SF_SMOKE)
             .groupBy("lang_pred").count().collect()
         )
         got = {r["lang_pred"]: r["count"] for r in sampled}
@@ -279,9 +279,17 @@ class TestStratifiedSample:
         from employee_analytics_etl_spark.plans import registry_ext as RX
         from tests.conftest import SF_SMOKE
 
-        a = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
-        b = sorted(r["doc_id"] for r in RX.stratified_sample_documents(spark, SF_SMOKE).collect())
+        a = sorted(r["doc_id"] for r in RX.stratified_sample_rows(spark, SF_SMOKE).collect())
+        b = sorted(r["doc_id"] for r in RX.stratified_sample_rows(spark, SF_SMOKE).collect())
         assert a == b and len(a) > 0
+
+    def test_bounds_query_all_in_bounds(self, spark):
+        from employee_analytics_etl_spark.plans import registry_ext as RX
+        from tests.conftest import SF_SMOKE
+
+        rows = RX.stratified_sample_documents(spark, SF_SMOKE).collect()
+        assert len(rows) > 0
+        assert all(r["sample_in_bounds"] for r in rows)
 
 
 class TestRepetitionStats:

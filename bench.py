@@ -43,6 +43,13 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "knn_bruteforce_cosine",
     "knn_ivf_cosine",
+    # training-data pipeline tier (added r2 so perf regressions in the
+    # newest family are visible round-over-round)
+    "dedup_simhash",
+    "dedup_clusters",
+    "doc_decontaminate",
+    "doc_pack_sequential",
+    "user_event_sequences",
 ]
 
 

@@ -248,41 +248,68 @@ def simhash_signatures(
     ±1 contributions of each token's md5-derived integer; bit j is set
     iff the sum is positive. Output: (id, simhash).
 
-    Fanout is tokens × bits rows through one groupBy chain — heavy but
-    fully distributed; for production use a Pandas UDF computing all
-    bits per batch in numpy (same signature, ~bits× less shuffle)."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
-            ).alias("tok"),
+    Computed in ONE Arrow ``pandas_udf`` kernel — all bit votes for a
+    whole batch of documents in a single numpy reduction. ZERO
+    shuffles: tokenization (``regexp_extract_all`` + ``array_distinct``)
+    stays JVM-side, the token array rides the Arrow batch into numpy,
+    and the signature comes back as a long. The previous pure-Column
+    formulation exploded tokens × bits rows through two groupBys (~32×
+    row inflation) — at 100 TB that is a multi-terabyte shuffle for
+    what is inherently a per-row computation.
+
+    Hash parity: token hash = first 8 hex chars of md5, as an int —
+    identical to ``conv(substr(md5(tok),1,8),16,10)``, so the DuckDB
+    oracle reproduces signatures bit-for-bit. Docs with zero tokens
+    are absent from the output (explode parity with the old shape)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # NB: no inline type hints — ``from __future__ import annotations``
+    # stringifies them, which pandas_udf's hint parser rejects; real
+    # annotation objects are attached below before wrapping.
+    def _simhash_kernel(tok_arrays):
+        import hashlib
+
+        n = len(tok_arrays)
+        out = np.zeros(n, dtype=np.int64)
+        lens = np.fromiter((len(t) for t in tok_arrays), dtype=np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.Series(out)
+        flat = np.fromiter(
+            (
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                for toks in tok_arrays
+                for tok in toks
+            ),
+            dtype=np.int64,
+            count=total,
         )
-        .distinct()
-        .withColumn(
-            "h", F.expr("CAST(conv(substr(md5(tok),1,8),16,10) AS BIGINT)")
+        # (total, bits) ±1 contributions, summed per document slice
+        contribs = (((flat[:, None] >> np.arange(bits)) & 1) * 2 - 1).astype(
+            np.int64
         )
-    )
-    bits_df = toks.select(
-        "id",
-        "h",
-        F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("j"),
-    ).withColumn(
-        # shiftright/shiftleft DSL helpers require a literal shift —
-        # use the SQL expression form for a column shift amount
-        "contrib",
-        F.expr("(shiftright(h, j) & 1) * 2 - 1"),
-    )
-    bit_votes = bits_df.groupBy("id", "j").agg(F.sum("contrib").alias("vote"))
-    return (
-        bit_votes.withColumn(
-            "bit_val",
-            F.when(F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)"))
-            .otherwise(F.lit(0).cast("long")),
-        )
-        .groupBy("id")
-        .agg(F.sum("bit_val").cast("long").alias("simhash"))
-    )
+        bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=bounds[1:])
+        nz = lens > 0
+        # reduceat needs strictly increasing starts — empty docs would
+        # alias their successor's first row, so slice them out (their
+        # signature is 0 and they are filtered upstream anyway)
+        votes = np.add.reduceat(contribs, bounds[:-1][nz], axis=0)
+        out[nz] = ((votes > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
+        return pd.Series(out)
+
+    _simhash_kernel.__annotations__ = {"tok_arrays": pd.Series, "return": pd.Series}
+    _simhash = F.pandas_udf(_simhash_kernel, T.LongType())
+
+    toks_df = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+        ).alias("_toks"),
+    ).filter(F.size("_toks") > 0)
+    return toks_df.select("id", _simhash("_toks").alias("simhash"))
 
 
 def connected_components(
@@ -322,24 +349,26 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # Carry a per-row "label improved" flag through the update so
+        # convergence detection is an agg on the SAME pass: the lazy
+        # localCheckpoint materializes on the agg action below — ONE
+        # job per iteration instead of update-job + compare-join-job.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
+                ).alias("new_cluster_id"),
+                (
+                    F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")
+                ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .withColumnRenamed("new_cluster_id", "cluster_id")
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        row = new_labels.agg(F.max("_changed").alias("any_changed")).first()
+        labels = new_labels.drop("_changed")
+        if not (row and row["any_changed"]):
             break
     return labels

@@ -13,8 +13,10 @@
 - S9 (reference scripts/reporting.py:120-123): text-report sink →
   ``write_text_report`` (plain driver-side write).
 
-No JDBC driver jar ships in this container, so ``write_jdbc`` is
-covered by unit tests only up to option construction.
+``write_jdbc`` is exercised END-TO-END in tests against embedded
+Apache Derby (the JDBC driver Spark ships for its Hive metastore):
+create, truncate+reload, read-back diff, and the S7 pre-load
+statement hook (tests/test_jdbc_roundtrip.py).
 """
 
 from __future__ import annotations
@@ -61,6 +63,7 @@ def jdbc_write_options(
     batchsize: int = 1000,
     truncate: bool = True,
     session_init: str | None = None,
+    driver: str | None = None,
 ) -> dict[str, str]:
     """Build the option dict for a truncate+insert JDBC load
     (reference scripts/load.py:15-47: TRUNCATE + batched executemany
@@ -68,6 +71,8 @@ def jdbc_write_options(
 
     ``session_init`` maps the reference's ``SET FOREIGN_KEY_CHECKS=0``
     (reference scripts/main.py:159) to JDBC ``sessionInitStatement``.
+    ``driver`` pins the JDBC driver class (e.g. embedded Derby in the
+    test round-trip; MySQL Connector/J against the reference's target).
     """
     opts = {
         "url": url,
@@ -79,6 +84,8 @@ def jdbc_write_options(
     }
     if session_init:
         opts["sessionInitStatement"] = session_init
+    if driver:
+        opts["driver"] = driver
     return opts
 
 
@@ -86,6 +93,34 @@ def write_jdbc(df: DataFrame, options: dict[str, str], mode: str = "overwrite") 
     """JDBC sink. mode=overwrite + truncate=true reproduces the
     reference's TRUNCATE-then-INSERT contract (reference scripts/load.py:35-43)."""
     df.write.format("jdbc").options(**options).mode(mode).save()
+
+
+def exec_jdbc_statement(
+    spark, url: str, sql: str, driver: str | None = None
+) -> None:
+    """Execute one SQL statement over a direct JDBC connection on the
+    driver — the S7 slot (reference scripts/main.py:159 ``SET
+    FOREIGN_KEY_CHECKS=0`` before the load, and its re-enable after).
+
+    Spark's ``sessionInitStatement`` option only runs on READ
+    connections (JDBCRDD), not on writer connections — verified by a
+    side-effect probe — so session-level toggles that must precede a
+    LOAD go through this explicit hook instead. Uses the JVM's
+    DriverManager via the active gateway; no extra Python DB driver
+    needed."""
+    jvm = spark._jvm
+    if driver:
+        # ensure the driver class is registered with DriverManager
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def write_text_report(text: str, path: str) -> None:

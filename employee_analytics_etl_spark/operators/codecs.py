@@ -1,0 +1,119 @@
+"""Pure-Python image codecs: PPM (P6) and uncompressed 24-bit BMP.
+
+The container ships no PIL/ffmpeg, but these two formats are simple
+enough to decode with numpy alone — which un-stubs the multimodal
+``decode="real"`` path with true pixel math instead of byte statistics
+(the remaining formats still raise at the marked codec call site).
+
+All functions are plain ``bytes → numpy`` (and back) so they are unit-
+testable without Spark and ride inside Arrow ``mapInPandas`` kernels
+unchanged. Arrays are HxWx3 uint8 RGB.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- PPM (P6)
+
+def _read_ppm_tokens(data: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Read ``n_tokens`` whitespace-separated ASCII integers after the
+    magic, skipping ``#`` comments; returns (values, offset just past
+    the single whitespace byte that terminates the last token)."""
+    vals: list[int] = []
+    i = 2  # past 'P6'
+    while len(vals) < n_tokens:
+        # skip whitespace and comments
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if i < len(data) and data[i : i + 1] == b"#":
+            while i < len(data) and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        vals.append(int(data[i:j]))
+        i = j
+    return vals, i + 1  # exactly one whitespace byte after maxval
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if data[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    (w, h, maxval), off = _read_ppm_tokens(data, 3)
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=off)
+    return px.reshape(h, w, 3).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(
+        arr, dtype=np.uint8
+    ).tobytes()
+
+
+# ------------------------------------------------------- BMP (24bpp BI_RGB)
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    (bpp,) = struct.unpack_from("<H", data, 28)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * h, offset=pix_off
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    assert c == 3
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = body.tobytes()
+    header = struct.pack(
+        "<2sIHHI" "IiiHHIIiiII",
+        b"BM", 54 + len(pix), 0, 0, 54,
+        40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0,
+    )
+    return header + pix
+
+
+# ----------------------------------------------------------------- helpers
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Dispatch on magic bytes; raises at the codec call site for
+    formats this container cannot decode (JPEG/PNG need real codecs)."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise NotImplementedError(
+        "only PPM(P6)/BMP decode ships in-container; JPEG/PNG need PIL"
+    )
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width) — deterministic,
+    pure index math (what a real resize kernel does before filtering)."""
+    h, w, _ = arr.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]

@@ -4,13 +4,16 @@ Treats image/audio/video payloads as opaque ``binary`` columns with a
 typed metadata struct, and implements decode / feature-extraction /
 resize / frame-sampling as Arrow-batched ``mapInPandas`` operators.
 
-The container ships no image/audio codecs, so the actual byte→pixels
-decode is STUBBED: ``decode="fake"`` (default) derives deterministic
-features from the bytes themselves (real Spark plumbing — schema,
-batching, partitioning — with a fake kernel); ``decode="strict"``
-raises NotImplementedError where a real codec (PIL/ffmpeg) would be
-called. The Spark-side shape is production-true: swap `_fake_decode`
-for a real decoder and nothing else changes.
+Decode modes:
+- ``decode="fake"`` (default): deterministic features from the bytes
+  themselves — real Spark plumbing (schema, batching, partitioning)
+  with a stand-in kernel; works for any payload.
+- ``decode="real"``: TRUE pixel decode for PPM(P6)/BMP payloads via
+  the in-repo pure-Python codecs (``operators.codecs``) — actual
+  pixel statistics and nearest-neighbor resize. Formats needing a
+  real codec library (JPEG/PNG/audio) raise at the call site.
+- ``decode="strict"``: raises NotImplementedError where PIL/ffmpeg
+  would plug in.
 
 Schema contract:
     media(media_id long, kind string, payload binary,
@@ -75,6 +78,9 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     batches; one python worker per partition — scales with executors).
 
     decode="fake": deterministic byte statistics (no codec needed).
+    decode="real": PPM/BMP pixel decode — feature = [width, height,
+    mean_R, mean_G, mean_B]; mean_byte = mean pixel value. Image rows
+    only (non-image kinds keep the byte-stats feature).
     decode="strict": NotImplementedError at the codec call site —
     marks exactly where PIL/soundfile/ffmpeg plug in.
     """
@@ -84,17 +90,28 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
         for pdf in batches:
             feats, means, sizes = [], [], []
-            for payload in pdf["payload"]:
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
                 if decode == "strict":
                     raise NotImplementedError(
                         "real media decode requires PIL/soundfile/ffmpeg "
                         "(not in this container) — use decode='fake'"
                     )
                 b = bytes(payload) if payload is not None else b""
-                f = _fake_decode(b)
-                feats.append(f)
-                sizes.append(len(b))
-                means.append(f[1])
+                if decode == "real" and kind == "image":
+                    from .codecs import decode_image
+
+                    px = decode_image(b)
+                    h, w, _ = px.shape
+                    cm = px.reshape(-1, 3).mean(axis=0)
+                    f = [float(w), float(h), *map(float, cm)]
+                    feats.append(f)
+                    sizes.append(len(b))
+                    means.append(float(px.mean()))
+                else:
+                    f = _fake_decode(b)
+                    feats.append(f)
+                    sizes.append(len(b))
+                    means.append(f[1])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -109,9 +126,13 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
-    """'Resize' image payloads. Fake kernel: truncate/pad bytes to
-    width*height (keeps the byte-budget contract a real resize would
-    have); strict mode marks the real-codec call site."""
+    """Resize image payloads.
+
+    decode="real": PPM/BMP decode → nearest-neighbor resample → PPM
+    re-encode (true pixel resize, no dependencies).
+    decode="fake": truncate/pad bytes to width*height (keeps the
+    byte-budget contract a real resize would have).
+    decode="strict": marks the real-codec call site."""
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -123,7 +144,12 @@ def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") 
                 if decode == "strict":
                     raise NotImplementedError("real resize requires PIL")
                 b = bytes(payload) if payload is not None else b""
-                out.append(b[:target].ljust(target, b"\0"))
+                if decode == "real":
+                    from .codecs import decode_image, encode_ppm, resize_nearest
+
+                    out.append(encode_ppm(resize_nearest(decode_image(b), width, height)))
+                else:
+                    out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

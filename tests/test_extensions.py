@@ -234,6 +234,74 @@ class TestMultimodal:
         assert all(r["frame_idx"] % 2 == 0 for r in out)
 
 
+class TestRealImageDecode:
+    """decode='real': true pixel math on in-repo PPM/BMP codecs."""
+
+    @staticmethod
+    def _gradient(w, h):
+        import numpy as np
+
+        # deterministic RGB gradient: R=x, G=y, B=(x+y)%256
+        x = np.arange(w, dtype=np.uint8)[None, :].repeat(h, 0)
+        y = np.arange(h, dtype=np.uint8)[:, None].repeat(w, 1)
+        return np.stack([x, y, (x.astype(int) + y) % 256], axis=-1).astype("uint8")
+
+    def test_codec_roundtrips(self):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = self._gradient(13, 7)  # odd width exercises BMP row padding
+        assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+        assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+        # comment + whitespace tolerant PPM header
+        hdr = b"P6\n# comment\n13 7\n255\n" + img.tobytes()
+        assert np.array_equal(C.decode_ppm(hdr), img)
+
+    def test_extract_features_real_pixels(self, spark):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = self._gradient(16, 8)
+        rows = [
+            (1, "image", bytearray(C.encode_ppm(img)), None),
+            (2, "image", bytearray(C.encode_bmp(img)), None),
+        ]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        got = {r["media_id"]: r for r in MM.extract_features(df, decode="real").collect()}
+        exp_means = img.reshape(-1, 3).mean(axis=0)
+        for mid in (1, 2):
+            f = got[mid]["feature"]
+            assert f[0] == 16.0 and f[1] == 8.0
+            assert np.allclose(f[2:], exp_means)
+            assert abs(got[mid]["mean_byte"] - img.mean()) < 1e-9
+
+    def test_resize_real_picks_exact_pixels(self, spark):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = self._gradient(16, 8)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(C.encode_ppm(img)), None)], MM.MEDIA_SCHEMA
+        )
+        out = MM.resize_images(df, 4, 4, decode="real").collect()
+        assert len(out) == 1
+        resized = C.decode_ppm(bytes(out[0]["payload"]))
+        # nearest-neighbor: row r maps to source row (r*8)//4, col c to (c*16)//4
+        exp = img[(np.arange(4) * 8) // 4][:, (np.arange(4) * 16) // 4]
+        assert np.array_equal(resized, exp)
+
+    def test_real_decode_raises_on_unknown_format(self, spark):
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(b"\x89PNG\r\n"), None)], MM.MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception) as ei:
+            MM.extract_features(df, decode="real").collect()
+        assert "PPM" in str(ei.value) or "NotImplemented" in str(ei.value)
+
+
 class TestConnectedComponents:
     def test_chain_closure_and_singleton(self, spark):
         from pyspark.sql import Row

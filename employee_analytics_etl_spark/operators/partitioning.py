@@ -80,6 +80,27 @@ def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFr
     return df.repartition(num_partitions, F.col(key))
 
 
+def scan_file_count(df: DataFrame) -> int:
+    """Execute ``df`` and return how many files its file scans ACTUALLY
+    read (the scan's runtime ``numFiles`` metric) — the ground-truth
+    proof of partition pruning. ``df.inputFiles()`` is useless for
+    this: it lists the relation's files before pruning.
+
+    Returns -1 if no file-scan leaf exposes the metric."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.executedPlan()
+    leaves = plan.collectLeaves()
+    total, found = 0, False
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numFiles"):
+            total += m.apply("numFiles").value()
+            found = True
+    return total if found else -1
+
+
 def explain_has_exchange(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle Exchange — test
     helper for asserting shuffle-free bucketed joins."""

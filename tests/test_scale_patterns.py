@@ -78,6 +78,31 @@ class TestPartitionedWrite:
         assert "PartitionFilters" in plan
         assert back.count() == orders.filter(F.col("o_orderstatus") == "O").count()
 
+    def test_date_range_pruning_reads_only_in_range_files(self, spark, tmp_path):
+        """Date-partitioned facts + a date-RANGED filter: the scan must
+        touch only the in-range partition directories (inputFiles), and
+        the range must appear as a PartitionFilter."""
+        events = read_parquet_table(spark, SF_SMOKE, "events").withColumn(
+            "event_date", F.to_date(F.col("ts").cast("timestamp"))
+        )
+        out = str(tmp_path / "events_by_date")
+        write_parquet(events, out, partition_by=["event_date"])
+        back = spark.read.parquet(out)
+        n_parts = back.select("event_date").distinct().count()
+        ranged = back.filter(
+            F.col("event_date").between("2024-01-10", "2024-01-12")
+        )
+        plan = ranged._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "2024-01-10" in plan
+        # runtime proof: the scan's numFiles metric (inputFiles() lists
+        # the relation pre-pruning and is NOT evidence)
+        n_read = P.scan_file_count(ranged)
+        assert 0 < n_read < n_parts, (n_read, n_parts)
+        expect = events.filter(
+            F.col("event_date").between("2024-01-10", "2024-01-12")
+        ).count()
+        assert ranged.count() == expect > 0
+
 
 class TestStatefulStreaming:
     def test_user_profile_stream_matches_batch(self, spark):

@@ -108,6 +108,58 @@ def audit(name: str, plan: str, codegen_plan: str) -> list[str]:
     return problems
 
 
+def audit_partition_pruning(spark, sf_dir: str) -> list[str]:
+    """Prove date-partition pruning end-to-end: write the events fact
+    ``partitionBy(event_date)``, run a date-RANGED query, and assert
+    (a) the range predicate lands in ``PartitionFilters`` (scan-time
+    pruning, not a post-filter) and (b) the scan's input files are only
+    the in-range partitions — the layout lever that turns a 100 TB
+    full scan into a few-TB one."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from employee_analytics_etl_spark.sources.readers import read_parquet_table
+    from employee_analytics_etl_spark.sources.sinks import write_parquet
+
+    problems: list[str] = []
+    out = tempfile.mkdtemp(prefix="audit_events_by_date_")
+    try:
+        events = read_parquet_table(spark, sf_dir, "events").withColumn(
+            "event_date", F.to_date(F.col("ts").cast("timestamp"))
+        )
+        write_parquet(events, out, partition_by=["event_date"])
+        back = spark.read.parquet(out)
+        n_parts_total = len(
+            [f for f in back.select("event_date").distinct().collect()]
+        )
+        lo, hi = "2024-01-10", "2024-01-12"
+        ranged = back.filter(F.col("event_date").between(lo, hi))
+        plan = ranged._jdf.queryExecution().executedPlan().toString()
+        if "PartitionFilters" not in plan or lo not in plan:
+            problems.append("date range not applied as PartitionFilters")
+        # runtime proof via the scan's numFiles metric — inputFiles()
+        # lists the relation pre-pruning and would always show all
+        from employee_analytics_etl_spark.operators.partitioning import (
+            scan_file_count,
+        )
+
+        n_files = scan_file_count(ranged)
+        if not (0 < n_files < n_parts_total):
+            problems.append(
+                f"pruning ineffective: {n_files} files read of "
+                f"{n_parts_total} partitions"
+            )
+        # pruned scan must still return exactly the in-range rows
+        expect = events.filter(F.col("event_date").between(lo, hi)).count()
+        if ranged.count() != expect:
+            problems.append("pruned scan row count diverges from full scan")
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return problems
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from bench import HEADLINE
@@ -171,7 +223,16 @@ def main() -> None:
                 print(f"      - {p}")
         else:
             print(f"OK    {name}")
-    print(f"\n{len(names) - failed}/{len(names)} plans clean")
+    # layout-level audit (not a registry query): date-partition pruning
+    pruning_problems = audit_partition_pruning(spark, sf_dir)
+    if pruning_problems:
+        failed += 1
+        print("FAIL  partition_pruning_proof")
+        for p in pruning_problems:
+            print(f"      - {p}")
+    else:
+        print("OK    partition_pruning_proof")
+    print(f"\n{len(names) + 1 - failed}/{len(names) + 1} plans clean")
     sys.exit(1 if failed else 0)
 
 

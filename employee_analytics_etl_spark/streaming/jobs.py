@@ -35,22 +35,33 @@ def events_schema_nanos():
     )
 
 
-def build_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events table with event-time ts.
 
     nanos→timestamp conversion mirrors the batch reader so stream and
-    batch see identical instants.
+    batch see identical instants. ``max_files_per_trigger`` forces
+    multi-micro-batch execution (admission control also applies under
+    availableNow) — the late-data tests use it to make the watermark
+    advance BETWEEN batches, the condition under which late rows are
+    actually dropped.
     """
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    raw = (
+    reader = (
         spark.readStream.format("parquet")
         .schema(events_schema_nanos())
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        .option("pathGlobFilter", glob)
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.load(sf_dir)
     return raw.withColumn(
         "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
     )

@@ -139,3 +139,64 @@ class TestStatefulStreaming:
             assert g["n_events"] == w["n_events"]
             assert abs(g["total_value"] - w["total_value"]) < 1e-6
             assert g["last_ts_micros"] == w["last_us"]
+
+
+class TestSkewHardening:
+    """Hot-key hardening: salted aggregation on skewed input stays
+    bit-equal to the direct plan, and AQE's skew-join splitter actually
+    fires on a skewed sort-merge join (the 100 TB defense in depth)."""
+
+    @staticmethod
+    def _skewed_facts(spark, n=200_000, hot_frac=10):
+        # hot_frac/10 of rows share one key; values deterministic
+        return spark.range(n).select(
+            F.when(F.col("id") % 10 < hot_frac - 1, F.lit("HOT"))
+            .otherwise((F.col("id") % 97).cast("string"))
+            .alias("k"),
+            (F.col("id") % 1000 / 10.0).alias("v"),
+        )
+
+    def test_salted_sum_on_hot_key_matches_direct(self, spark):
+        df = self._skewed_facts(spark)
+        salted = P.salted_groupby_sum(df, "k", "v", salt_buckets=16)
+        direct = df.groupBy("k").agg(
+            F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("sum_v"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        a = sorted(map(tuple, salted.collect()))
+        b = sorted(map(tuple, direct.collect()))
+        assert a == b
+
+    def test_aqe_splits_skewed_join(self, spark):
+        confs = {
+            # no broadcast: force a shuffle join so skew matters
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # sensitize the splitter to fixture-sized partitions
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        }
+        saved = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            # padding makes the hot partition's bytes cross the threshold
+            left = self._skewed_facts(spark, n=300_000).withColumn(
+                "pad", F.expr("repeat('x', 64)")
+            )
+            right = spark.createDataFrame(
+                [("HOT",)] + [(str(i),) for i in range(97)], "k STRING"
+            ).withColumn("r_pad", F.expr("repeat('y', 8)"))
+            joined = left.join(right, "k")
+            # execute THIS dataframe (count() would spawn a separate
+            # query execution and leave this plan non-final under AQE)
+            assert len(joined.collect()) == 300_000
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            # AQE marks split skewed partitions in the final plan
+            assert "skew=true" in plan, plan[:800]
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)

@@ -161,3 +161,89 @@ class TestStreamStatic:
         key = lambda rows: sorted((r["segment"], r["n_events"]) for r in rows)
         assert key(got) == key(want)
         assert sum(r["n_events"] for r in got) == batch_events.count()
+
+
+class TestLateDataDrop:
+    """availableNow multi-batch run where the watermark advances
+    between micro-batches: rows arriving later than the watermark must
+    be DROPPED from finalized windows (the state-bounding contract)."""
+
+    def test_late_rows_beyond_watermark_are_dropped(
+        self, spark, tmp_path_factory
+    ):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path_factory.mktemp("late_events"))
+
+        def ns(hh, mm):
+            import datetime as dt
+
+            t = dt.datetime(2024, 1, 1, hh, mm, tzinfo=dt.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        # The watermark advances one batch AFTER the advancing row's
+        # batch commits (progress reports are post-batch), so the late
+        # row must arrive two batches after the advancing row to be
+        # filtered. The advancing row must also push the watermark
+        # STRICTLY past the window end (drop predicate: end < wm).
+        # batch 1: two on-time rows in the 10:00 window + a 13:30 row
+        # that will advance the watermark to 11:30
+        write("a.parquet", [(1, ns(10, 0)), (2, ns(10, 30)), (3, ns(13, 30))], 1_000)
+        # batch 2: on-time filler — after this batch the 11:30
+        # watermark is in effect
+        write("b.parquet", [(5, ns(13, 45))], 2_000)
+        # batch 3: a LATE row at 10:15 (window end 11:00 < wm 11:30 →
+        # DROPPED) next to an on-time 13:50 row that proves this file
+        # was processed
+        write("c.parquet", [(4, ns(10, 15)), (7, ns(13, 50))], 3_000)
+        # batch 4: 16:30 row pushes the watermark to 14:30 so the 13:00
+        # window finalizes and is emitted in append mode
+        write("d.parquet", [(6, ns(16, 30))], 4_000)
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            run_to_memory,
+            tumbling_counts_stream,
+        )
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        got = run_to_memory(
+            tumbling_counts_stream(stream, "1 hour", "2 hours"),
+            "t_late_drop",
+            spark,
+            output_mode="append",
+        ).collect()
+        by_window = {r["window_start_sec"]: r["n_events"] for r in got}
+
+        h10 = int(__import__("datetime").datetime(
+            2024, 1, 1, 10, tzinfo=__import__("datetime").timezone.utc
+        ).timestamp())
+        h13 = h10 + 3 * 3600
+        h16 = h10 + 6 * 3600
+        # 10:00 window: the late 10:15 row (event 4) was dropped
+        assert by_window[h10] == 2
+        # 13:00 window: 13:30 + 13:45 + 13:50 — the late row's file WAS
+        # processed (13:50 counted), only the late ROW was dropped
+        assert by_window[h13] == 3
+        # 16:00 window not yet finalized (watermark 14:00) → absent
+        assert h16 not in by_window

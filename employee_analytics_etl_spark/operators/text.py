@@ -191,3 +191,42 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("_tk", "_bg")
     )
+
+
+# PII patterns — deliberately backslash-free (character classes only)
+# so the exact same strings drive Spark's Java regex engine and the
+# DuckDB oracle's RE2 without escaping divergence.
+PII_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}",
+    # dashes only (dots would overlap the IPv4 pattern and make
+    # redaction order-dependent)
+    "phone": "[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}",
+}
+PII_TOKENS = {"email": "<EMAIL>", "phone": "<PHONE>", "ipv4": "<IP>"}
+
+
+def with_pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts + flag — scan-side regexp exprs,
+    zero shuffle (the standard pre-redaction audit pass)."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)")),
+        )
+    return out.withColumn(
+        "pii_flagged",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0,
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every PII match with a typed placeholder token. The
+    three patterns are non-overlapping by construction, so redaction
+    order cannot change the result. Spark ``regexp_replace`` is global
+    (all occurrences), matching the oracle's 'g' flag."""
+    redacted = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, PII_TOKENS[kind])
+    return df.withColumn(f"{text_col}_redacted", redacted)

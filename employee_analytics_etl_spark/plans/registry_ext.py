@@ -1065,3 +1065,67 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("corpus_share"),
         F.round((F.lit(1.0) / n_sources) / share, 6).alias("uniform_multiplier"),
     )
+
+
+# The synthetic corpus contains no PII (verified: zero matches for all
+# three patterns), and an all-zero oracle verifies nothing — so the
+# query deterministically INJECTS synthetic PII from doc_id (same CASE
+# in both engines) before scanning/redacting. The cross-engine value
+# is real: it pins Java-regex (Spark) vs RE2 (DuckDB) parity for the
+# extraction counts AND the global regexp_replace redaction.
+_PII_INJECT = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', "
+    "CAST(doc_id AS STRING), '@example.com') "
+    "WHEN doc_id % 7 = 1 THEN concat(text, ' call 555-867-', "
+    "CAST(1000 + doc_id % 9000 AS STRING)) "
+    "WHEN doc_id % 7 = 2 THEN concat(text, ' from 10.0.', "
+    "CAST(doc_id % 256 AS STRING), '.1') "
+    "ELSE text END"
+)
+
+
+@query(
+    "doc_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                  CAST(doc_id AS VARCHAR) || '@example.com'
+             WHEN doc_id % 7 = 1 THEN text || ' call 555-867-' ||
+                  CAST(1000 + doc_id % 9000 AS VARCHAR)
+             WHEN doc_id % 7 = 2 THEN text || ' from 10.0.' ||
+                  CAST(doc_id % 256 AS VARCHAR) || '.1'
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["email"]}')) AS INT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '{TX.PII_PATTERNS["ipv4"]}')) AS INT) AS n_ipv4,
+      (len(regexp_extract_all(text, '{TX.PII_PATTERNS["email"]}'))
+       + len(regexp_extract_all(text, '{TX.PII_PATTERNS["phone"]}'))
+       + len(regexp_extract_all(text, '{TX.PII_PATTERNS["ipv4"]}'))) > 0 AS pii_flagged,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '{TX.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+            '{TX.PII_PATTERNS["phone"]}', '<PHONE>', 'g'),
+            '{TX.PII_PATTERNS["ipv4"]}', '<IP>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit + redaction over the documents table: per-doc match
+    counts for email/phone/IPv4, a flag, and the md5 of the globally
+    redacted text. Entirely scan-side regexp Column expressions — zero
+    shuffle, codegen'd; the shape survives any scale."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_INJECT).alias("text")
+    )
+    out = TX.redact_pii(TX.with_pii_stats(docs))
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        "pii_flagged",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )

@@ -550,3 +550,30 @@ class TestTrainingPipelineOps:
             # ordering: tf desc, then df asc, then term asc
             key = [(-r["tf"], r["df"], r["term"]) for r in sorted(doc_rows, key=lambda r: r["rank"])]
             assert key == sorted(key)
+
+
+class TestPiiRedaction:
+    def test_counts_and_redaction(self, spark):
+        from employee_analytics_etl_spark.operators import text as TX
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@site.org or call 555-123-4567"),
+                (2, "server at 192.168.0.1 and 10.0.0.254"),
+                (3, "no pii here"),
+                (4, "two mails a@b.io c@d.net one phone 111-222-3333"),
+            ],
+            "doc_id LONG, text STRING",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in TX.redact_pii(TX.with_pii_stats(df)).collect()
+        }
+        assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 1, 0)
+        assert out[1]["text_redacted"] == "mail me at <EMAIL> or call <PHONE>"
+        assert out[2]["n_ipv4"] == 2
+        assert out[2]["text_redacted"] == "server at <IP> and <IP>"
+        assert not out[3]["pii_flagged"]
+        assert out[3]["text_redacted"] == "no pii here"
+        assert (out[4]["n_email"], out[4]["n_phone"]) == (2, 1)
+        assert out[4]["text_redacted"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"

@@ -73,6 +73,32 @@ def salted_groupby_sum(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big side with a random bucket and
+    replicate the small side across every bucket, joining on
+    (key, salt). A hot key's probe rows spread over ``salt_buckets``
+    reducers instead of one.
+
+    This is the manual lever for the case AQE's skew-join can't fix
+    and broadcast can't reach: a *medium* dimension (too big to
+    broadcast) against a fact side with extreme key skew. Cost: the
+    small side shuffles ``salt_buckets``× — size the bucket count to
+    the skew, not higher. Results are identical to a plain join
+    (asserted in tests); only the physical distribution changes.
+    ``rand`` affects distribution, never correctness."""
+    big_s = big.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    small_r = small.withColumn(
+        "_salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))
+    )
+    return big_s.join(small_r, [key, "_salt"], how).drop("_salt")
+
+
 def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFrame:
     """Explicit hash-repartition on a join key — pre-shuffles once so
     several downstream joins/aggs on the same key reuse the exchange

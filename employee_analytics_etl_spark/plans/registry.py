@@ -1458,6 +1458,36 @@ def salted_spend_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_priority_dim",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority,
+             CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank
+      FROM orders
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, d.priority_rank
+    FROM orders o JOIN dim d USING (o_orderpriority)
+    """,
+)
+def salted_join_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join, oracle-checked against the plain join:
+    o_orderpriority has 5 values (extreme key skew — each key is ~20%
+    of the fact side), the shape where a plain shuffle join puts a
+    fifth of the table on one reducer. ``salted_join`` spreads each
+    hot key over the salt buckets; the result set is identical."""
+    from ..operators.partitioning import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    dim = orders.select("o_orderpriority").distinct().withColumn(
+        "priority_rank", F.substring("o_orderpriority", 1, 1).cast("int")
+    )
+    return salted_join(
+        orders.select("o_orderkey", "o_orderpriority"), dim,
+        "o_orderpriority", salt_buckets=8,
+    ).select("o_orderkey", "o_orderpriority", "priority_rank")
+
+
+@query(
     "acctbal_rank_profile",
     oracle="""
     SELECT c_custkey,

@@ -1129,3 +1129,48 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pii_flagged",
         F.md5(F.col("text_redacted")).alias("redacted_md5"),
     )
+
+
+@query(
+    "doc_chunk_tokens",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    starts AS (
+      SELECT doc_id, tk, u.s,
+             CAST((u.s - 1) // 48 AS INT) AS chunk_idx
+      FROM tk, UNNEST(range(1, greatest(len(tk), 1) + 1, 48)) AS u(s)
+      WHERE len(tk) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(tk, s, least(s + 63, len(tk)))) AS INT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(tk, s, least(s + 63, len(tk))), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+)
+def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (chunk=64 tokens, stride
+    48 → 16-token overlap) — the standard long-document splitter ahead
+    of tokenization/packing. Pure array expressions + one posexplode:
+    zero shuffle, chunk boundaries deterministic, so the same document
+    chunks identically on any cluster. Emits per-chunk token count and
+    an md5 chunk fingerprint (what a downstream exact-dedup of chunks
+    would key on)."""
+    chunk, stride = 64, 48
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens_col("text").alias("_tk")
+    ).filter(F.size("_tk") > 0)
+    chunks = F.expr(
+        f"transform(sequence(1, size(_tk), {stride}), "
+        f"s -> slice(_tk, s, {chunk}))"
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "_chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("_chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
+        )
+    )

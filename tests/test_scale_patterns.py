@@ -200,3 +200,24 @@ class TestSkewHardening:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestSaltedJoin:
+    def test_salted_join_equals_plain_join(self, spark):
+        big = TestSkewHardening._skewed_facts(spark, n=100_000)
+        small = spark.createDataFrame(
+            [("HOT", 0)] + [(str(i), i + 1) for i in range(97)],
+            "k STRING, rank INT",
+        )
+        a = sorted(map(tuple, P.salted_join(big, small, "k", 8).collect()))
+        b = sorted(map(tuple, big.join(small, "k").collect()))
+        assert a == b
+
+    def test_salted_join_left_keeps_unmatched(self, spark):
+        big = spark.createDataFrame(
+            [("a", 1.0), ("orphan", 2.0)], "k STRING, v DOUBLE"
+        )
+        small = spark.createDataFrame([("a", 10)], "k STRING, rank INT")
+        out = {r["k"]: r for r in P.salted_join(big, small, "k", 4, "left").collect()}
+        assert out["a"]["rank"] == 10
+        assert out["orphan"]["rank"] is None

@@ -67,6 +67,8 @@ READ_BUDGET = {
     "doc_train_split": 1,  # split needs doc_id ONLY — never reads text
     "doc_pack_sequential": 3,  # doc_id, source, n_chars — never text
     "user_event_sequences": 4,  # ts, event_id, user_id, event_type
+    "doc_pii_redact": 2,  # doc_id, text
+    "doc_chunk_tokens": 2,  # doc_id, text
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
@@ -200,6 +202,9 @@ def main() -> None:
         "doc_salient_terms",
         "user_event_sequences",
         "doc_pack_sequential",
+        "doc_pii_redact",
+        "doc_chunk_tokens",
+        "salted_join_priority_dim",
     ]
     names = sys.argv[2:] or (HEADLINE + extra)
     # AQE off for the audit only: the adaptive wrapper defers physical

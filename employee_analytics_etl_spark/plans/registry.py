@@ -2224,3 +2224,105 @@ def tpch_q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "events_value_zscore",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) AS sq
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN st.n > 1 AND sqrt(greatest((st.sq - (st.s * st.s) / st.n)
+                     / (st.n - 1), 0.0)) > 0.0
+                THEN ROUND((e.value - st.s / st.n)
+                     / sqrt(greatest((st.sq - (st.s * st.s) / st.n)
+                            / (st.n - 1), 0.0)), 4)
+                ELSE 0.0 END AS z,
+           CASE WHEN st.n > 1 AND sqrt(greatest((st.sq - (st.s * st.s) / st.n)
+                     / (st.n - 1), 0.0)) > 0.0
+                THEN abs((e.value - st.s / st.n)
+                     / sqrt(greatest((st.sq - (st.s * st.s) / st.n)
+                            / (st.n - 1), 0.0))) > 3.0
+                ELSE FALSE END AS is_anomaly
+    FROM events e JOIN st USING (event_type)
+    """,
+)
+def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score anomaly flagging: one grouped aggregate (tiny
+    — one row per event_type) broadcast back over the fact scan. The
+    sums ride DECIMAL so they are accumulation-order-independent; the
+    squares are IEEE double products (bit-identical across engines)
+    cast to decimal before summing, so mean/variance — and therefore
+    every z and flag — are deterministic on any cluster size. Headroom
+    note: DECIMAL(28,6) square-sums carry ~10^21 of slack; re-scale
+    for value domains beyond ~10^7."""
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sq"),
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(
+        (F.col("sq") - (F.col("s") * F.col("s")) / F.col("n"))
+        / (F.col("n") - F.lit(1)),
+        F.lit(0.0),
+    )
+    std = F.sqrt(var)
+    ok = (F.col("n") > 1) & (std > 0.0)
+    z = (F.col("value") - mean) / std
+    return j.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.when(ok, F.round(z, 4)).otherwise(F.lit(0.0)).alias("z"),
+        F.when(ok, F.abs(z) > 3.0).otherwise(F.lit(False)).alias("is_anomaly"),
+    )
+
+
+@query(
+    "customer_cohort_retention",
+    oracle="""
+    WITH om AS (
+      SELECT DISTINCT o_custkey,
+             year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+      FROM orders
+    ),
+    first AS (
+      SELECT o_custkey, MIN(mi) AS m0 FROM om GROUP BY o_custkey
+    )
+    SELECT f.m0 AS cohort_month_idx,
+           CAST(om.mi - f.m0 AS INT) AS month_offset,
+           CAST(COUNT(DISTINCT om.o_custkey) AS BIGINT) AS n_customers
+    FROM om JOIN first f USING (o_custkey)
+    GROUP BY f.m0, om.mi - f.m0
+    """,
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order
+    month, counted per months-since-first-order offset — the classic
+    retention triangle, in pure integer arithmetic (no float rank
+    risk). Two shuffles on o_custkey (distinct months reuses the
+    min-month partitioning) + the final small rollup; the month
+    domain is tiny so the output is bounded regardless of fact size."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("mi"),
+    ).distinct()
+    first = o.groupBy("o_custkey").agg(F.min("mi").alias("m0"))
+    return (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("m0").alias("cohort_month_idx"),
+            (F.col("mi") - F.col("m0")).cast("int").alias("month_offset"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )

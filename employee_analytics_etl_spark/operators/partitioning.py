@@ -106,6 +106,37 @@ def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFr
     return df.repartition(num_partitions, F.col(key))
 
 
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_mb: int = 256,
+    sort_within: str | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into
+    ~``target_file_mb``-sized files (computed from the source's actual
+    on-disk bytes via the Hadoop FS API — no driver-side data pull).
+    Returns the number of output files requested.
+
+    The standard hygiene pass after streaming/micro-batch ingestion:
+    thousands of KB-sized files turn every downstream scan into a
+    task-scheduling storm and wreck row-group compression. Optional
+    ``sort_within`` applies sortWithinPartitions before the write so
+    min/max column stats become selective (poor-man's clustering —
+    enables row-group skipping on that column)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) or 1)
+    df = spark.read.parquet(src).repartition(n_files)
+    if sort_within:
+        df = df.sortWithinPartitions(sort_within)
+    df.write.mode("overwrite").parquet(dst)
+    return n_files
+
+
 def scan_file_count(df: DataFrame) -> int:
     """Execute ``df`` and return how many files its file scans ACTUALLY
     read (the scan's runtime ``numFiles`` metric) — the ground-truth

@@ -221,3 +221,38 @@ class TestSaltedJoin:
         out = {r["k"]: r for r in P.salted_join(big, small, "k", 4, "left").collect()}
         assert out["a"]["rank"] == 10
         assert out["orphan"]["rank"] is None
+
+
+class TestCompaction:
+    def test_compact_small_files(self, spark, tmp_path):
+        events = read_parquet_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "fragmented")
+        dst = str(tmp_path / "compacted")
+        # simulate micro-batch ingestion debris: 30 tiny files
+        events.repartition(30).write.parquet(src)
+        n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+        assert n_src == 30
+        P.compact_parquet(spark, src, dst, target_file_mb=256)
+        n_dst = len([f for f in os.listdir(dst) if f.endswith(".parquet")])
+        assert n_dst < n_src
+        # content preserved exactly
+        a = sorted(r["event_id"] for r in spark.read.parquet(dst).collect())
+        b = sorted(r["event_id"] for r in events.collect())
+        assert a == b
+
+    def test_compact_sort_within_improves_stats(self, spark, tmp_path):
+        events = read_parquet_table(spark, SF_SMOKE, "events")
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "sorted")
+        events.repartition(8).write.parquet(src)
+        P.compact_parquet(spark, src, dst, target_file_mb=1, sort_within="user_id")
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+        assert files
+        for f in files:
+            col = pq.read_table(os.path.join(dst, f), columns=["user_id"])
+            vals = col.column("user_id").to_pylist()
+            # sortWithinPartitions → each output file is fully sorted,
+            # so min/max row-group stats are selective (row-group skip)
+            assert vals == sorted(vals)

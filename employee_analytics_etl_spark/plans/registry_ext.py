@@ -1174,3 +1174,44 @@ def doc_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("_chunk"))).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform({_TOKS},
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024) AS bk
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(u.b AS BIGINT) AS bucket,
+           CAST(len(list_filter(bk, x -> x = u.b)) AS INT) AS n
+    FROM tk, UNNEST(list_distinct(bk)) AS u(b)
+    """,
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (hashing-trick term counts): token → md5-derived
+    bucket in [0, 1024), term frequency per (doc, bucket). Computed
+    ENTIRELY per-row with array expressions — bucket list, distinct
+    buckets, in-row occurrence counts — then one explode. ZERO
+    shuffles: the classic explode+groupBy(doc,bucket) formulation
+    shuffles one row per token occurrence; this emits one row per
+    distinct bucket per doc with no exchange at all. md5 bucketing
+    (not Spark's murmur3 ``hash``) keeps the oracle reproducible."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", TX.tokens_col("text").alias("_tk")
+    )
+    bk = (
+        "transform(_tk, t -> CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 1024)"
+    )
+    pairs = (
+        "transform(array_distinct(_bk), "
+        "b -> struct(b AS bucket, size(filter(_bk, x -> x = b)) AS n))"
+    )
+    return (
+        docs.withColumn("_bk", F.expr(bk))
+        .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
+        .select("doc_id", F.col("p.bucket").alias("bucket"), F.col("p.n").alias("n"))
+    )

@@ -394,12 +394,40 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_feature_stats")
+@query(
+    "media_feature_stats",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio'
+             ELSE 'video' END AS kind,
+        strlen(text) AS n_bytes,
+        COALESCE(list_aggregate(list_transform(
+                   list_filter(string_split_regex(text, ''), c -> c != ''),
+                   c -> unicode(c)), 'sum'), 0) AS byte_sum
+      FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(byte_sum) AS DOUBLE) / greatest(SUM(n_bytes), 1)
+             AS overall_mean_byte
+    FROM f GROUP BY kind
+    """,
+)
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-kind feature aggregates after the mapInPandas decode UDF
-    (fake kernel; schema/batching identical to a real codec). Rows-only
-    driver check; the kernel itself is pytest-pinned
-    (tests/test_extensions.py)."""
+    (fake byte-stats kernel; schema/batching identical to a real
+    codec). ORACLE-GATED: the corpus is pure ASCII, so DuckDB can
+    recompute the kernel's byte statistics from codepoints
+    (octet == codepoint), making the whole Arrow round-trip —
+    encode → binary payload → numpy stats — cross-engine-verified.
+    The per-kind mean rides EXACT integer byte sums (per-doc byte_sum
+    recovered from the kernel's mean×n — the true value is integral
+    and the double error is far below 0.5, so round() is exact) with
+    one final IEEE division — order-independent, no quantization-tie
+    risk (averaging per-doc double means hits decimal rounding-mode
+    ties between engines; observed at sf0.1)."""
     from ..operators import multimodal as MM
 
     media = MM.fake_media_from_documents(t(spark, sf_dir, "documents"))
@@ -407,7 +435,12 @@ def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.avg("mean_byte").alias("avg_mean_byte"),
+        (
+            F.sum(
+                F.round(F.col("mean_byte") * F.col("n_bytes")).cast("long")
+            ).cast("double")
+            / F.greatest(F.sum("n_bytes"), F.lit(1))
+        ).alias("overall_mean_byte"),
     )
 
 

@@ -45,8 +45,9 @@ class TestContract:
         assert set(o) <= set(q)
         # everything except declared non-SQL ops has an oracle
         assert set(q) - set(o) == {
+            # seeded numpy hyperplanes — genuinely not SQL-expressible;
+            # recall is pytest-gated against the brute-force oracle
             "knn_lsh_hyperplane",
-            "media_feature_stats",
         }
 
     @pytest.mark.parametrize("name", SAMPLE)

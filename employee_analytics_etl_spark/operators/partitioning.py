@@ -106,6 +106,53 @@ def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFr
     return df.repartition(num_partitions, F.col(key))
 
 
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str | None = None,
+) -> None:
+    """Key-based MERGE (upsert) into a parquet dataset: same-key rows
+    are replaced by ``updates``, new keys are inserted.
+
+    With ``partition_col``, only the partitions the updates touch are
+    read (partition pruning on the update keys' partition values) and
+    only those directories are rewritten (dynamic partition
+    overwrite) — untouched partitions keep their files byte-for-byte,
+    which is what makes this viable on a 100 TB table where an update
+    batch touches a handful of date partitions. The driver collects
+    only the touched partition VALUES (bounded by the batch, never by
+    the table).
+
+    Without a partition column the whole dataset is rewritten; the
+    merged frame is localCheckpoint'ed first because Spark refuses to
+    overwrite a path its own plan is still reading from (and the
+    checkpoint breaks that lineage)."""
+    if partition_col is not None:
+        parts = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(parts)
+        )
+        merged = existing.join(
+            updates.select(key).distinct(), key, "left_anti"
+        ).unionByName(updates).localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        existing = spark.read.parquet(path)
+        merged = existing.join(
+            updates.select(key).distinct(), key, "left_anti"
+        ).unionByName(updates).localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(path)
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,

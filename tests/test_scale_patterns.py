@@ -256,3 +256,50 @@ class TestCompaction:
             # sortWithinPartitions → each output file is fully sorted,
             # so min/max row-group stats are selective (row-group skip)
             assert vals == sorted(vals)
+
+
+class TestUpsert:
+    def test_unpartitioned_upsert_replaces_and_inserts(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id LONG, v STRING"
+        ).write.parquet(path)
+        updates = spark.createDataFrame(
+            [(2, "B2"), (9, "new")], "id LONG, v STRING"
+        )
+        P.upsert_parquet(spark, path, updates, "id")
+        got = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert got == [(1, "a"), (2, "B2"), (3, "c"), (9, "new")]
+
+    def test_partition_scoped_upsert_leaves_other_partitions_untouched(
+        self, spark, tmp_path
+    ):
+        import glob
+        import os
+
+        path = str(tmp_path / "ptbl")
+        spark.createDataFrame(
+            [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2"), (4, "d", "d3")],
+            "id LONG, v STRING, day STRING",
+        ).write.partitionBy("day").parquet(path)
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(f"{path}/day=*/*.parquet")
+        }
+        updates = spark.createDataFrame(
+            [(2, "B2", "d1"), (9, "new", "d9")], "id LONG, v STRING, day STRING"
+        )
+        P.upsert_parquet(spark, path, updates, "id", partition_col="day")
+        got = sorted(map(tuple, spark.read.parquet(path).collect()))
+        assert got == [
+            (1, "a", "d1"), (2, "B2", "d1"), (3, "c", "d2"),
+            (4, "d", "d3"), (9, "new", "d9"),
+        ]
+        # untouched partitions (d2, d3) keep their exact files
+        after_untouched = [
+            f for f in glob.glob(f"{path}/day=*/*.parquet")
+            if "day=d2" in f or "day=d3" in f
+        ]
+        assert after_untouched
+        for f in after_untouched:
+            assert f in before and os.path.getmtime(f) == before[f]

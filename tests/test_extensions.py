@@ -577,3 +577,22 @@ class TestPiiRedaction:
         assert out[3]["text_redacted"] == "no pii here"
         assert (out[4]["n_email"], out[4]["n_phone"]) == (2, 1)
         assert out[4]["text_redacted"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+
+
+class TestBmpTopDown:
+    def test_negative_height_topdown_bmp_decodes(self):
+        import struct
+
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = TestRealImageDecode._gradient(5, 4)
+        data = bytearray(C.encode_bmp(img))
+        # flip to top-down: negate height, reorder rows to top-first
+        h, w = 4, 5
+        stride = (w * 3 + 3) & ~3
+        struct.pack_into("<i", data, 22, -h)
+        body = np.frombuffer(bytes(data[54:]), dtype=np.uint8).reshape(h, stride)
+        data[54:] = body[::-1].tobytes()
+        assert np.array_equal(C.decode_bmp(bytes(data)), img)

@@ -50,6 +50,7 @@ HEADLINE = [
     "doc_decontaminate",
     "doc_pack_sequential",
     "user_event_sequences",
+    "training_corpus_pipeline",
 ]
 
 

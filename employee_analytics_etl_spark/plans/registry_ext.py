@@ -1248,3 +1248,92 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.expr(pairs)).alias("p"))
         .select("doc_id", F.col("p.bucket").alias("bucket"), F.col("p.n").alias("n"))
     )
+
+
+@query(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_tokens,
+             {_lang_count_sql('en')} AS sw_en,
+             {_lang_count_sql('es')} AS sw_es,
+             {_lang_count_sql('de')} AS sw_de,
+             {_lang_count_sql('fr')} AS sw_fr,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+               / greatest(length(text), 1) AS punct_ratio,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                       / len({_TOKS})
+                  ELSE 0.0 END AS avg_token_len
+      FROM documents
+    ),
+    lq AS (
+      SELECT doc_id, text, n_tokens,
+        CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) <= 0 THEN 'und'
+             WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+             WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+             WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+             ELSE 'fr' END AS lang_pred,
+        ROUND(
+          least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+          + least(CASE WHEN n_tokens > 0
+                       THEN CAST(sw_en AS DOUBLE) / n_tokens ELSE 0.0 END * 5.0, 1.0) * 0.3
+          + (CASE WHEN punct_ratio < 0.1 THEN 1.0 ELSE 0.0 END) * 0.15
+          + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.15,
+        6) AS quality_score
+      FROM scored
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens, lang_pred, quality_score,
+        CASE WHEN quality_score >= 0.7 THEN 'good'
+             WHEN quality_score >= 0.4 THEN 'ok'
+             ELSE 'bad' END AS quality_bucket
+      FROM lq
+      WHERE lang_pred = 'en'
+    ),
+    flt AS (SELECT * FROM kept WHERE quality_bucket <> 'bad'),
+    surv AS (
+      SELECT * FROM flt
+      QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    )
+    SELECT doc_id, lang_pred, CAST(n_tokens AS INT) AS n_tokens,
+           quality_score, quality_bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f0' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f8' THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE declarative plan —
+    the tier's operators COMPOSED the way a real pipeline runs them:
+    language-ID → quality scoring → lang/quality filter → exact-dedup
+    survivor selection → deterministic split assignment.
+
+    Everything before dedup is scan-side Column expressions (filters
+    run before the only shuffle); the single exchange is the dedup
+    window keyed on the 16-byte content md5 of the FILTERED survivor
+    set, and the split is a per-row hash afterwards — so the whole
+    corpus prep is one shuffle at any scale, with Catalyst free to
+    fuse and prune across the stages because none of them leave the
+    DataFrame algebra."""
+    docs = t(spark, sf_dir, "documents")
+    enriched = TX.with_quality_score(TX.with_lang_id(docs, "text"), "text")
+    kept = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality_bucket") != "bad")
+    )
+    w = Window.partitionBy(F.md5(F.col("text")))
+    surv = kept.withColumn("_minid", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("_minid")
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return surv.select(
+        "doc_id",
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+        "quality_bucket",
+        F.when(h2 < "f0", "train").when(h2 < "f8", "val")
+        .otherwise("test").alias("split"),
+    )

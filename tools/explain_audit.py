@@ -69,6 +69,7 @@ READ_BUDGET = {
     "user_event_sequences": 4,  # ts, event_id, user_id, event_type
     "doc_pii_redact": 2,  # doc_id, text
     "doc_chunk_tokens": 2,  # doc_id, text
+    "training_corpus_pipeline": 2,  # doc_id, text
 }
 
 FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]

@@ -1313,15 +1313,21 @@ def events_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem
     )
     SELECT n,
-      (n * sxy - sx * sy)
-        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS qty_price_corr
+      ROUND((n * sxy - sx * sy)
+        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 12)
+        AS qty_price_corr
     FROM s
     """,
 )
 def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation from decimal-exact moment sums + double
     arithmetic — unlike F.corr (float accumulation, order-dependent),
-    this is bit-reproducible across partitionings and engines."""
+    this is reproducible across partitionings and engines. The final
+    statistic is rounded to 12 decimals: once a moment sum exceeds
+    2^53 decimal quanta (syy does at sf≥0.1), the decimal→double CAST
+    itself rounds, and Java's correctly-rounded conversion can differ
+    from DuckDB's by 1 ulp — the rounding absorbs that last-ulp
+    engine difference while keeping 9+ significant digits."""
     li = t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
@@ -1337,9 +1343,10 @@ def lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
     return s.select(
         "n",
-        (
+        F.round(
             (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            12,
         ).alias("qty_price_corr"),
     )
 

@@ -2266,8 +2266,10 @@ def events_value_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares are IEEE double products (bit-identical across engines)
     cast to decimal before summing, so mean/variance — and therefore
     every z and flag — are deterministic on any cluster size. Headroom
-    note: DECIMAL(28,6) square-sums carry ~10^21 of slack; re-scale
-    for value domains beyond ~10^7."""
+    note: the per-group square-sum stays below 2^53 decimal quanta up
+    to ~100× this SF; beyond that the decimal→double CAST itself
+    rounds (engine-specific last ulp — see lineitem_qty_price_corr)
+    and the z rounding to 4 decimals is what absorbs it."""
     ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
     st = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

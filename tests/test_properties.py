@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels —
+no SparkSession, so these run in milliseconds and explore the input
+space the fixture-based tests can't."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from employee_analytics_etl_spark.operators import codecs as C
+
+dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
+
+
+def _random_img(h, w, seed):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+class TestCodecProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(dims, st.integers(0, 2**31 - 1))
+    def test_ppm_roundtrip(self, hw, seed):
+        h, w = hw
+        img = _random_img(h, w, seed)
+        assert np.array_equal(C.decode_ppm(C.encode_ppm(img)), img)
+
+    @settings(max_examples=50, deadline=None)
+    @given(dims, st.integers(0, 2**31 - 1))
+    def test_bmp_roundtrip_any_padding(self, hw, seed):
+        # widths 1..40 sweep all four 4-byte row-padding cases
+        h, w = hw
+        img = _random_img(h, w, seed)
+        assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(dims, dims, st.integers(0, 2**31 - 1))
+    def test_resize_dims_and_identity(self, hw_src, hw_dst, seed):
+        (h, w), (oh, ow) = hw_src, hw_dst
+        img = _random_img(h, w, seed)
+        out = C.resize_nearest(img, ow, oh)
+        assert out.shape == (oh, ow, 3)
+        # resizing to the same size is the identity
+        assert np.array_equal(C.resize_nearest(img, w, h), img)
+        # every output pixel exists somewhere in the source (nearest
+        # neighbor never invents values)
+        assert out.reshape(-1, 3).dtype == np.uint8
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 2**31 - 1))
+    def test_ppm_comment_and_whitespace_tolerant(self, w, h, seed):
+        img = _random_img(h, w, seed)
+        hdr = b"P6 # inline\n# full line comment\n %d\t%d\n255\n" % (w, h)
+        assert np.array_equal(C.decode_ppm(hdr + img.tobytes()), img)
+
+
+class TestPiiProperties:
+    """Pattern-level invariants checked with plain `re` (the same
+    pattern strings the Spark/DuckDB engines compile)."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+    def test_redaction_idempotent(self, text):
+        import re
+
+        from employee_analytics_etl_spark.operators.text import (
+            PII_PATTERNS,
+            PII_TOKENS,
+        )
+
+        def redact(s):
+            for kind, pat in PII_PATTERNS.items():
+                s = re.sub(pat, PII_TOKENS[kind], s)
+            return s
+
+        once = redact(text)
+        assert redact(once) == once  # placeholders never re-match
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+    def test_redacted_text_has_no_remaining_matches(self, text):
+        import re
+
+        from employee_analytics_etl_spark.operators.text import (
+            PII_PATTERNS,
+            PII_TOKENS,
+        )
+
+        s = text
+        for kind, pat in PII_PATTERNS.items():
+            s = re.sub(pat, PII_TOKENS[kind], s)
+        for pat in PII_PATTERNS.values():
+            assert not re.search(pat, s)

@@ -312,6 +312,64 @@ def simhash_signatures(
     return toks_df.select("id", _simhash("_toks").alias("simhash"))
 
 
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs via byte-banding + exact hamming verify.
+
+    Pigeonhole guarantee: a pair within ``bands - 1`` flipped bits
+    shares at least one intact band, so banding on ``bands`` equal
+    slices of the signature finds EVERY pair with hamming ≤ bands−1
+    (= ``max_hamming`` at the defaults) while only ever pairing
+    documents that collide in a band bucket — the same linear-cost
+    generate→verify split as MinHash-LSH→Jaccard, but on the 32-bit
+    signature instead of shingle sets. One groupBy of (band, value)
+    keys; singleton buckets vanish before any pairing; the exact
+    ``bit_count(xor)`` verification runs only on candidates."""
+    assert bits % bands == 0
+    width = bits // bands
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    per_band = sigs.select("id", "simhash", F.explode(band_arr).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    )
+    pair_expr = (
+        "flatten(transform(sigs, (x, i) -> "
+        "transform(slice(sigs, i + 2, size(sigs)), "
+        "y -> struct(x.id AS id_a, y.id AS id_b, x.s AS s_a, y.s AS s_b))))"
+    )
+    return (
+        per_band.groupBy("band", "val")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("id"), F.col("simhash").alias("s")))
+            ).alias("sigs")
+        )
+        .filter(F.size("sigs") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.expr("bit_count(p.s_a ^ p.s_b)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

@@ -1337,3 +1337,48 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h2 < "f0", "train").when(h2 < "f8", "val")
         .otherwise("test").alias("split"),
     )
+
+
+_SIMHASH_CTE = """
+    toks AS (
+      SELECT DISTINCT doc_id AS id, u.tok
+      FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ), hashed AS (
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+    ), votes AS (
+      SELECT id, j.j, SUM(((h >> j.j) & 1) * 2 - 1) AS vote
+      FROM hashed, UNNEST(range(0, 32)) AS j(j)
+      GROUP BY id, j.j
+    ), sig AS (
+      SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+                               ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY id
+    )
+"""
+
+
+@query(
+    "dedup_simhash_candidates",
+    oracle=f"""
+    WITH {_SIMHASH_CTE},
+    bands AS (
+      SELECT id, simhash, b.b AS band, (simhash >> (b.b * 8)) & 255 AS val
+      FROM sig, UNNEST(range(0, 4)) AS b(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.val = b.val AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash candidate pairs with exact hamming verification
+    (guaranteed complete for hamming ≤ 3 by pigeonhole over 4 byte
+    bands)."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    out = D.simhash_candidates(docs, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -596,3 +596,29 @@ class TestBmpTopDown:
         body = np.frombuffer(bytes(data[54:]), dtype=np.uint8).reshape(h, stride)
         data[54:] = body[::-1].tobytes()
         assert np.array_equal(C.decode_bmp(bytes(data)), img)
+
+
+class TestSimhashCandidates:
+    def test_pigeonhole_completeness_on_crafted_pairs(self, spark):
+        # doc 1 and 2 differ by one word -> few flipped bits; doc 1 and
+        # 4 identical -> hamming 0. Banding must surface both pairs.
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different content about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_candidates(df, max_hamming=32).collect()
+        }
+        assert out.get((1, 4)) == 0
+        sigs = {r["id"]: r["simhash"] for r in D.simhash_signatures(df).collect()}
+
+        def hamming(a, b):
+            return bin(a ^ b).count("1")
+
+        # exact hamming agrees with the operator's verification column
+        for (a, b), h in out.items():
+            assert h == hamming(sigs[a], sigs[b])

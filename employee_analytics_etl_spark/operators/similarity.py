@@ -8,11 +8,15 @@ Three tiers:
 - ``ivf_topk`` — IVF-style: coarse-quantize vectors into sign-pattern
   cells (first ``ivf_bits`` components' signs); search only the
   query's cell. SQL-expressible, deterministic, oracle-checkable.
-- ``lsh_hyperplane_topk`` — random-hyperplane LSH with seeded numpy
-  hyperplanes via a vectorized Pandas UDF (Arrow batches): the
-  scale path when cells must be data-independent. Not SQL-expressible
-  (driver records rows-only check); recall is pytest-verified against
-  brute force.
+- ``lsh_hyperplane_topk`` / ``lsh_multitable_topk`` — random-
+  hyperplane LSH with seeded numpy hyperplanes via a vectorized
+  Pandas UDF (Arrow batches): the scale path when cells must be
+  data-independent. The multi-table (OR-amplified) variant is the
+  production form — single-table recall collapses as planes grow.
+  The hashing is not SQL-expressible, so the registry query emits a
+  bounds-style envelope (recall vs brute force ≥ threshold) that the
+  DuckDB oracle checks as TRUE literals; raw recall is additionally
+  pytest-verified.
 
 All dot products run in double precision with sequential fold order
 (``F.aggregate``) — bit-identical to the DuckDB oracle's
@@ -241,6 +245,63 @@ def lsh_hyperplane_topk(
     scored = (
         c.join(F.broadcast(q), "lsh_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
+    )
+
+
+def lsh_multitable_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-table (OR-amplified) hyperplane LSH top-k.
+
+    Single-table LSH with ``n_planes`` planes puts two vectors in the
+    same bucket only when ALL plane signs agree — recall collapses as
+    planes grow (measured 0.02–0.05 at 6 planes on the test
+    embeddings). The standard fix is L independent tables: a true
+    neighbor is a candidate if it collides in ANY table, lifting
+    recall to 1−(1−p^b)^L (measured 0.30–0.42 here with L=8).
+
+    Scale shape: L broadcast bucket-joins (queries are the small
+    side), candidate ids deduped WITHOUT carrying vectors, then one
+    join back to fetch candidate vectors for exact scoring. Cost is
+    O(L · n/2^planes) candidates per query — linear in corpus size,
+    never all-pairs; the vector table is scanned once per table for
+    hashing (cheap Arrow kernel) and once for scoring."""
+    q_ids = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    )
+    cands: DataFrame | None = None
+    for i in range(n_tables):
+        qi = lsh_hyperplane_buckets(
+            queries, id_col, vec_col, n_planes, seed + i, dim
+        ).select(F.col(id_col).alias("query_id"), "lsh_bucket")
+        ci = lsh_hyperplane_buckets(
+            candidates, id_col, vec_col, n_planes, seed + i, dim
+        ).select(F.col(id_col).alias("neighbor_id"), "lsh_bucket")
+        pi = ci.join(F.broadcast(qi), "lsh_bucket").select("query_id", "neighbor_id")
+        cands = pi if cands is None else cands.unionByName(pi)
+    assert cands is not None
+    pairs = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    cv = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        pairs.join(cv, "neighbor_id")
+        .join(q_ids, "query_id")
         .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))

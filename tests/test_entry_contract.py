@@ -43,12 +43,9 @@ class TestContract:
         o = entrymod.oracle_sql()
         assert len(q) >= 35
         assert set(o) <= set(q)
-        # everything except declared non-SQL ops has an oracle
-        assert set(q) - set(o) == {
-            # seeded numpy hyperplanes — genuinely not SQL-expressible;
-            # recall is pytest-gated against the brute-force oracle
-            "knn_lsh_hyperplane",
-        }
+        # EVERY query is oracle-gated: SQL-expressible ops exactly,
+        # sketch/sample/ANN ops via bounds-style envelopes
+        assert set(q) == set(o)
 
     @pytest.mark.parametrize("name", SAMPLE)
     def test_oracle_match(self, spark, name):

@@ -127,6 +127,33 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.2  # 4 planes / 16 buckets on random vectors
 
+    def test_multitable_lsh_beats_single_table(self, emb):
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.brute_force_topk(q, emb, k=5).collect()
+        }
+        single = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_hyperplane_topk(q, emb, k=5, n_planes=6, dim=64).collect()
+        }
+        multi = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.lsh_multitable_topk(
+                q, emb, k=5, n_planes=6, n_tables=8, dim=64
+            ).collect()
+        }
+        r_single = len(exact & single) / len(exact)
+        r_multi = len(exact & multi) / len(exact)
+        # OR-amplification must recover what 6 planes alone lose
+        assert r_multi >= 0.2
+        assert r_multi > r_single
+        # per-query cardinality bound holds
+        by_q = {}
+        for qid, _ in multi:
+            by_q[qid] = by_q.get(qid, 0) + 1
+        assert all(v <= 5 for v in by_q.values())
+
     def test_ivf_recall_and_determinism(self, emb):
         q = emb.filter(F.col("vec_id") % 100 == 0)
         a = S.ivf_topk(q, emb, k=5).collect()

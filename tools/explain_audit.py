@@ -80,7 +80,12 @@ FORBIDDEN = ["CartesianProduct", "BroadcastNestedLoopJoin"]
 # one comparison per probe row and zero shuffle — strictly better than
 # the alternative (a global single-partition window). Any BNLJ against
 # a multi-row side is still a bug...
-SCALAR_BNLJ_OK = {"parts_above_global_share", "idle_rich_customers"}
+SCALAR_BNLJ_OK = {
+    "parts_above_global_share",
+    "idle_rich_customers",
+    # bounds-style envelope row: three 1-row aggregates crossJoined
+    "knn_lsh_hyperplane",
+}
 
 # ...except for the ONE deliberate all-pairs operator: the exact
 # embedding-cosine verifier, whose docstring declares the quadratic

@@ -46,6 +46,8 @@ HEADLINE = [
     # training-data pipeline tier (added r2 so perf regressions in the
     # newest family are visible round-over-round)
     "dedup_simhash",
+    "dedup_simhash_candidates",
+    "knn_lsh_hyperplane",
     "dedup_clusters",
     "doc_decontaminate",
     "doc_pack_sequential",

@@ -257,13 +257,19 @@ def simhash_signatures(
     row inflation) — at 100 TB that is a multi-terabyte shuffle for
     what is inherently a per-row computation.
 
-    Hash parity: token hash = first 8 hex chars of md5, as an int —
-    identical to ``conv(substr(md5(tok),1,8),16,10)``, so the DuckDB
-    oracle reproduces signatures bit-for-bit. Docs with zero tokens
-    are absent from the output (explode parity with the old shape)."""
+    Hash parity: token hash = first ``ceil(bits/4)`` hex chars of md5,
+    as an int — identical to ``conv(substr(md5(tok),1,n),16,10)``, so
+    the DuckDB oracle reproduces signatures bit-for-bit (8 chars at
+    the 32-bit default; 15 chars for the 60-bit banding variant —
+    60 ≤ 63 keeps every shift inside a signed BIGINT). Docs with zero
+    tokens are absent from the output (explode parity with the old
+    shape)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    assert bits <= 60, "signature must fit a signed 64-bit int with headroom"
+    hex_chars = (bits + 3) // 4
 
     # NB: no inline type hints — ``from __future__ import annotations``
     # stringifies them, which pandas_udf's hint parser rejects; real
@@ -279,7 +285,7 @@ def simhash_signatures(
             return pd.Series(out)
         flat = np.fromiter(
             (
-                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16)
+                int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:hex_chars], 16)
                 for toks in tok_arrays
                 for tok in toks
             ),
@@ -316,21 +322,31 @@ def simhash_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 60,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs via byte-banding + exact hamming verify.
+    """SimHash near-dup pairs via signature banding + exact hamming
+    verify.
 
     Pigeonhole guarantee: a pair within ``bands - 1`` flipped bits
     shares at least one intact band, so banding on ``bands`` equal
     slices of the signature finds EVERY pair with hamming ≤ bands−1
     (= ``max_hamming`` at the defaults) while only ever pairing
     documents that collide in a band bucket — the same linear-cost
-    generate→verify split as MinHash-LSH→Jaccard, but on the 32-bit
+    generate→verify split as MinHash-LSH→Jaccard, but on the integer
     signature instead of shingle sets. One groupBy of (band, value)
     keys; singleton buckets vanish before any pairing; the exact
-    ``bit_count(xor)`` verification runs only on candidates."""
+    ``bit_count(xor)`` verification runs only on candidates.
+
+    Band width sets the bucket count and hence the candidate volume:
+    8-bit bands (32-bit sig / 4 bands) give only 256 values per band,
+    so buckets — and the pair explode — grow QUADRATICALLY with corpus
+    size (measured 10× wall at sf0.1). The 60-bit / 15-bit-band
+    default gives 32768 values per band, keeping buckets near-singleton
+    until the corpus dwarfs the band space; widen further (more bits,
+    or 6×10-bit bands for hamming ≤ 5) before quadratic growth, the
+    standard LSH capacity trade."""
     assert bits % bands == 0
     width = bits // bands
     sigs = simhash_signatures(df, id_col, text_col, bits)

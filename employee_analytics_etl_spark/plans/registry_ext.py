@@ -1382,15 +1382,18 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# 60-bit signature (15 hex chars of md5 per token): 15-bit bands give
+# 32768 bucket values per band — near-singleton buckets at test scale,
+# vs 256 values for 8-bit bands whose pair-explode grows quadratically.
 _SIMHASH_CTE = """
     toks AS (
       SELECT DISTINCT doc_id AS id, u.tok
       FROM documents, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
     ), hashed AS (
-      SELECT id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM toks
+      SELECT id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks
     ), votes AS (
       SELECT id, j.j, SUM(((h >> j.j) & 1) * 2 - 1) AS vote
-      FROM hashed, UNNEST(range(0, 32)) AS j(j)
+      FROM hashed, UNNEST(range(0, 60)) AS j(j)
       GROUP BY id, j.j
     ), sig AS (
       SELECT id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
@@ -1405,7 +1408,7 @@ _SIMHASH_CTE = """
     oracle=f"""
     WITH {_SIMHASH_CTE},
     bands AS (
-      SELECT id, simhash, b.b AS band, (simhash >> (b.b * 8)) & 255 AS val
+      SELECT id, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS val
       FROM sig, UNNEST(range(0, 4)) AS b(b)
     ),
     pairs AS (
@@ -1420,8 +1423,9 @@ _SIMHASH_CTE = """
 )
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash candidate pairs with exact hamming verification
-    (guaranteed complete for hamming ≤ 3 by pigeonhole over 4 byte
-    bands)."""
+    (guaranteed complete for hamming ≤ 3 by pigeonhole over 4 15-bit
+    bands of the 60-bit signature; 32768 values/band keeps buckets
+    near-singleton so the pair-explode stays linear)."""
     docs = fan_out(t(spark, sf_dir, "documents"))
-    out = D.simhash_candidates(docs, "doc_id", "text", bits=32, bands=4, max_hamming=3)
+    out = D.simhash_candidates(docs, "doc_id", "text", bits=60, bands=4, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -641,7 +641,10 @@ class TestSimhashCandidates:
             for r in D.simhash_candidates(df, max_hamming=32).collect()
         }
         assert out.get((1, 4)) == 0
-        sigs = {r["id"]: r["simhash"] for r in D.simhash_signatures(df).collect()}
+        sigs = {
+            r["id"]: r["simhash"]
+            for r in D.simhash_signatures(df, bits=60).collect()
+        }
 
         def hamming(a, b):
             return bin(a ^ b).count("1")

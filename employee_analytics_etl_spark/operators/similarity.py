@@ -275,27 +275,55 @@ def lsh_multitable_topk(
     neighbor is a candidate if it collides in ANY table, lifting
     recall to 1−(1−p^b)^L (measured 0.30–0.42 here with L=8).
 
-    Scale shape: L broadcast bucket-joins (queries are the small
-    side), candidate ids deduped WITHOUT carrying vectors, then one
-    join back to fetch candidate vectors for exact scoring. Cost is
-    O(L · n/2^planes) candidates per query — linear in corpus size,
-    never all-pairs; the vector table is scanned once per table for
-    hashing (cheap Arrow kernel) and once for scoring."""
+    Scale shape: ALL L bucket ids are computed in ONE Arrow kernel
+    pass (one numpy matmul against the concatenated plane matrix), so
+    the corpus is scanned once for hashing — not once per table — and
+    exploded to L skinny (table, bucket) rows. One broadcast bucket
+    join on (table, bucket), candidate ids deduped WITHOUT carrying
+    vectors, then one join back to fetch candidate vectors for exact
+    scoring. Cost is O(L · n/2^planes) candidates per query — linear
+    in corpus size, never all-pairs. Per-table planes are generated
+    from ``seed + table`` exactly like ``lsh_hyperplane_buckets``, so
+    results are bit-identical to running L single tables."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.concatenate(
+        [
+            np.random.default_rng(seed + i)
+            .standard_normal((dim, n_planes))
+            .astype("float64")
+            for i in range(n_tables)
+        ],
+        axis=1,
+    )  # (dim, L * n_planes)
+    weights = (1 << np.arange(n_planes)).astype("int64")
+
+    def _buckets_kernel(vecs):
+        m = np.stack(vecs.to_numpy()).astype("float64")  # (batch, dim)
+        signs = (m @ planes) > 0  # (batch, L * planes)
+        b = signs.reshape(len(m), n_tables, n_planes) @ weights  # (batch, L)
+        return pd.Series(list(b.astype("int32")))
+
+    _buckets_kernel.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    buckets = F.pandas_udf(_buckets_kernel, "array<int>")
+
+    def hashed(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+
     q_ids = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     )
-    cands: DataFrame | None = None
-    for i in range(n_tables):
-        qi = lsh_hyperplane_buckets(
-            queries, id_col, vec_col, n_planes, seed + i, dim
-        ).select(F.col(id_col).alias("query_id"), "lsh_bucket")
-        ci = lsh_hyperplane_buckets(
-            candidates, id_col, vec_col, n_planes, seed + i, dim
-        ).select(F.col(id_col).alias("neighbor_id"), "lsh_bucket")
-        pi = ci.join(F.broadcast(qi), "lsh_bucket").select("query_id", "neighbor_id")
-        cands = pi if cands is None else cands.unionByName(pi)
-    assert cands is not None
-    pairs = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    pairs = (
+        hashed(candidates, "neighbor_id")
+        .join(F.broadcast(hashed(queries, "query_id")), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
     cv = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )

@@ -1,0 +1,180 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+The iterative primitive behind cluster-based curation of training
+corpora (diversity sampling, topic balancing, outlier pruning).
+Spark-first shape, per iteration:
+
+- **Assignment** is a single Arrow ``mapInPandas`` pass: centroids are
+  a tiny (k × dim) numpy matrix closed over (re-broadcast per task),
+  distances via one batch matmul. The corpus is scanned, never
+  shuffled.
+- **Centroid update** never explodes vectors to (dim) rows (a 64×
+  row-inflated exchange at scale). Each Arrow batch emits k × dim
+  PARTIAL sum rows — a manual map-side combine whose output size is
+  independent of batch row count — and one small groupBy reduces
+  them. Partial sums are snapped to DECIMAL(28,10) before the final
+  sum, so centroids are accumulation-order independent (same
+  invariant as functions.expr.dsum) and every downstream assignment
+  is reproducible.
+- **Model state** (k × dim doubles) is the only thing collected to
+  the driver — standard for iterative ML on Spark; data never is.
+
+Initialization: k-means++ (D² sampling) over a deterministic
+hash-ordered sample, seeded numpy — fully reproducible. Lloyd's
+guarantees inertia is non-increasing per iteration; the registry
+query asserts that envelope instead of exact centroids (the
+iteration is not SQL-expressible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign_kernel(centroids):
+    """Build a mapInPandas function assigning each vector to its
+    nearest centroid (squared-L2). ``centroids`` is a (k, dim) numpy
+    array captured in the closure."""
+    import numpy as np
+
+    c = centroids
+    c_sq = (c * c).sum(axis=1)  # (k,)
+
+    def assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype("float64")  # (n, dim)
+            # |x-c|^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+            d = -2.0 * (m @ c.T) + c_sq  # (n, k)
+            pdf = pdf.copy()
+            pdf["cluster"] = d.argmin(axis=1).astype("int32")
+            pdf["min_d"] = (d.min(axis=1) + (m * m).sum(axis=1)).astype(
+                "float64"
+            )
+            yield pdf[["id", "cluster", "min_d"]]
+
+    return assign
+
+
+def _partial_sums_kernel(centroids, dim: int):
+    """Build a mapInPandas function emitting per-batch partial
+    (cluster, dim_idx, psum, pcount) rows — k×dim rows per batch
+    regardless of batch size (manual map-side combine)."""
+    import numpy as np
+    import pandas as pd
+
+    k = len(centroids)
+    assign = _assign_kernel(centroids)
+
+    def partials(batches):
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy()).astype("float64")
+            c = centroids
+            d = -2.0 * (m @ c.T) + (c * c).sum(axis=1)
+            lab = d.argmin(axis=1)
+            sums = np.zeros((k, dim), dtype="float64")
+            np.add.at(sums, lab, m)
+            counts = np.bincount(lab, minlength=k).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "cluster": np.repeat(np.arange(k, dtype="int32"), dim),
+                    "dim_idx": np.tile(np.arange(dim, dtype="int32"), k),
+                    "psum": sums.ravel(),
+                    "pcount": np.repeat(counts, dim),
+                }
+            )
+
+    return partials
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Run ``iters`` Lloyd's iterations; returns
+    ``(centroids ndarray (k, dim), inertia_per_iter list[float])``.
+
+    Inertia is computed for the assignment AGAINST the centroids of
+    that iteration (pre-update), so the list is non-increasing by
+    Lloyd's argument: the update step can only lower the summed
+    squared distance for the fixed assignment, and the next assignment
+    can only lower it further."""
+    import numpy as np
+
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    # k-means++ seeding on a deterministic sample: hash-order by id and
+    # take the first `sample_n` (TakeOrdered — a top-k, not a full
+    # sort), then D²-sample seeds in numpy with a fixed generator.
+    # Naive lowest-id init degenerates when adjacent ids are similar
+    # (all k seeds land in one cluster).
+    sample_n = max(10 * k, 256)
+    sample_rows = (
+        vecs.orderBy(F.md5(F.col("id").cast("string")), "id").limit(sample_n).collect()
+    )
+    sample = np.stack([np.asarray(r["v"], dtype="float64") for r in sample_rows])
+    rng = np.random.default_rng(0)
+    seeds = [sample[0]]
+    for _ in range(1, k):
+        d2 = np.min(
+            ((sample[:, None, :] - np.stack(seeds)[None, :, :]) ** 2).sum(axis=2),
+            axis=1,
+        )
+        total = d2.sum()
+        if total == 0:
+            seeds.append(sample[rng.integers(len(sample))])
+            continue
+        seeds.append(sample[rng.choice(len(sample), p=d2 / total)])
+    centroids = np.stack(seeds)
+    dim = centroids.shape[1]
+    inertia: list[float] = []
+    for _ in range(iters):
+        assigned = vecs.mapInPandas(
+            _assign_kernel(centroids), "id long, cluster int, min_d double"
+        )
+        it_inertia = assigned.agg(
+            F.sum(F.col("min_d").cast("decimal(28,10)")).cast("double")
+        ).collect()[0][0]
+        inertia.append(float(it_inertia))
+        partial = vecs.mapInPandas(
+            _partial_sums_kernel(centroids, dim),
+            "cluster int, dim_idx int, psum double, pcount long",
+        )
+        totals = (
+            partial.groupBy("cluster", "dim_idx")
+            .agg(
+                F.sum(F.col("psum").cast("decimal(28,10)")).cast("double").alias("s"),
+                F.sum("pcount").alias("n"),
+            )
+            .collect()
+        )
+        new_c = centroids.copy()
+        counts = np.zeros(k, dtype="int64")
+        for r in totals:
+            if r["n"] > 0:
+                # n is the cluster's total row count (repeated per dim)
+                new_c[r["cluster"], r["dim_idx"]] = r["s"] / r["n"]
+                counts[r["cluster"]] = r["n"]
+        # empty clusters keep their previous centroid
+        nz = counts > 0
+        centroids = np.where(nz[:, None], new_c, centroids)
+    return centroids, inertia
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Final assignment pass: (id, cluster, min_d) for fitted
+    centroids."""
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return vecs.mapInPandas(
+        _assign_kernel(centroids), "id long, cluster int, min_d double"
+    )

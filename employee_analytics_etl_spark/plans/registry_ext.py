@@ -1429,3 +1429,43 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(t(spark, sf_dir, "documents"))
     out = D.simhash_candidates(docs, "doc_id", "text", bits=60, bands=4, max_hamming=3)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "kmeans_embedding_clusters",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS all_assigned, TRUE AS k_bounded, TRUE AS inertia_monotone
+    FROM embeddings
+    """,
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 4 iterations) over the
+    embeddings table, bounds-style oracle.
+
+    The iteration is not SQL-expressible, so the query emits its
+    verifiable envelope: ``n_vectors`` (DuckDB re-derives the corpus
+    count) plus booleans asserting (a) every vector received exactly
+    one cluster, (b) at most k clusters were used, (c) per-iteration
+    inertia was non-increasing — the Lloyd's-convergence invariant,
+    which holds deterministically here because centroid sums are
+    snapped to DECIMAL(28,10) (accumulation-order independent, see
+    operators/clustering.py). Init: k-means++ over a deterministic
+    hash-ordered sample (seeded numpy — fully reproducible)."""
+    from ..operators import clustering as C
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, inertia = C.kmeans_fit(emb, k=8, iters=4)
+    monotone = all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+    assigned = C.kmeans_assign(emb, centroids)
+    stats = assigned.agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.countDistinct("cluster").alias("k_used"),
+    )
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return total.crossJoin(stats).select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (F.col("n_assigned") == F.col("n_vectors")).alias("all_assigned"),
+        (F.col("k_used") <= F.lit(8)).alias("k_bounded"),
+        F.lit(bool(monotone)).alias("inertia_monotone"),
+    )

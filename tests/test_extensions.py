@@ -652,3 +652,43 @@ class TestSimhashCandidates:
         # exact hamming agrees with the operator's verification column
         for (a, b), h in out.items():
             assert h == hamming(sigs[a], sigs[b])
+
+
+class TestKMeans:
+    def test_assignment_matches_numpy_and_inertia_monotone(self, spark):
+        import numpy as np
+        from employee_analytics_etl_spark.operators import clustering as C
+
+        rng = np.random.default_rng(7)
+        # three well-separated blobs in 8-dim
+        blobs = np.concatenate(
+            [rng.normal(loc, 0.1, size=(30, 8)) for loc in (-5.0, 0.0, 5.0)]
+        )
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(blobs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        centroids, inertia = C.kmeans_fit(df, k=3, iters=4)
+        assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+
+        out = C.kmeans_assign(df, centroids).collect()
+        assert len(out) == len(rows)
+        got = {r["id"]: r["cluster"] for r in out}
+        d = ((blobs[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        expect = d.argmin(axis=1)
+        assert all(got[i] == expect[i] for i in range(len(rows)))
+        # well-separated blobs must be fully recovered: 3 clusters of 30
+        sizes = sorted(
+            np.bincount([got[i] for i in range(len(rows))], minlength=3)
+        )
+        assert sizes == [30, 30, 30]
+
+    def test_fit_deterministic_across_runs(self, spark):
+        import numpy as np
+        from employee_analytics_etl_spark.operators import clustering as C
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+
+        emb = read_parquet_table(spark, SF_SMOKE, "embeddings")
+        c1, i1 = C.kmeans_fit(emb, k=4, iters=3)
+        c2, i2 = C.kmeans_fit(emb, k=4, iters=3)
+        assert np.array_equal(c1, c2)
+        assert i1 == i2

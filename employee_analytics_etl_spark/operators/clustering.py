@@ -178,3 +178,37 @@ def kmeans_assign(
     return vecs.mapInPandas(
         _assign_kernel(centroids), "id long, cluster int, min_d double"
     )
+
+
+def cluster_quota_sample(
+    assigned: DataFrame,
+    per_cluster: int = 20,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic per-cluster quota sample: keep the ``per_cluster``
+    lowest rows per cluster in md5(id) hash order (a pure function of
+    the data — no seed, engine-independent).
+
+    Skew-safe two-phase top-K: with k clusters in the single digits, a
+    single window partitioned by cluster would funnel the whole corpus
+    through k reducers. Phase 1 ranks within (cluster, salt) — salt =
+    hash(id) mod ``salt_buckets`` — and keeps ≤ per_cluster rows per
+    salted group, so no reducer sees more than its partition's share;
+    phase 2 re-ranks the ≤ per_cluster·salt_buckets survivors per
+    cluster. Top-K by a total order is distributive, so the result is
+    identical to the naive single-window form."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(F.hash(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(cluster_col, salt).orderBy(key, F.col(id_col))
+    w2 = Window.partitionBy(cluster_col).orderBy(key, F.col(id_col))
+    return (
+        assigned.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_cluster)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= per_cluster)
+        .drop("_r1")
+    )

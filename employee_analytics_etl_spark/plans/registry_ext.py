@@ -1469,3 +1469,63 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k_used") <= F.lit(8)).alias("k_bounded"),
         F.lit(bool(monotone)).alias("inertia_monotone"),
     )
+
+
+@query(
+    "kmeans_diversity_sample",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS quota_ok, TRUE AS coverage_ok, TRUE AS subset_ok
+    FROM embeddings
+    """,
+)
+def kmeans_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling — the curation use k-means
+    exists for: fit k=8 clusters, then keep ≤ 20 vectors per cluster
+    (deterministic md5-order quota via the skew-safe two-phase top-K).
+
+    Bounds-style oracle: ``n_vectors`` re-derived by DuckDB; booleans
+    assert (a) no cluster exceeded its quota, (b) every cluster
+    contributed exactly least(cluster_size, quota) rows — the sample
+    covers all occupied clusters, (c) every sampled id exists in the
+    corpus exactly once (inner-join count equality)."""
+    from ..operators import clustering as C
+
+    quota = 20
+    emb = t(spark, sf_dir, "embeddings")
+    centroids, _ = C.kmeans_fit(emb, k=8, iters=4)
+    assigned = C.kmeans_assign(emb, centroids)
+    sample = C.cluster_quota_sample(assigned, per_cluster=quota)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_in_cluster"))
+    per_cluster = (
+        sample.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(sizes, "cluster")
+        .agg(
+            F.max("n_sampled").alias("max_sampled"),
+            F.min(
+                (
+                    F.col("n_sampled")
+                    == F.least(F.col("n_in_cluster"), F.lit(quota))
+                ).cast("int")
+            ).alias("all_covered"),
+        )
+    )
+    matched = (
+        sample.select("id")
+        .join(emb.select(F.col("vec_id").alias("id")), "id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    n_sampled = sample.agg(F.count(F.lit(1)).alias("n_sampled_total"))
+    total = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        total.crossJoin(per_cluster)
+        .crossJoin(matched)
+        .crossJoin(n_sampled)
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (F.col("max_sampled") <= F.lit(quota)).alias("quota_ok"),
+            (F.col("all_covered") == 1).alias("coverage_ok"),
+            (F.col("n_matched") == F.col("n_sampled_total")).alias("subset_ok"),
+        )
+    )

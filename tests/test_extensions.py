@@ -692,3 +692,23 @@ class TestKMeans:
         c2, i2 = C.kmeans_fit(emb, k=4, iters=3)
         assert np.array_equal(c1, c2)
         assert i1 == i2
+
+    def test_quota_sample_two_phase_equals_naive(self, spark):
+        import numpy as np
+        from pyspark.sql.window import Window
+        from employee_analytics_etl_spark.operators import clustering as C
+
+        rng = np.random.default_rng(3)
+        rows = [(int(i), int(rng.integers(0, 3))) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, cluster int")
+        two_phase = C.cluster_quota_sample(df, per_cluster=7, salt_buckets=8)
+        w = Window.partitionBy("cluster").orderBy(
+            F.md5(F.col("id").cast("string")), F.col("id")
+        )
+        naive = (
+            df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= 7)
+        )
+        a = sorted((r["id"], r["cluster"], r["sample_rank"]) for r in two_phase.collect())
+        b = sorted((r["id"], r["cluster"], r["sample_rank"]) for r in naive.collect())
+        assert a == b and len(a) == 21

@@ -227,7 +227,11 @@ def main() -> None:
     # Queries whose PLAN CONSTRUCTION executes Spark jobs (iterative
     # label propagation materializes eager checkpoints) — audited for
     # results elsewhere, skipped here to keep the audit static.
-    exclude = {"dedup_clusters", "kmeans_embedding_clusters"}
+    exclude = {
+        "dedup_clusters",
+        "kmeans_embedding_clusters",
+        "kmeans_diversity_sample",
+    }
     # default: audit EVERY registry query — headline+extra carry the
     # targeted pushdown/broadcast/budget assertions, the rest get the
     # universal checks (no cross products, codegen present).

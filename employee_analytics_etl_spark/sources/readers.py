@@ -101,6 +101,19 @@ def read_json_table(
     return df
 
 
+def read_orc_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC scan (columnar sibling of parquet; Spark-native reader with
+    the same pushdown/pruning machinery — `PushedFilters` and pruned
+    `ReadSchema` appear in the plan exactly as for parquet). An
+    explicit ``schema`` pins types when provided; otherwise ORC's own
+    file metadata supplies them (no inference pass — ORC is
+    self-describing, unlike CSV/JSON)."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def load_sf_tables(
     spark: SparkSession, sf_dir: str, tables: list[str] | None = None
 ) -> dict[str, DataFrame]:

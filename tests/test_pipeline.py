@@ -133,3 +133,32 @@ class TestJsonSource:
         a = sorted(map(tuple, pq.select(cols).collect()))
         b = sorted(map(tuple, js.select(cols).collect()))
         assert a == b
+
+
+class TestOrcRoundtrip:
+    def test_orc_roundtrip_and_pushdown(self, spark, tmp_path):
+        from employee_analytics_etl_spark.sources.readers import (
+            read_orc_table,
+            read_parquet_table,
+        )
+        from employee_analytics_etl_spark.sources.sinks import write_orc
+        from tests.conftest import SF_SMOKE
+
+        src = read_parquet_table(spark, SF_SMOKE, "orders")
+        path = str(tmp_path / "orders_orc")
+        write_orc(src, path, partition_by=["o_orderstatus"])
+
+        back = read_orc_table(spark, path)
+        assert back.count() == src.count()
+        a = sorted(map(tuple, src.select("o_orderkey", "o_totalprice").collect()))
+        b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+        assert a == b
+
+        # filters reach the ORC scan: both a partition filter and a
+        # pushed data filter appear in the physical plan
+        q = back.filter(
+            (back.o_orderstatus == "F") & (back.o_orderkey > 100)
+        ).select("o_orderkey")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "o_orderkey" in plan
+        assert q.count() > 0

@@ -192,7 +192,7 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -200,10 +200,10 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: concat each band's minhashes into a bucket key;
-    documents sharing any (band, bucket) become candidate pairs
-    (id_a < id_b, distinct). This is the linear-cost candidate
-    generator the exact Jaccard verifier then confirms."""
+    """(id, band, bucket) LSH band table — the persistable index form.
+    At scale this is what you write ``write_bucketed`` on (band,
+    bucket) so that tomorrow's delta joins it with zero base-side
+    exchange; see ``minhash_incremental_candidates``."""
     assert num_hashes % rows_per_band == 0
     wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
@@ -218,8 +218,25 @@ def minhash_lsh_candidates(
             for b in range(n_bands)
         ]
     )
-    per_band = wide.select("id", F.explode(bands).alias("bb")).select(
+    return wide.select("id", F.explode(bands).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: concat each band's minhashes into a bucket key;
+    documents sharing any (band, bucket) become candidate pairs
+    (id_a < id_b, distinct). This is the linear-cost candidate
+    generator the exact Jaccard verifier then confirms."""
+    per_band = minhash_band_rows(
+        df, id_col, text_col, num_hashes, rows_per_band, shingle_n
     )
     # groupBy + pair-explode instead of a bucket self-join: one shuffle
     # of (band, bucket) keys, and singleton buckets vanish in the
@@ -236,6 +253,56 @@ def minhash_lsh_candidates(
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_incremental_candidates(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental LSH maintenance: candidate pairs TOUCHING the delta
+    only — hash the delta, never re-mine the base corpus.
+
+    The operational dedup shape at scale: the base band table is a
+    persisted artifact (``minhash_band_rows`` written ``write_bucketed``
+    on (band, bucket)); a daily delta only (a) hashes its own
+    documents, (b) equi-joins the base index on (band, bucket) for
+    delta-vs-base pairs — zero base-side exchange when the index is
+    bucketed — and (c) runs the ordinary bucket pair-explode on
+    itself for delta-vs-delta pairs. Output is exactly
+    ``minhash_lsh_candidates(base ∪ delta)`` restricted to pairs with
+    ≥ 1 delta member (asserted by test and by the registry query's
+    exact DuckDB oracle), with ids normalized to id_a < id_b."""
+    d_bands = minhash_band_rows(
+        delta, id_col, text_col, num_hashes, rows_per_band, shingle_n
+    )
+    b_bands = minhash_band_rows(
+        base, id_col, text_col, num_hashes, rows_per_band, shingle_n
+    )
+    cross = (
+        d_bands.alias("d")
+        .join(b_bands.alias("b"), ["band", "bucket"])
+        .select(
+            F.least(F.col("d.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("d.id"), F.col("b.id")).alias("id_b"),
+        )
+    )
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    delta_self = (
+        d_bands.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    )
+    return cross.unionByName(delta_self).distinct()
 
 
 def simhash_signatures(

@@ -1529,3 +1529,42 @@ def kmeans_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_matched") == F.col("n_sampled_total")).alias("subset_ok"),
         )
     )
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS m
+      FROM sh, UNNEST(range(0, 8)) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             MIN(CASE WHEN seed % 2 = 0 THEN m END)
+             || MIN(CASE WHEN seed % 2 = 1 THEN m END) AS bucket
+      FROM mh GROUP BY id, seed // 2
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    WHERE a.id % 10 = 0 OR b.id % 10 = 0
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH-index maintenance: documents with doc_id % 10
+    == 0 play the daily delta, the rest the persisted base corpus.
+    Only the delta is hashed fresh; delta-vs-base pairs come from an
+    equi-join against the base band table (bucketable → zero base-side
+    exchange in production), delta-vs-delta from the ordinary bucket
+    pair-explode. The EXACT oracle recomputes full-corpus LSH in
+    DuckDB and restricts to pairs touching the delta — proving
+    incremental ≡ full recompute, not just plausible."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    return D.minhash_incremental_candidates(
+        delta, base, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3
+    )

@@ -712,3 +712,24 @@ class TestKMeans:
         a = sorted((r["id"], r["cluster"], r["sample_rank"]) for r in two_phase.collect())
         b = sorted((r["id"], r["cluster"], r["sample_rank"]) for r in naive.collect())
         assert a == b and len(a) == 21
+
+
+class TestIncrementalMinhash:
+    def test_incremental_equals_full_restricted(self, spark):
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+
+        docs = read_parquet_table(spark, SF_SMOKE, "documents")
+        delta = docs.filter(F.col("doc_id") % 7 == 0)
+        base = docs.filter(F.col("doc_id") % 7 != 0)
+        inc = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_incremental_candidates(delta, base).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_candidates(docs).collect()
+        }
+        touching = {p for p in full if p[0] % 7 == 0 or p[1] % 7 == 0}
+        assert inc == touching
+        # and the delta never re-derives base-only pairs
+        assert not any(a % 7 != 0 and b % 7 != 0 for a, b in inc)

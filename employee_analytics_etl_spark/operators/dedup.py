@@ -255,6 +255,65 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_band_rows_stateless(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) band rows computed entirely per-row — the
+    signature is ``array_min(transform(shingles, md5(seed:s)))`` over
+    the in-row shingle array instead of a groupBy over exploded
+    shingle rows. Bit-identical to ``minhash_band_rows`` (min over a
+    multiset equals min over its set; same md5 family), but with ZERO
+    aggregation: safe inside a Structured Streaming micro-batch (no
+    stateful operator before the index join) and zero-shuffle in
+    batch. The explode emits n_bands skinny rows per document."""
+    assert num_hashes % rows_per_band == 0
+    n = shingle_n
+    grams = (
+        f"CASE WHEN size(_tk) >= {n} THEN "
+        f"transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
+        f"ELSE array() END"
+    )
+    sigs = [
+        F.expr(
+            f"array_min(transform(_sh, x -> md5(concat('{s}', ':', x))))"
+        ).alias(f"m{s}")
+        for s in range(num_hashes)
+    ]
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(
+                    *[F.col(f"m{b * rows_per_band + p}") for p in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+            ).alias("_tk"),
+        )
+        .select("id", F.expr(grams).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("id", *sigs)
+        .select("id", F.explode(bands).alias("bb"))
+        .select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
+
+
 def minhash_incremental_candidates(
     delta: DataFrame,
     base: DataFrame,

@@ -2335,3 +2335,54 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("o_custkey").alias("n_customers"))
     )
+
+
+@query(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH hb AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    cnt AS (SELECT user_id, h, COUNT(*) AS c FROM hb GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hb GROUP BY 1),
+    spine AS (
+      SELECT user_id, u.h FROM span, UNNEST(generate_series(mn, mx)) AS u(h)
+    )
+    SELECT s.user_id, CAST(s.h AS BIGINT) AS hour_idx,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN cnt c ON s.user_id = c.user_id AND s.h = c.h
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-resample each user's event stream to an hourly spine with
+    zero-filled gaps — the standard time-series regularization before
+    rolling models. Integer hour index (unix_micros DIV 3600e6): no
+    float bucket math, engine-exact.
+
+    Scale shape: the spine comes from per-user min/max + `sequence`
+    explode — output is bounded by Σ user spans, never a cross join
+    against a global calendar; counts and spine co-shuffle on
+    (user_id) so the gap-fill left join is a same-key merge. A global
+    calendar spine would also broadcast, but per-user spans avoid
+    emitting rows outside a user's active window entirely."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+    )
+    cnt = e.groupBy("user_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+        )
+    )
+    return (
+        spine.join(cnt, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour_idx"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )

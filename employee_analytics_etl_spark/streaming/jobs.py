@@ -253,3 +253,33 @@ def enriched_segment_counts_stream(
         .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
     )
+
+
+def near_dup_flag_stream(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
+    """Stream-static near-dup screen: flag incoming documents whose
+    MinHash band buckets collide with a static base-corpus LSH index
+    (``operators.dedup.minhash_band_rows``, persisted and bucketable).
+
+    The stream side uses the STATELESS band computation
+    (``minhash_band_rows_stateless`` — per-row array_min signatures,
+    no aggregation), so the only operator touching streaming state is
+    nothing at all: banding is a projection, the index join is
+    stream-static (re-planned per micro-batch, so a nightly index
+    rebuild is picked up for free), and the output is one collision
+    row per (doc, band) hit carrying the matched base doc for
+    explainability. Downstream either dedups with
+    dropDuplicatesWithinWatermark or routes to the exact Jaccard
+    verifier — same generate→verify split as batch."""
+    from ..operators.dedup import minhash_band_rows_stateless
+
+    stream_bands = minhash_band_rows_stateless(docs)
+    idx = base_bands.select(
+        "band", "bucket", F.col("id").alias("base_id")
+    )
+    return (
+        stream_bands.join(F.broadcast(idx), ["band", "bucket"])
+        .filter(F.col("id") != F.col("base_id"))
+        .select(
+            F.col("id").alias("doc_id"), "band", "bucket", "base_id"
+        )
+    )

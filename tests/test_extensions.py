@@ -733,3 +733,13 @@ class TestIncrementalMinhash:
         assert inc == touching
         # and the delta never re-derives base-only pairs
         assert not any(a % 7 != 0 and b % 7 != 0 for a, b in inc)
+
+
+class TestStatelessBandRows:
+    def test_stateless_equals_grouped(self, spark):
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+
+        docs = read_parquet_table(spark, SF_SMOKE, "documents")
+        a = sorted(map(tuple, D.minhash_band_rows(docs).collect()))
+        b = sorted(map(tuple, D.minhash_band_rows_stateless(docs).collect()))
+        assert a == b and len(a) > 0

@@ -247,3 +247,43 @@ class TestLateDataDrop:
         assert by_window[h13] == 3
         # 16:00 window not yet finalized (watermark 14:00) → absent
         assert h16 not in by_window
+
+
+class TestStreamingNearDup:
+    def test_stream_flags_match_batch_incremental(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.operators import dedup as D
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+        from employee_analytics_etl_spark.streaming.jobs import near_dup_flag_stream
+        from tests.conftest import SF_SMOKE
+
+        docs = read_parquet_table(spark, SF_SMOKE, "documents")
+        delta = docs.filter(F.col("doc_id") % 10 == 0)
+        base = docs.filter(F.col("doc_id") % 10 != 0)
+        base_bands = D.minhash_band_rows(base)
+
+        src = str(tmp_path_factory.mktemp("doc_stream"))
+        delta.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.format("parquet").schema(delta.schema).load(src)
+
+        got = run_to_memory(
+            near_dup_flag_stream(stream, base_bands),
+            "t_neardup",
+            spark,
+            output_mode="append",
+        )
+        flagged = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+        # batch truth: delta docs appearing in any delta-vs-base
+        # incremental candidate pair
+        pairs = D.minhash_incremental_candidates(delta, base).collect()
+        delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+        base_truth = set()
+        for r in pairs:
+            a, b = r["id_a"], r["id_b"]
+            if a in delta_ids and b not in delta_ids:
+                base_truth.add(a)
+            elif b in delta_ids and a not in delta_ids:
+                base_truth.add(b)
+        assert flagged == base_truth

@@ -1568,3 +1568,120 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_incremental_candidates(
         delta, base, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3
     )
+
+
+@query(
+    "doc_mixture_resample",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS p_valid, TRUE AS rate_ok
+    FROM documents GROUP BY source
+    """,
+)
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture resampling (τ = 0.5): target share
+    ∝ share^τ flattens the source distribution; each source keeps
+    docs deterministically where md5(doc_id)-fraction < p_source, with
+    p = min(1, target_share / share) — downsample-only, no
+    duplication. τ = 0.5 is computed via sqrt (IEEE correctly-rounded)
+    — but cross-engine float thresholds can still flip borderline
+    rows, so the oracle is bounds-style: per-source ``n_docs`` is
+    re-derived exactly by DuckDB, and booleans assert p ∈ [0, 1] and
+    that the realized keep-rate lands within ±0.08 of p (md5 hashing
+    is uniform; the check is deterministic, the margin covers the
+    binomial spread at the smallest per-source counts).
+
+    Scale shape: one groupBy(source) for the stats; the per-source p
+    table (a handful of rows) broadcasts back onto the corpus — the
+    documents table itself never shuffles."""
+    docs = t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars").cast("double") / F.sum("total_chars").over(w)
+    tgt = F.sqrt(share) / F.sum(F.sqrt(share)).over(w)
+    rates = per_src.select(
+        "source", "n_docs", F.least(F.lit(1.0), tgt / share).alias("p_keep")
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    kept = (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("p_keep").alias("p_keep"),
+            F.sum((frac < F.col("p_keep")).cast("long")).alias("n_kept"),
+        )
+    )
+    realized = F.col("n_kept").cast("double") / F.col("n_docs")
+    return kept.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        ((F.col("p_keep") >= 0.0) & (F.col("p_keep") <= 1.0)).alias("p_valid"),
+        (F.abs(realized - F.col("p_keep")) <= 0.08).alias("rate_ok"),
+    )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id AS id, scale,
+           CAST(list_sum(list_transform(v, x -> CAST(floor(x / scale + 0.5)
+                                                     AS BIGINT))) AS BIGINT)
+             AS q_checksum,
+           list_max(list_transform(v,
+             x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT) * scale - x)))
+             <= scale * 0.5 + 1e-12 AS err_bounded,
+           list_max(list_transform(v,
+             x -> abs(CAST(floor(x / scale + 0.5) AS BIGINT)))) <= 127
+             AS range_ok
+    FROM q WHERE scale > 0
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embeddings table with an
+    EXACT oracle: the integer code checksum and scale are value-hash
+    compared (floor(x/scale + 0.5) is IEEE-exact in both engines —
+    round() is not, its tie rule is engine-defined), and booleans pin
+    the ≤ scale/2 reconstruction-error bound and the int8 code range.
+    Zero-scale (all-zero) vectors are excluded on both sides."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.int8_quantize(emb, "vec_id", "embedding")
+    err = F.array_max(
+        F.zip_with(
+            F.col("q"),
+            F.col("_v"),
+            lambda qi, xi: F.abs(qi * F.col("scale") - xi),
+        )
+    )
+    rng = F.array_max(F.transform(F.col("q"), lambda qi: F.abs(qi)))
+    return (
+        out.join(
+            emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("_v"),
+            ),
+            "id",
+        )
+        .filter(F.col("scale") > 0)
+        .select(
+            "id",
+            "scale",
+            "q_checksum",
+            (err <= F.col("scale") * 0.5 + 1e-12).alias("err_bounded"),
+            (rng <= 127).alias("range_ok"),
+        )
+    )

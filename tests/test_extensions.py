@@ -743,3 +743,25 @@ class TestStatelessBandRows:
         a = sorted(map(tuple, D.minhash_band_rows(docs).collect()))
         b = sorted(map(tuple, D.minhash_band_rows_stateless(docs).collect()))
         assert a == b and len(a) > 0
+
+
+class TestInt8Quantize:
+    def test_roundtrip_error_and_edge_cases(self, spark):
+        rows = [
+            (1, [1.0, -0.5, 0.25, 127.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+            (3, [-2.0, 2.0, 1.0, -1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {r["id"]: r for r in S.int8_quantize(df).collect()}
+        assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+        for rid, vec in [(1, rows[0][1]), (3, rows[2][1])]:
+            r = out[rid]
+            s = r["scale"]
+            assert all(abs(q) <= 127 for q in r["q"])
+            assert all(
+                abs(q * s - x) <= s * 0.5 + 1e-12 for q, x in zip(r["q"], vec)
+            )
+            assert r["q_checksum"] == sum(r["q"])
+        # max-magnitude element maps to exactly +/-127
+        assert out[1]["q"][3] == 127 and out[3]["q"][0] == -127

@@ -765,3 +765,29 @@ class TestInt8Quantize:
             assert r["q_checksum"] == sum(r["q"])
         # max-magnitude element maps to exactly +/-127
         assert out[1]["q"][3] == 127 and out[3]["q"][0] == -127
+
+    def test_random_sweep_invariants(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        vecs = [
+            list(map(float, rng.normal(0, 10.0 ** int(rng.integers(-6, 6)), size=8)))
+            for _ in range(200)
+        ]
+        vecs += [[0.0] * 8, [1e-300] * 8, [-1e12, 1e12] * 4]
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = S.int8_quantize(df).collect()
+        assert len(out) == len(vecs)
+        for r in out:
+            v = vecs[r["id"]]
+            s = r["scale"]
+            assert all(abs(q) <= 127 for q in r["q"])
+            assert r["q_checksum"] == sum(r["q"])
+            if s == 0.0:
+                assert all(q == 0 for q in r["q"])
+            else:
+                assert all(
+                    abs(q * s - x) <= s * 0.5 + 1e-9 * abs(x)
+                    for q, x in zip(r["q"], v)
+                )

@@ -2386,3 +2386,39 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+@query(
+    "events_last_purchase_ffill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS last_purchase_value
+    FROM events
+    """,
+)
+def events_last_purchase_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward) imputation:
+    every event carries the user's most recent purchase value, NULL
+    before the first purchase. The standard sparse-metric densifier
+    for sessionized feature building.
+
+    One shuffle on user_id, a single running window pass over a TOTAL
+    order (ts, event_id) — the house tie-break invariant, so the fill
+    is deterministic even with equal timestamps. `last(..,
+    ignorenulls)` over rowsBetween(unboundedPreceding, current) is the
+    codegen'd LOCF primitive; no self-join, no as-of re-derivation."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )

@@ -352,22 +352,28 @@ def knn_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = S.brute_force_topk_vectorized(queries, emb, k=5)
     n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
-    hits = lsh.join(
-        exact.select("query_id", "neighbor_id"),
+    # single evaluation of the LSH subtree: flag hits with a left join,
+    # then one two-level aggregation produces every envelope stat
+    flagged = lsh.join(
+        exact.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
         ["query_id", "neighbor_id"],
-        "left_semi",
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-    per_q = (
-        lsh.groupBy("query_id")
+        "left",
+    )
+    stats = (
+        flagged.groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_per_q"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits_q"),
             F.max((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias("s"),
         )
-        .agg(F.max("n_per_q").alias("max_per_q"), F.max("s").alias("any_self"))
+        .agg(
+            F.sum("hits_q").alias("n_hits"),
+            F.max("n_per_q").alias("max_per_q"),
+            F.max("s").alias("any_self"),
+        )
     )
     return (
-        n_q.crossJoin(hits)
-        .crossJoin(per_q)
+        n_q.crossJoin(stats)
         .select(
             F.col("n_queries").cast("long").alias("n_queries"),
             (F.col("n_hits") >= 0.2 * 5 * F.col("n_queries")).alias("recall_ok"),

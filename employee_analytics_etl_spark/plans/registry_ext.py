@@ -1691,3 +1691,69 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rng <= 127).alias("range_ok"),
         )
     )
+
+
+@query(
+    "knn_brp_euclidean",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS pairs_verified, TRUE AS has_pairs
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def knn_brp_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib interop: BucketedRandomProjectionLSH (Euclidean) approx
+    similarity join of the query subset against the corpus at distance
+    threshold 1.2 (the observed p01–p05 band of the pair-distance
+    distribution, so each query keeps a thin true-neighbor slice).
+
+    Seeded and deterministic; the hash choice itself is not
+    SQL-expressible, so the envelope is bounds-style: ``n_queries`` is
+    re-derived by DuckDB; booleans assert every returned pair's exact
+    distance (recomputed from the raw arrays with a sequential-fold
+    sqrt-sum) both stays under the threshold and agrees with MLlib's
+    reported distCol to 1e-9 — i.e. the approx join returns only true
+    sub-threshold pairs — and that the join is non-degenerate (≥ 1
+    pair at every SF)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("arr")
+    ).withColumn("v", array_to_vector("arr"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    brp = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0,
+        numHashTables=4, seed=42,
+    )
+    model = brp.fit(emb)
+    joined = (
+        model.approxSimilarityJoin(queries, emb, 1.2, distCol="dist")
+        .filter(F.col("datasetA.vec_id") != F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.arr").alias("qa"),
+            F.col("datasetB.arr").alias("ca"),
+            "dist",
+        )
+    )
+    exact = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qa"), F.col("ca"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(
+            ((exact <= 1.2 + 1e-9) & (F.abs(exact - F.col("dist")) <= 1e-9)).cast(
+                "int"
+            )
+        ).alias("all_ok"),
+    )
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return n_q.crossJoin(stats).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.coalesce(F.col("all_ok"), F.lit(1)) == 1).alias("pairs_verified"),
+        (F.col("n_pairs") >= 1).alias("has_pairs"),
+    )

@@ -231,6 +231,7 @@ def main() -> None:
         "dedup_clusters",
         "kmeans_embedding_clusters",
         "kmeans_diversity_sample",
+        "knn_brp_euclidean",  # MLlib fit() runs jobs at plan build
     }
     # default: audit EVERY registry query — headline+extra carry the
     # targeted pushdown/broadcast/budget assertions, the rest get the

@@ -230,3 +230,75 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() * 2 <= target:
         return df.repartition(target)
     return df
+
+
+def morton_code(col_a, col_b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative integer
+    columns into a Z-order (Morton) code — pure integer shift/mask
+    expressions, codegen'd, engine-exact.
+
+    Sorting or range-partitioning data by this code clusters rows that
+    are close in BOTH dimensions into the same files, so min/max
+    zone-maps prune multi-column range predicates — the data-layout
+    analogue of a composite index, and the standard lakehouse
+    Z-ORDER. 16+16 bits cover ~65k distinct values per dimension;
+    bucket/scale wider domains first."""
+    from pyspark.sql import functions as F
+
+    def spread(c):
+        # classic bit-spread: insert a zero between every bit
+        x = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))
+        x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x55555555))
+        return x
+
+    return spread(col_a).bitwiseOR(F.shiftleft(spread(col_b), 1))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write parquet Z-ordered on (col_a, col_b): range-partition by
+    the Morton code (balanced file sizes via range exchange, not hash)
+    and sort within partitions, so every file covers a compact 2-D
+    tile and parquet row-group zone-maps prune on EITHER column.
+
+    Both columns are min-max scaled to the full ``bits`` domain before
+    interleaving — raw interleave is worthless when domains differ in
+    magnitude (the wider column's high bits dominate the curve and the
+    narrow column never clusters; observed: a thin predicate on the
+    narrow column hit ALL files). The 4 scale constants come from one
+    tiny driver-side agg — a write-time op reads the data anyway."""
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(c, lo, hi):
+        if hi == lo:
+            return F.lit(0)
+        return ((c.cast("double") - F.lit(float(lo)))
+                * F.lit(float(top)) / F.lit(float(hi - lo))).cast("long")
+
+    z = morton_code(
+        scaled(F.col(col_a), lo_a, hi_a),
+        scaled(F.col(col_b), lo_b, hi_b),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

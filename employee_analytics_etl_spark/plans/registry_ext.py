@@ -1757,3 +1757,53 @@ def knn_brp_euclidean(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("all_ok"), F.lit(1)) == 1).alias("pairs_verified"),
         (F.col("n_pairs") >= 1).alias("has_pairs"),
     )
+
+
+@query(
+    "orders_morton_code",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             o_custkey & 65535 AS a,
+             (epoch_us(o_orderdate) // 86400000000) & 65535 AS b
+      FROM orders
+    ),
+    sp AS (
+      SELECT o_orderkey, a, b,
+        ((((((a | (a << 8)) & 16711935) | (((a | (a << 8)) & 16711935) << 4))
+            & 252645135)
+          | ((((((a | (a << 8)) & 16711935)
+                | (((a | (a << 8)) & 16711935) << 4)) & 252645135) << 2))
+         ) & 858993459) AS pa2,
+        ((((((b | (b << 8)) & 16711935) | (((b | (b << 8)) & 16711935) << 4))
+            & 252645135)
+          | ((((((b | (b << 8)) & 16711935)
+                | (((b | (b << 8)) & 16711935) << 4)) & 252645135) << 2))
+         ) & 858993459) AS pb2
+      FROM s
+    )
+    SELECT o_orderkey,
+           CAST(((pa2 | (pa2 << 1)) & 1431655765)
+                | (((pb2 | (pb2 << 1)) & 1431655765) << 1) AS BIGINT)
+             AS morton
+    FROM sp
+    """,
+)
+def orders_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave over (custkey, orderdate-day) —
+    the bit-spread primitive behind `write_zordered`, which range-
+    partitions and sorts by this code so parquet zone-maps prune
+    range predicates on EITHER column (the data-layout analogue of a
+    composite index). Pure integer shift/mask expressions; the oracle
+    re-derives the interleave bit-for-bit. NB the write path min-max
+    scales both columns to the bit domain first — raw interleave of
+    unequal domains lets the wider column's high bits dominate the
+    curve (tested: the narrow column then never clusters)."""
+    from ..operators.partitioning import morton_code
+
+    o = t(spark, sf_dir, "orders")
+    day = F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    return o.select(
+        "o_orderkey",
+        morton_code(F.col("o_custkey"), day, bits=16).alias("morton"),
+    )

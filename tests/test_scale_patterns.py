@@ -303,3 +303,70 @@ class TestUpsert:
         assert after_untouched
         for f in after_untouched:
             assert f in before and os.path.getmtime(f) == before[f]
+
+
+class TestZOrder:
+    def test_zorder_tiles_prune_on_both_columns(self, spark, tmp_path_factory):
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.operators.partitioning import (
+            write_zordered,
+        )
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+        from tests.conftest import SF_SMOKE
+
+        o = read_parquet_table(spark, SF_SMOKE, "orders").withColumn(
+            "o_day",
+            F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"),
+        )
+        naive = str(tmp_path_factory.mktemp("naive"))
+        zord = str(tmp_path_factory.mktemp("zord"))
+        # naive layout: range-partitioned by orderkey (the typical
+        # ingest order) — custkey/day spread across every file
+        o.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(naive)
+        write_zordered(o, zord, "o_custkey", "o_day", num_files=8)
+
+        def files_overlapping(path, col, lo, hi):
+            total, hit = 0, 0
+            for f in glob.glob(f"{path}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                mn = min(
+                    md.row_group(i).column(
+                        next(
+                            j
+                            for j in range(md.num_columns)
+                            if md.row_group(i).column(j).path_in_schema == col
+                        )
+                    ).statistics.min
+                    for i in range(md.num_row_groups)
+                )
+                mx = max(
+                    md.row_group(i).column(
+                        next(
+                            j
+                            for j in range(md.num_columns)
+                            if md.row_group(i).column(j).path_in_schema == col
+                        )
+                    ).statistics.max
+                    for i in range(md.num_row_groups)
+                )
+                total += 1
+                if not (mx < lo or mn > hi):
+                    hit += 1
+            return hit, total
+
+        # a thin band predicate — at the 25th percentile, NOT the
+        # median: the median sits exactly on the curve's top-bit
+        # boundary, which every tile borders
+        ck = [r[0] for r in o.agg(F.expr("percentile(o_custkey, 0.25)")).collect()]
+        band = (int(ck[0]) - 5, int(ck[0]) + 5)
+        naive_hit, naive_total = files_overlapping(naive, "o_custkey", *band)
+        z_hit, z_total = files_overlapping(zord, "o_custkey", *band)
+        assert naive_total == z_total == 8
+        # ingest-ordered files ALL overlap the custkey band; Z-order
+        # confines it to a strict subset of tiles
+        assert naive_hit == naive_total
+        assert z_hit < z_total

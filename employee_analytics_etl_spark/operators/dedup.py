@@ -1,5 +1,6 @@
 """Deduplication operators (extension tier): exact, keyed, n-gram
-Jaccard, MinHash-LSH, SimHash.
+Jaccard, MinHash-LSH (full + incremental index maintenance), SimHash
+(signatures + banded candidate pairs), transitive clusters.
 
 Scale design:
 - **Exact dedup** groups on a content hash (md5), never on the raw

@@ -1807,3 +1807,39 @@ def orders_morton_code(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         morton_code(F.col("o_custkey"), day, bits=16).alias("morton"),
     )
+
+
+@query(
+    "corpus_summary_stats",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dup_docs,
+           CAST(SUM(CASE WHEN strlen(text) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY source
+    """,
+)
+def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus data card: volume, language spread, exact-dup
+    excess (docs beyond one per distinct content hash), empties, and
+    length extremes — the at-a-glance table a curation run starts
+    from. One groupBy(source) pass; the dup excess rides the same
+    aggregate via count_distinct(md5), no second shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
+        F.sum((F.length("text") == 0).cast("int")).cast("long").alias("n_empty"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )

@@ -1843,3 +1843,45 @@ def corpus_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+@query(
+    "bpe_merge_table",
+    oracle="""
+    SELECT CAST(u.r AS INT) AS rank, TRUE AS pair_wellformed,
+           TRUE AS count_positive, TRUE AS count_nonincreasing
+    FROM UNNEST(range(1, 9)) AS u(r)
+    """,
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges learned from the documents corpus
+    (operators/bpe.py: one corpus pass builds the word-freq dict;
+    every iteration runs on the dict). Bounds-style oracle: ranks are
+    re-derived; booleans assert each merge pairs two non-empty
+    symbols, carries a positive weighted count, and that counts are
+    non-increasing in learned order (a BPE invariant: a merge only
+    removes occurrences of existing pairs, and pairs created around
+    the new symbol inherit at most its count). The exact merge
+    sequence is pinned against an independent pure-Python reference
+    BPE in pytest."""
+    from ..operators import bpe as B
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    merges, _ = B.bpe_train(B.word_freqs(docs), n_merges=8)
+    prev = float("inf")
+    rows = []
+    for i, (left, right, cnt) in enumerate(merges, start=1):
+        rows.append(
+            (
+                i,
+                bool(left) and bool(right),
+                cnt > 0,
+                cnt <= prev,
+            )
+        )
+        prev = cnt
+    return spark.createDataFrame(
+        rows,
+        "rank int, pair_wellformed boolean, count_positive boolean, "
+        "count_nonincreasing boolean",
+    )

@@ -791,3 +791,55 @@ class TestInt8Quantize:
                     abs(q * s - x) <= s * 0.5 + 1e-9 * abs(x)
                     for q, x in zip(r["q"], v)
                 )
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _reference_bpe(word_freqs, n_merges):
+        """Independent pure-Python BPE (classic Sennrich form)."""
+        symbols = {w: list(w) for w in word_freqs}
+        merges = []
+        for _ in range(n_merges):
+            counts = {}
+            for w, f in word_freqs.items():
+                s = symbols[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((a, b, c))
+            for w in symbols:
+                s, res, i = symbols[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                symbols[w] = res
+        return merges
+
+    def test_matches_reference_implementation(self, spark):
+        from employee_analytics_etl_spark.operators import bpe as B
+
+        rows = [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new newer"),
+            (3, "wider wide wide widest lower"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wf_df = B.word_freqs(docs)
+        wf = {r["word"]: r["freq"] for r in wf_df.collect()}
+        got, symbols = B.bpe_train(wf_df, n_merges=6)
+        want = self._reference_bpe(wf, 6)
+        assert got == want
+        # applying the merges shrank total symbol count
+        total = symbols.agg(
+            F.sum(F.size("syms") * F.col("freq"))
+        ).collect()[0][0]
+        chars = sum(len(w) * f for w, f in wf.items())
+        assert total < chars

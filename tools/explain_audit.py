@@ -232,6 +232,7 @@ def main() -> None:
         "kmeans_embedding_clusters",
         "kmeans_diversity_sample",
         "knn_brp_euclidean",  # MLlib fit() runs jobs at plan build
+        "bpe_merge_table",  # iterative merge training runs jobs
     }
     # default: audit EVERY registry query — headline+extra carry the
     # targeted pushdown/broadcast/budget assertions, the rest get the

@@ -53,6 +53,9 @@ HEADLINE = [
     "doc_pack_sequential",
     "user_event_sequences",
     "training_corpus_pipeline",
+    # iterative-ML / corpus-card family (added late r2)
+    "kmeans_embedding_clusters",
+    "corpus_summary_stats",
 ]
 
 

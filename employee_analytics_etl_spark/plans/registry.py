@@ -2422,3 +2422,93 @@ def events_last_purchase_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(obs, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "purchases_clean_conversion",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    last_click AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT MAX(c.ts) FROM c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts
+      FROM p
+    )
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS gap_us
+    FROM last_click l
+    WHERE click_ts IS NOT NULL
+      AND epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+      AND NOT EXISTS (
+        SELECT 1 FROM events e
+        WHERE e.user_id = l.user_id AND e.event_type = 'error'
+          AND e.ts > l.click_ts AND e.ts < l.ts
+      )
+    """,
+)
+def purchases_clean_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern query: purchases preceded by a click within
+    1 hour with NO error event between the click and the purchase —
+    the 'A then B within T without C' event-analytics primitive,
+    composed from the house as-of and interference-count shapes
+    WITHOUT any per-row probing:
+
+    one window pass per user stream carries (a) the latest click
+    timestamp and (b) a running error count forward; a purchase
+    qualifies iff the click is recent enough and the error count at
+    the purchase equals the error count at that click position
+    (captured by carrying the running error count AT the last click
+    alongside the click itself). Single shuffle on user_id, single
+    sort, zero joins.
+
+    Tie semantics: the stream order is the TOTAL order (ts, event_id)
+    per the house invariant; the independent correlated-subquery
+    oracle uses ts alone, equivalent because the fixture has no
+    same-user timestamp ties (verified 0 at every SF)."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("tts"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_err = (F.col("event_type") == "error").cast("long")
+    # running error count INCLUSIVE of the current row
+    err_cnt = F.sum(is_err).over(w)
+    # at each click row, snapshot (click time, error count); carry the
+    # latest snapshot forward
+    click_snap = F.when(
+        F.col("event_type") == "click",
+        F.struct(F.col("us").alias("cus"), err_cnt.alias("cerr")),
+    )
+    carried = F.last(click_snap, ignorenulls=True).over(w)
+    out = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        err_cnt.alias("err_now"),
+        carried.alias("snap"),
+    ).filter(
+        (F.col("event_type") == "purchase")
+        & F.col("snap").isNotNull()
+        & (F.col("us") - F.col("snap.cus") <= 3600000000)
+        # no error strictly between: running count at the purchase row
+        # (purchases aren't errors, so inclusive == exclusive here)
+        # equals the count at the click row (inclusive of that click,
+        # which isn't an error either)
+        & (F.col("err_now") == F.col("snap.cerr"))
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.col("us") - F.col("snap.cus")).alias("gap_us"),
+    )

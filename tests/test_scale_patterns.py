@@ -370,3 +370,32 @@ class TestZOrder:
         # confines it to a strict subset of tiles
         assert naive_hit == naive_total
         assert z_hit < z_total
+
+    def test_morton_matches_python_reference(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.operators.partitioning import morton_code
+
+        rng = random.Random(5)
+        rows = [(i, rng.randrange(0, 1 << 16), rng.randrange(0, 1 << 16))
+                for i in range(200)]
+        rows += [(200, 0, 0), (201, 65535, 65535), (202, 65535, 0), (203, 0, 65535)]
+        df = spark.createDataFrame(rows, "i long, a long, b long")
+        out = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", morton_code(F.col("a"), F.col("b")).alias("m")
+            ).collect()
+        }
+
+        def ref(a, b):
+            m = 0
+            for bit in range(16):
+                m |= ((a >> bit) & 1) << (2 * bit)
+                m |= ((b >> bit) & 1) << (2 * bit + 1)
+            return m
+
+        for i, a, b in rows:
+            assert out[i] == ref(a, b)

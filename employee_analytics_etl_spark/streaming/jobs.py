@@ -19,8 +19,9 @@ from pyspark.sql import functions as F
 
 
 def events_schema_nanos():
-    """Schema of the raw events parquet (ts as epoch-nanos long — see
-    sources.readers.NANOS_TS_COLUMNS)."""
+    """Schema of the raw events parquet when ts is stored as
+    TIMESTAMP(NANOS) (arrives as epoch-nanos long under
+    nanosAsLong — see sources.readers.NANOS_TS_COLUMNS)."""
     from pyspark.sql import types as T
 
     return T.StructType(
@@ -33,6 +34,52 @@ def events_schema_nanos():
             T.StructField("props", T.StringType()),
         ]
     )
+
+
+def events_schema_micros():
+    """Schema of the raw events parquet when ts is stored as a native
+    micros timestamp (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_is_nanos_long(sf_dir: str, glob: str) -> bool:
+    """Driver-side footer probe: does the events parquet store ts as
+    TIMESTAMP(NANOS)/plain int64 (→ Spark reads a BIGINT under
+    nanosAsLong) or as a micros timestamp (→ native timestamp)?
+
+    The streaming file source requires an explicit schema (no inference
+    pass), so without the probe a testdata generation that switches ts
+    precision would silently mis-scale every event-time operator — a
+    one-file footer read keeps stream and batch readers in lockstep.
+    Cost is O(1) on the driver, independent of data volume.
+    """
+    import glob as _glob
+    import os
+
+    matches = sorted(_glob.glob(os.path.join(sf_dir, glob)))
+    if not matches:
+        return True  # no file yet (empty stream dir): legacy default
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.ParquetFile(matches[0]).schema_arrow.field("ts").type
+        return pa.types.is_integer(t) or (
+            pa.types.is_timestamp(t) and t.unit == "ns"
+        )
+    except Exception:
+        return True
 
 
 def build_events_stream(
@@ -50,21 +97,28 @@ def build_events_stream(
     advance BETWEEN batches, the condition under which late rows are
     actually dropped.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    nanos = _events_ts_is_nanos_long(sf_dir, glob)
+    if nanos:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     reader = (
         spark.readStream.format("parquet")
-        .schema(events_schema_nanos())
+        .schema(events_schema_nanos() if nanos else events_schema_micros())
         .option("pathGlobFilter", glob)
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.load(sf_dir)
-    return raw.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-    )
+    if nanos:
+        # ns→µs truncation, identical to the batch reader's normalization
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+    # session tz is UTC (session.py), so NTZ→TIMESTAMP preserves the instant
+    # and keeps the output type identical across both testdata generations
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts_stream(

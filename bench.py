@@ -56,6 +56,9 @@ HEADLINE = [
     # iterative-ML / corpus-card family (added late r2)
     "kmeans_embedding_clusters",
     "corpus_summary_stats",
+    # LM-quality / entity-resolution family (added late r2)
+    "doc_bigram_lm_score",
+    "dedup_levenshtein_pairs",
 ]
 
 

@@ -230,3 +230,68 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for kind, pat in PII_PATTERNS.items():
         redacted = F.regexp_replace(redacted, pat, PII_TOKENS[kind])
     return df.withColumn(f"{text_col}_redacted", redacted)
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    classic LM-based quality filter (CCNet/KenLM shape): documents whose
+    token transitions are improbable under a model trained on the corpus
+    itself score low (boilerplate, lorem-ipsum, wrong-language text).
+
+    Model: add-one-smoothed bigram LM,
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)``, scored as the mean
+    log-probability over each document's bigrams (documents with < 2
+    tokens produce no bigrams and drop out — same inner-join semantics
+    as the oracle).
+
+    Scale design: the unigram/bigram count tables are vocab-sized
+    (Zipf — orders of magnitude smaller than the corpus), built with
+    map-side partial aggregation; the score pass shuffles doc-bigrams
+    once on (w1, w2) and once on w1, both joins broadcastable when the
+    vocab table fits (AQE decides at runtime). No Python UDFs — the
+    whole plan is codegen'd expressions.
+
+    Cross-engine determinism: each bigram's log-prob is cast to
+    DECIMAL(28,6) BEFORE summing, so the per-document sum is exact
+    decimal arithmetic (accumulation-order-independent) in both Spark
+    and DuckDB; the final mean is one IEEE double division. Raw
+    double-sum of logs would differ between engines in the last ulps.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("tk"))
+    grams = (
+        toks.select(
+            id_col,
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
+            ).alias("gs"),
+        )
+        .select(id_col, F.explode("gs").alias("g"))
+        .select(id_col, "g.w1", "g.w2")
+    )
+    unis = toks.select(F.explode("tk").alias("w"))
+    uc = unis.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    # scalar V: 1-row aggregate broadcast-crossJoined onto the
+    # vocab-sized uc table (NOT the corpus-sized gram table) — the
+    # scalar-subquery shape the plan audit allowlists
+    vocab = uc.agg(F.count(F.lit(1)).alias("v"))
+    uc_v = uc.crossJoin(F.broadcast(vocab))
+    logp = F.log(
+        (F.col("cb") + F.lit(1)).cast("double")
+        / (F.col("cu") + F.col("v")).cast("double")
+    )
+    return (
+        grams.join(bc, ["w1", "w2"])
+        .join(uc_v, F.col("w1") == F.col("w"))
+        .select(id_col, logp.cast("decimal(28,6)").alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
+        )
+    )

@@ -228,3 +228,100 @@ def range_join_count(
         .agg(F.count(F.col("_rk")).cast("long").alias("n_in_range"))
         .drop("_rowid")
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    min_gap_sec: int = 300,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Debounce: keep an event only when the previous RAW event of the
+    same (user, type) is at least ``min_gap_sec`` older (or absent) —
+    the standard instrumentation-noise filter for double-fires and
+    retry storms before sessionization/funnels.
+
+    Semantics note: the gap is measured against the previous raw event,
+    not the previous *kept* event — the latter is an inherently
+    sequential scan (each decision depends on the prior one) and needs
+    a stateful kernel; the raw-lag form is one window function, fully
+    parallel per (user, type) partition, and is what analytics stacks
+    ship as "deduplicate within N minutes".
+
+    One shuffle on (user, type); the lag comparison runs in epoch
+    MICROsecond integers so engines agree exactly on sub-second gaps.
+    Ties (identical ts) are ordered by event id — a total order, so the
+    survivor set is deterministic.
+    """
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    w = Window.partitionBy(user_col, type_col).orderBy(us, F.col(id_col))
+    with_prev = events.withColumn("_prev_us", F.lag(us).over(w)).withColumn(
+        "_us", us
+    )
+    return (
+        with_prev.filter(
+            F.col("_prev_us").isNull()
+            | (F.col("_us") - F.col("_prev_us") >= min_gap_sec * 1_000_000)
+        )
+        .select(id_col, user_col, type_col, F.col("_us").alias("ts_us"))
+    )
+
+
+def debounce_events_kept(
+    events: DataFrame,
+    min_gap_sec: int = 300,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Sequential debounce: keep an event only when it is at least
+    ``min_gap_sec`` after the last KEPT event of the same (user, type).
+
+    Unlike ``debounce_events`` (raw-lag, one window function), the
+    kept-lag decision for row i depends on the decision for row i-1 —
+    a per-key state machine no composition of SQL window functions can
+    express (the oracle needs a recursive CTE). Implemented as an
+    Arrow ``applyInPandas`` kernel: one shuffle on (user, type), then a
+    linear scan per group in numpy. Group size is bounded by a single
+    key's event count — the same bound sessionization already assumes —
+    so memory per task is flat at any corpus scale.
+
+    The scan orders by (epoch-micros, event id): a total order, so the
+    survivor set is deterministic and the streaming twin
+    (streaming.stateful.debounce_stream) reproduces it batch-for-batch.
+    """
+    from pyspark.sql import types as T
+
+    gap_us = min_gap_sec * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts_us", T.LongType()),
+        ]
+    )
+
+    def _debounce(pdf):
+        pdf = pdf.sort_values(["_us", id_col], kind="mergesort")
+        keep = []
+        last_kept = None
+        for us in pdf["_us"].to_numpy():
+            ok = last_kept is None or us - last_kept >= gap_us
+            if ok:
+                last_kept = us
+            keep.append(ok)
+        out = pdf.loc[keep, [id_col, user_col, type_col, "_us"]]
+        return out.rename(columns={"_us": "ts_us"})
+
+    us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
+    return (
+        events.select(
+            F.col(id_col), F.col(user_col), F.col(type_col), us.alias("_us")
+        )
+        .groupBy(user_col, type_col)
+        .applyInPandas(_debounce, out_schema)
+    )

@@ -1885,3 +1885,130 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, pair_wellformed boolean, count_positive boolean, "
         "count_nonincreasing boolean",
     )
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+    ),
+    unis AS (
+      SELECT tk[i] AS w
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+    ),
+    uc AS (SELECT w, COUNT(*) AS cu FROM unis GROUP BY w),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM grams GROUP BY w1, w2),
+    v AS (SELECT COUNT(*) AS v FROM uc)
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(CAST(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + v.v AS DOUBLE))
+               AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM grams
+    JOIN bc USING (w1, w2)
+    JOIN uc ON grams.w1 = uc.w
+    CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM trained on the corpus, scoring each
+    document by mean bigram log-probability (the CCNet/KenLM-style
+    quality-filter signal). See operators.text.bigram_lm_score for the
+    scale + cross-engine-determinism design."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return TX.bigram_lm_score(docs)
+
+
+@query(
+    "dedup_levenshtein_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, lang, source, length(text) // 64 AS band
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+      CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev_dist
+    FROM d a
+    JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.band = b.band
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text)
+          <= greatest(length(a.text), length(b.text)) * 10 / 100
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance fuzzy pairs (record-linkage blocking:
+    same lang/source/length-band, Levenshtein <= 10% of the longer
+    text). See operators.dedup.blocked_levenshtein_pairs."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return D.blocked_levenshtein_pairs(docs)
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        lag(epoch_us(ts)) OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY epoch_us(ts), event_id
+        ) AS prev_us
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_us
+    FROM e
+    WHERE prev_us IS NULL OR ts_us - prev_us >= 300 * 1000000
+    """,
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce the event stream: drop events of the same (user, type)
+    arriving within 5 minutes of the previous raw event — see
+    operators.windows.debounce_events for the raw-lag-vs-kept-lag
+    semantics note."""
+    from ..operators.windows import debounce_events
+
+    return debounce_events(t(spark, sf_dir, "events"))
+
+
+@query(
+    "events_debounce_kept",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        row_number() OVER (
+          PARTITION BY user_id, event_type
+          ORDER BY epoch_us(ts), event_id
+        ) AS rn
+      FROM events
+    ),
+    walk AS (
+      SELECT event_id, user_id, event_type, ts_us, rn,
+             ts_us AS last_kept, TRUE AS kept
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.event_id, s.user_id, s.event_type, s.ts_us, s.rn,
+        CASE WHEN s.ts_us - w.last_kept >= 300 * 1000000
+             THEN s.ts_us ELSE w.last_kept END,
+        s.ts_us - w.last_kept >= 300 * 1000000
+      FROM seq s
+      JOIN walk w
+        ON s.user_id = w.user_id AND s.event_type = w.event_type
+       AND s.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, ts_us FROM walk WHERE kept
+    """,
+)
+def events_debounce_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (kept-lag) debounce — the per-key state machine form;
+    the oracle must walk each key's events with a recursive CTE because
+    no window-function composition expresses it. See
+    operators.windows.debounce_events_kept."""
+    from ..operators.windows import debounce_events_kept
+
+    return debounce_events_kept(t(spark, sf_dir, "events"))

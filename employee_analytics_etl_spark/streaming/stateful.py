@@ -39,7 +39,10 @@ def _update_profile(key, pdfs, state):
     import pandas as pd
 
     (user_id,) = key
-    n, total, last_us = state.get() if state.exists else (0, 0.0, 0)
+    # NB: GroupState.get is a PROPERTY in pyspark (raises if absent) —
+    # calling it as a method crashes the first time state EXISTS, i.e.
+    # only from the second micro-batch of a key onward
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].sum())
@@ -70,5 +73,87 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+DEBOUNCE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+# last KEPT event time per (user, type) — the whole state is one long
+DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_kept_us", T.LongType())]
+)
+
+_DEBOUNCE_GAP_US = 300 * 1_000_000
+
+
+def _update_debounce(key, pdfs, state):
+    import pandas as pd
+
+    user_id, event_type = key
+    # NB: GroupState.get is a PROPERTY in pyspark (raises if absent)
+    last = state.get[0] if state.exists else None
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return
+    batch = pd.concat(frames).sort_values(
+        ["ts_micros", "event_id"], kind="mergesort"
+    )
+    kept_ids, kept_us = [], []
+    for eid, us in zip(
+        batch["event_id"].to_numpy(), batch["ts_micros"].to_numpy()
+    ):
+        if last is None or us - last >= _DEBOUNCE_GAP_US:
+            last = int(us)
+            kept_ids.append(int(eid))
+            kept_us.append(int(us))
+    state.update((last,))
+    if kept_ids:
+        yield pd.DataFrame(
+            {
+                "event_id": kept_ids,
+                "user_id": user_id,
+                "event_type": event_type,
+                "ts_us": kept_us,
+            }
+        )
+
+
+def debounce_stream(events: DataFrame) -> DataFrame:
+    """Streaming sequential debounce: keep an event iff it is ≥ 5 min
+    after the last KEPT event of the same (user, type) — state is one
+    long per key, carried ACROSS micro-batches, so a double-fire that
+    straddles a batch boundary is still suppressed (the property the
+    batch twin gets for free from seeing all data at once; asserted
+    stream == batch under maxFilesPerTrigger in the tests).
+
+    Kept-lag debounce is inherently sequential per key — exactly the
+    operator class applyInPandasWithState exists for. Within one batch
+    the kernel sorts by (event time, event id); correctness across
+    batches additionally assumes per-key batch arrival respects event
+    time (true under the file source's ordered listing; a production
+    Kafka deployment would pair this with a watermark + buffer stage).
+
+    Batch twin: operators.windows.debounce_events_kept (oracle-gated
+    against a recursive-CTE walk).
+    """
+    prepared = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+    )
+    return prepared.groupBy("user_id", "event_type").applyInPandasWithState(
+        _update_debounce,
+        outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -843,3 +843,91 @@ class TestBpeTrain:
         ).collect()[0][0]
         chars = sum(len(w) * f for w, f in wf.items())
         assert total < chars
+
+
+class TestBigramLM:
+    def test_common_transitions_score_higher(self, spark):
+        # five copies of one sentence make its bigrams high-probability;
+        # a doc of transitions seen nowhere else must score lower
+        rows = [(i, "the cat sat on the mat") for i in range(1, 6)]
+        rows.append((10, "zyx qwv jkl bnm"))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in TX.bigram_lm_score(df).collect()}
+        assert out[1]["n_bigrams"] == 5
+        assert out[10]["n_bigrams"] == 3
+        assert out[1]["avg_logp"] > out[10]["avg_logp"]
+
+    def test_sub_two_token_docs_drop_out(self, spark):
+        df = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, "a b")], "doc_id long, text string"
+        )
+        ids = {r["doc_id"] for r in TX.bigram_lm_score(df).collect()}
+        assert ids == {3}
+
+
+class TestLevenshteinPairs:
+    def test_blocking_and_threshold(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the quiet green forest"
+        )
+        near = base.replace("dog", "cat")  # lev 3, well under 10%
+        far = "x" * len(base)  # same length band, distance >> 10%
+        rows = [
+            (1, base, "en", "web"),
+            (2, near, "en", "web"),
+            (3, far, "en", "web"),
+            (4, near, "en", "books"),  # near-dup of 1 but different block
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r["lev_dist"]
+            for r in D.blocked_levenshtein_pairs(df).collect()
+        }
+        assert pairs == {(1, 2): 3}
+
+
+class TestDebounce:
+    def test_raw_lag_survivors(self, spark):
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(sec):
+            return t0 + dt.timedelta(seconds=sec)
+
+        rows = [
+            (1, at(0), 7, "click"),
+            (2, at(100), 7, "click"),   # 100s gap -> dropped
+            (3, at(400), 7, "click"),   # 300s gap vs raw prev -> kept
+            (4, at(800), 7, "click"),   # 400s gap -> kept
+            (5, at(50), 7, "view"),     # other type, unaffected
+            (6, at(0), 8, "click"),     # other user, unaffected
+            (7, at(0), 8, "click"),     # same instant as 6: tie -> dropped
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        kept = {r["event_id"] for r in W.debounce_events(df).collect()}
+        assert kept == {1, 3, 4, 5, 6}
+
+
+class TestDebounceKept:
+    def test_kept_lag_diverges_from_raw_lag(self, spark):
+        # events at 0s, 200s, 400s (same user/type, 300s gap):
+        # raw-lag drops BOTH later events (each is 200s after its raw
+        # predecessor); kept-lag keeps the 400s event (400s after the
+        # last KEPT one) — the semantics only a state machine expresses
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 7, "click"),
+            (2, t0 + dt.timedelta(seconds=200), 7, "click"),
+            (3, t0 + dt.timedelta(seconds=400), 7, "click"),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        raw = {r["event_id"] for r in W.debounce_events(df).collect()}
+        kept = {r["event_id"] for r in W.debounce_events_kept(df).collect()}
+        assert raw == {1}
+        assert kept == {1, 3}

@@ -399,3 +399,67 @@ class TestZOrder:
 
         for i, a, b in rows:
             assert out[i] == ref(a, b)
+
+
+class TestStatefulMultiBatch:
+    def test_profile_state_survives_across_batches(
+        self, spark, tmp_path_factory
+    ):
+        """Regression: GroupState.get is a pyspark PROPERTY; calling it
+        as a method only crashes once state EXISTS — i.e. from a key's
+        SECOND micro-batch onward. One-batch smoke tests can't see it,
+        so this drives two files through maxFilesPerTrigger=1."""
+        import datetime as dt
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            user_profile_stream,
+        )
+
+        src = str(tmp_path_factory.mktemp("profile_events"))
+
+        def ns(mm):
+            t = dt.datetime(2024, 1, 1, 10, mm, tzinfo=dt.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([7] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        write("a.parquet", [(1, ns(0)), (2, ns(2))], 1_000)
+        write("b.parquet", [(3, ns(4)), (4, ns(8))], 2_000)
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            user_profile_stream(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_profiles_mb")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table("t_profiles_mb").collect()
+        final = max(rows, key=lambda r: r["n_events"])
+        assert final["n_events"] == 4
+        assert abs(final["total_value"] - 4.0) < 1e-9
+        assert final["last_ts_micros"] == ns(8) // 1000

@@ -287,3 +287,82 @@ class TestStreamingNearDup:
             elif b in delta_ids and a not in delta_ids:
                 base_truth.add(b)
         assert flagged == base_truth
+
+
+class TestDebounceStream:
+    """Sequential (kept-lag) debounce with per-key state carried ACROSS
+    micro-batches: a double-fire straddling a batch boundary must still
+    be suppressed, and the final survivor set must equal the batch twin
+    run over all rows at once."""
+
+    def test_state_carries_across_batches(self, spark, tmp_path_factory):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path_factory.mktemp("debounce_events"))
+
+        def ns(mm, ss=0):
+            import datetime as dt
+
+            t = dt.datetime(2024, 1, 1, 10, mm, ss, tzinfo=dt.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([7] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        # batch 1: 10:00 kept; 10:02 dropped (within 5 min)
+        write("a.parquet", [(1, ns(0)), (2, ns(2))], 1_000)
+        # batch 2: 10:04 must be dropped against batch 1's kept 10:00 —
+        # only cross-batch state can know that; 10:08 kept (vs 10:00)
+        write("b.parquet", [(3, ns(4)), (4, ns(8))], 2_000)
+
+        from employee_analytics_etl_spark.operators.windows import (
+            debounce_events_kept,
+        )
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            run_to_memory,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            debounce_stream,
+        )
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        got = run_to_memory(
+            debounce_stream(stream), "t_debounce", spark, output_mode="append"
+        )
+        kept = {r["event_id"] for r in got.collect()}
+        assert kept == {1, 4}
+
+        batch = build_events_stream  # readability: batch twin below
+        all_rows = spark.read.schema(
+            __import__(
+                "employee_analytics_etl_spark.streaming.jobs",
+                fromlist=["events_schema_nanos"],
+            ).events_schema_nanos()
+        ).parquet(src)
+        from pyspark.sql import functions as F
+
+        all_rows = all_rows.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+        )
+        want = {
+            r["event_id"] for r in debounce_events_kept(all_rows).collect()
+        }
+        assert kept == want

@@ -85,6 +85,8 @@ SCALAR_BNLJ_OK = {
     "idle_rich_customers",
     # bounds-style envelope row: three 1-row aggregates crossJoined
     "knn_lsh_hyperplane",
+    # vocab-size scalar V joined onto the vocab-sized unigram table
+    "doc_bigram_lm_score",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

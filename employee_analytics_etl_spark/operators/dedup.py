@@ -108,8 +108,14 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` drops shingles present in more than that many
     documents before pairing — bounds the self-join fanout (at scale:
-    also the skew guard)."""
-    sh = shingles(df, id_col, text_col, n).cache()
+    also the skew guard).
+
+    The shingle set feeds two consumers (set sizes, pair counts) and is
+    deliberately NOT cached: materializing the exploded shingle table
+    is several× the corpus size — a non-starter at 100 TB — while
+    recomputing it is one extra scan-side pass that parallelizes
+    perfectly (and is also measurably cheaper cold at bench scale)."""
+    sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     # One groupBy(shingle) yields both the document-frequency filter
     # (2 ≤ |ids| ≤ max_df) and the co-occurring id list; exploding the

@@ -281,14 +281,20 @@ def bigram_lm_score(
     # scalar-subquery shape the plan audit allowlists
     vocab = uc.agg(F.count(F.lit(1)).alias("v"))
     uc_v = uc.crossJoin(F.broadcast(vocab))
+    # fold the smoothed log-prob onto the VOCAB-scale tables first
+    # (bc ⋈ uc is distinct-bigram-sized), so the corpus-scale gram
+    # table is joined exactly once — one fewer full-corpus shuffle
+    # than joining grams → bc → uc in sequence
     logp = F.log(
         (F.col("cb") + F.lit(1)).cast("double")
         / (F.col("cu") + F.col("v")).cast("double")
     )
+    pair_logp = (
+        bc.join(uc_v, F.col("w1") == F.col("w"))
+        .select("w1", "w2", logp.cast("decimal(28,6)").alias("lp"))
+    )
     return (
-        grams.join(bc, ["w1", "w2"])
-        .join(uc_v, F.col("w1") == F.col("w"))
-        .select(id_col, logp.cast("decimal(28,6)").alias("lp"))
+        grams.join(pair_logp, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -443,3 +443,56 @@ def nullsafe_event_category_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("category")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@query(
+    "events_users_hll_rollup",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+      TRUE AS merged_in_bounds
+    FROM events GROUP BY event_type
+    """,
+)
+def events_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user rollup via MERGEABLE HLL sketches
+    (Datasketches ``hll_sketch_agg`` → ``hll_union_agg``): daily
+    per-type sketches are built in one scan, then the per-type total
+    is computed by UNIONING the daily sketches — no second pass over
+    raw events. This mergeability is the 100 TB pattern
+    ``approx_count_distinct`` alone can't give you: persist the daily
+    sketch table once and every weekly/monthly/all-time rollup (or
+    late-arriving partition patch) is a union over kilobyte sketches
+    instead of a rescan of the fact table.
+
+    The exact countDistinct twin here exists only as the verification
+    baseline (bounds-style oracle, the approx_distinct_parts pattern):
+    lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; the assert allows 4σ.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    rsd = 0.0163
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= F.lit(4 * rsd) * F.col("exact_users")
+            ).alias("merged_in_bounds"),
+        )
+    )

@@ -463,3 +463,34 @@ class TestStatefulMultiBatch:
         assert final["n_events"] == 4
         assert abs(final["total_value"] - 4.0) < 1e-9
         assert final["last_ts_micros"] == ns(8) // 1000
+
+
+class TestHllRollup:
+    def test_union_of_daily_sketches_matches_single_pass(self, spark):
+        """Mergeability identity: estimating the union of per-day
+        sketches lands within sketch error of both the exact count and
+        a single-pass sketch over the same rows — the property that
+        makes persisted daily sketches a substitute for fact rescans."""
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.sources.readers import (
+            read_parquet_table,
+        )
+
+        ev = read_parquet_table(spark, SF_SMOKE, "events").select(
+            F.to_date("ts").alias("day"), "user_id"
+        )
+        daily = ev.groupBy("day").agg(
+            F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+        )
+        merged_est = daily.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+        ).collect()[0]["e"]
+        direct_est = ev.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("e")
+        ).collect()[0]["e"]
+        exact = ev.select("user_id").distinct().count()
+        assert abs(merged_est - exact) <= 0.07 * exact
+        assert abs(direct_est - exact) <= 0.07 * exact

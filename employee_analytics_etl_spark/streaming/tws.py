@@ -1,0 +1,144 @@
+"""Timer-driven stateful streaming via transformWithState (Spark 4):
+session finalization on idle timeout.
+
+``applyInPandasWithState`` (streaming/stateful.py) can carry state
+across micro-batches, but it can only act when a key RECEIVES DATA.
+Emitting a "session closed" record requires acting on the ABSENCE of
+data — an event-time timer that fires when the watermark passes
+last_event + gap. That is exactly what the transformWithState API adds:
+named state variables plus per-key timers, with expiry driven by the
+watermark in EventTime mode.
+
+Semantics: one live session per user in a ValueState; each batch
+extends the session and re-arms the key's timer to last_event + gap;
+when the watermark passes that point the timer fires, the finished
+session row is EMITTED and state cleared. Output rows therefore appear
+only for sessions whose timeout the watermark has actually crossed —
+trailing sessions stay in state (exactly-once finalization, the same
+contract as watermarked window finalization in append mode).
+
+Batch twin: operators.windows.sessionize (gaps-and-islands, DuckDB
+oracle-gated); the test asserts stream output == batch sessions whose
+(end + gap) precedes the final watermark.
+
+Requires the RocksDB state store provider (bundled with Spark 4):
+``spark.sql.streaming.stateStore.providerClass`` →
+``...state.RocksDBStateStoreProvider`` — set it before starting the
+query (the test harness does).
+
+Container caveat, documented honestly (same policy as the media codec
+stub): the TWS Python↔JVM state protocol needs ``google.protobuf``,
+which is not installed here and cannot be (no pip). The operator code
+is complete and the end-to-end test runs wherever protobuf exists
+(``pytest.importorskip`` gates it); the processor kernel itself is
+unit-tested directly against a fake handle, which exercises the full
+session/timer state machine deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_sec", T.LongType()),
+        T.StructField("session_end_sec", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+DEFAULT_GAP_MS = 30 * 60 * 1000
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    """Per-user live session in a ValueState; an event-time timer at
+    last_event + gap finalizes it. One timer per key at any moment
+    (re-arming deletes the stale one)."""
+
+    def __init__(self, gap_ms: int = DEFAULT_GAP_MS):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess",
+            "start_ms long, last_ms long, n_events long, total_value double",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd  # noqa: F401
+
+        start_ms = last_ms = None
+        n = 0
+        total = 0.0
+        if self._sess.exists():
+            start_ms, last_ms, n, total = self._sess.get()
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            ms = (pdf["ts_us"].to_numpy() // 1000).astype("int64")
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            lo, hi = int(ms.min()), int(ms.max())
+            start_ms = lo if start_ms is None else min(start_ms, lo)
+            last_ms = hi if last_ms is None else max(last_ms, hi)
+        self._sess.update((start_ms, last_ms, n, total))
+        # re-arm: exactly one live timer per key
+        for t_ms in self._handle.listTimers():
+            self._handle.deleteTimer(t_ms)
+        self._handle.registerTimer(last_ms + self._gap_ms)
+        return iter([])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if not self._sess.exists():
+            return iter([])
+        start_ms, last_ms, n, total = self._sess.get()
+        self._sess.clear()
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "session_start_sec": [start_ms // 1000],
+                "session_end_sec": [last_ms // 1000],
+                "n_events": [int(n)],
+                "total_value": [float(total)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def session_timeout_stream(
+    events: DataFrame,
+    gap_ms: int = DEFAULT_GAP_MS,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events (streaming, event-time ts) → finalized session rows.
+
+    The watermark delay controls how long a finished session waits for
+    stragglers before the timer can fire; state per key is one fixed
+    tuple + one timer — bounded regardless of stream age.
+    """
+    prepared = events.select(
+        "user_id",
+        F.col("ts").alias("event_time"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    ).withWatermark("event_time", watermark)
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        SessionTimeoutProcessor(gap_ms),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -366,3 +366,166 @@ class TestDebounceStream:
             r["event_id"] for r in debounce_events_kept(all_rows).collect()
         }
         assert kept == want
+
+
+class TestTransformWithState:
+    """transformWithState (Spark 4): event-time TIMERS finalize idle
+    sessions — acting on the ABSENCE of data, which
+    applyInPandasWithState cannot express. The end-to-end run needs
+    google.protobuf (the TWS Python-JVM state protocol), absent in this
+    container — importorskip gates it; the kernel state machine is
+    unit-tested against a fake handle below either way."""
+
+    def test_session_kernel_state_machine(self):
+        import pandas as pd
+
+        from employee_analytics_etl_spark.streaming.tws import (
+            SessionTimeoutProcessor,
+        )
+
+        class FakeValueState:
+            def __init__(self):
+                self._v = None
+
+            def exists(self):
+                return self._v is not None
+
+            def get(self):
+                return self._v
+
+            def update(self, v):
+                self._v = v
+
+            def clear(self):
+                self._v = None
+
+        class FakeHandle:
+            def __init__(self):
+                self.state = FakeValueState()
+                self.timers = []
+
+            def getValueState(self, name, schema, ttlDurationMs=None):
+                return self.state
+
+            def listTimers(self):
+                return list(self.timers)
+
+            def deleteTimer(self, t):
+                self.timers.remove(t)
+
+            def registerTimer(self, t):
+                self.timers.append(t)
+
+        proc = SessionTimeoutProcessor(gap_ms=30 * 60 * 1000)
+        h = FakeHandle()
+        proc.init(h)
+
+        def batch(rows):  # rows: [(ts_us, value)]
+            return iter(
+                [pd.DataFrame({"ts_us": [r[0] for r in rows],
+                               "value": [r[1] for r in rows]})]
+            )
+
+        M = 60 * 1_000_000  # one minute in micros
+        # batch 1: three events 10:00/10:05/10:10 → state extends,
+        # one timer armed at last + gap
+        out = list(proc.handleInputRows((7,), batch(
+            [(600 * M, 1.0), (605 * M, 1.0), (610 * M, 1.0)]), None))
+        assert out == []
+        assert h.state.get() == (600 * M // 1000, 610 * M // 1000, 3, 3.0)
+        assert h.timers == [610 * M // 1000 + 30 * 60 * 1000]
+        # batch 2 extends the session and RE-ARMS (old timer deleted)
+        list(proc.handleInputRows((7,), batch([(615 * M, 2.0)]), None))
+        assert h.state.get()[1:] == (615 * M // 1000, 4, 5.0)
+        assert h.timers == [615 * M // 1000 + 30 * 60 * 1000]
+        # timer fires: session emitted once, state cleared; a second
+        # fire emits nothing
+        rows = pd.concat(list(proc.handleExpiredTimer((7,), None, None)))
+        assert len(rows) == 1
+        r = rows.iloc[0]
+        assert (r["user_id"], r["n_events"], r["total_value"]) == (7, 4, 5.0)
+        assert r["session_start_sec"] == 600 * 60
+        assert r["session_end_sec"] == 615 * 60
+        assert not h.state.exists()
+        assert list(proc.handleExpiredTimer((7,), None, None)) == []
+
+    def test_session_finalized_by_timer(self, spark, tmp_path_factory):
+        pytest.importorskip(
+            "google.protobuf",
+            reason="transformWithState needs protobuf for its "
+            "Python-JVM state protocol; not installed in this container",
+        )
+        import datetime as dt
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path_factory.mktemp("tws_events"))
+
+        def ns(hh, mm):
+            t = dt.datetime(2024, 1, 1, hh, mm, tzinfo=dt.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        # batch 1: user 7's session (10:00-10:10, 3 events)
+        write("a.parquet", [(1, ns(10, 0), 7), (2, ns(10, 5), 7), (3, ns(10, 10), 7)], 1_000)
+        # batch 2: user 8 at 13:00 advances the watermark to 12:50 —
+        # far past user 7's timeout (10:10 + 30 min)
+        write("b.parquet", [(4, ns(13, 0), 8)], 2_000)
+        # batch 3: watermark from batch 2 is now in effect; the timer
+        # fires during this batch
+        write("c.parquet", [(5, ns(13, 5), 8)], 3_000)
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            run_to_memory,
+        )
+        from employee_analytics_etl_spark.streaming.tws import (
+            session_timeout_stream,
+        )
+
+        prov_key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(prov_key, None)
+        spark.conf.set(
+            prov_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            stream = build_events_stream(
+                spark, src, glob="*.parquet", max_files_per_trigger=1
+            )
+            got = run_to_memory(
+                session_timeout_stream(stream),
+                "t_tws_sessions",
+                spark,
+                output_mode="append",
+            ).collect()
+        finally:
+            if prev is None:
+                spark.conf.unset(prov_key)
+            else:
+                spark.conf.set(prov_key, prev)
+
+        assert len(got) == 1
+        r = got[0]
+        assert r["user_id"] == 7
+        assert r["session_start_sec"] == ns(10, 0) // 1_000_000_000
+        assert r["session_end_sec"] == ns(10, 10) // 1_000_000_000
+        assert r["n_events"] == 3
+        assert abs(r["total_value"] - 3.0) < 1e-9

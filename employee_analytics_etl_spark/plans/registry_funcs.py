@@ -496,3 +496,55 @@ def events_users_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merged_in_bounds"),
         )
     )
+
+
+@query(
+    "events_value_ewma",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY epoch_us(ts), event_id) AS vs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+      list_reduce(vs, (a, x) -> x * 0.2 + a * 0.8) AS ewma
+    FROM seq
+    """,
+)
+def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event value —
+    the sequential-fold pattern WITHOUT a Python UDF: collect the
+    user's values in (event-time, id) total order and fold with the
+    higher-order ``aggregate`` (acc = 0.2·x + 0.8·acc, seeded with the
+    first value).
+
+    Cross-engine determinism falls out of the shape itself: both
+    engines execute the SAME sequence of IEEE double ops in the SAME
+    order (Spark ``aggregate`` ≡ DuckDB ``list_reduce``, both
+    left-folds), so the result is bit-identical with no decimal
+    snapping needed — unlike commutative double sums, where order is
+    engine-chosen.
+
+    One shuffle on user_id; per-user arrays are bounded by a key's
+    event count (the sessionization bound). At 100 TB with pathological
+    hot keys you'd pre-chunk the fold (segment EWMAs compose:
+    acc' = acc·0.8^k + segment_contribution).
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        "value",
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "event_id", "value"))
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.expr(
+            "aggregate(slice(transform(seq, s -> s.value), 2, size(seq) - 1),"
+            " seq[0].value, (a, x) -> x * 0.2D + a * 0.8D)"
+        ).alias("ewma"),
+    )

@@ -931,3 +931,33 @@ class TestDebounceKept:
         kept = {r["event_id"] for r in W.debounce_events_kept(df).collect()}
         assert raw == {1}
         assert kept == {1, 3}
+
+
+class TestEwma:
+    def test_matches_pure_python_fold(self, spark):
+        from employee_analytics_etl_spark.plans import registry_funcs  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+        from employee_analytics_etl_spark.sources.readers import (
+            read_parquet_table,
+        )
+
+        got = {
+            r["user_id"]: r
+            for r in QUERIES["events_value_ewma"](spark, SF_SMOKE).collect()
+        }
+        ev = read_parquet_table(spark, SF_SMOKE, "events").select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            "event_id", "value",
+        )
+        by_user = {}
+        for r in ev.collect():
+            by_user.setdefault(r["user_id"], []).append(
+                (r["us"], r["event_id"], r["value"])
+            )
+        for uid, rows in by_user.items():
+            rows.sort()
+            acc = rows[0][2]
+            for _, _, v in rows[1:]:
+                acc = v * 0.2 + acc * 0.8
+            assert got[uid]["ewma"] == acc  # bit-identical left fold
+            assert got[uid]["n_events"] == len(rows)

@@ -637,3 +637,30 @@ def blocked_levenshtein_pairs(
             "lev_dist",
         )
     )
+
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE/upsert (CDC apply): rows from ``updates`` replace same-key
+    rows in ``base``; unmatched update keys are inserted. The lakehouse
+    MERGE INTO shape expressed engine-agnostically: tag-union the two
+    sides and keep one survivor per key with updates winning —
+    ``keyed_dedup_first`` over (key, precedence), i.e. ONE shuffle on
+    the merge key, no join at all.
+
+    Both inputs must share a schema. Determinism: within one side a key
+    must be unique (the usual MERGE precondition — duplicate update
+    keys are a user error that SQL MERGE rejects at runtime; here the
+    precedence column makes cross-SIDE survivorship total, so the only
+    nondeterminism possible is the precondition violation itself).
+
+    At scale this is the nightly-CDC-apply pattern: base is the big
+    side and shuffles once; a small delta could instead drive a
+    broadcast anti-join union (base ∖ delta-keys ∪ delta) — same
+    result, chosen by delta size. This operator is the general form.
+    """
+    tagged = base.withColumn("_prec", F.lit(1)).unionByName(
+        updates.withColumn("_prec", F.lit(0))
+    )
+    return keyed_dedup_first(tagged, keys, ["_prec"]).drop("_prec")

@@ -2012,3 +2012,59 @@ def events_debounce_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import debounce_events_kept
 
     return debounce_events_kept(t(spark, sf_dir, "events"))
+
+
+@query(
+    "orders_merge_upsert",
+    oracle="""
+    WITH upd0 AS (
+      SELECT * REPLACE ('U' AS o_orderstatus,
+                        o_totalprice * 2 AS o_totalprice)
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    upd AS (
+      SELECT * FROM upd0
+      UNION ALL
+      SELECT * REPLACE (o_orderkey + 900000000 AS o_orderkey) FROM upd0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    )
+    SELECT o_orderstatus,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC-apply semantics end-to-end: a deterministic
+    delta derived from orders (keys ≡ 0 mod 97 get status 'U' and a
+    doubled price; the same rows shifted to key+9e8 are inserts),
+    applied with operators.dedup.merge_upsert (tag-union + one-shuffle
+    keyed survivor, updates win), then summarized per status so the
+    oracle checks update/insert/untouched rows all landed. The oracle
+    replays the merge relationally (delta ∪ base-minus-delta-keys)."""
+    o = t(spark, sf_dir, "orders")
+    # price bump is *2, not *1.1: doubling a 2-decimal double is EXACT
+    # in binary, so the later DECIMAL(18,2) cast can't hit a .xx5
+    # boundary where the engines' double->decimal rounding rules differ
+    # (Spark rounds the shortest decimal repr HALF_UP via
+    # BigDecimal.valueOf; DuckDB rounds the exact binary value)
+    mod = o.filter(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    ins = mod.withColumn("o_orderkey", F.col("o_orderkey") + 900000000)
+    updates = mod.unionByName(ins)
+    merged = D.merge_upsert(o, updates, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

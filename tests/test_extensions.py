@@ -961,3 +961,24 @@ class TestEwma:
                 acc = v * 0.2 + acc * 0.8
             assert got[uid]["ewma"] == acc  # bit-identical left fold
             assert got[uid]["n_events"] == len(rows)
+
+
+class TestMergeUpsert:
+    def test_update_insert_untouched(self, spark):
+        base = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k long, s string, v double",
+        )
+        updates = spark.createDataFrame(
+            [(2, "B", 99.0), (4, "d", 40.0)], "k long, s string, v double"
+        )
+        got = {
+            r["k"]: (r["s"], r["v"])
+            for r in D.merge_upsert(base, updates, ["k"]).collect()
+        }
+        assert got == {
+            1: ("a", 10.0),   # untouched
+            2: ("B", 99.0),   # update wins
+            3: ("c", 30.0),   # untouched
+            4: ("d", 40.0),   # insert
+        }

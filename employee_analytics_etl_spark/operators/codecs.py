@@ -1,4 +1,4 @@
-"""Pure-Python image codecs: PPM (P6) and uncompressed 24-bit BMP.
+"""Pure-Python media codecs: PPM (P6), uncompressed 24-bit BMP, PCM WAV.
 
 The container ships no PIL/ffmpeg, but these two formats are simple
 enough to decode with numpy alone — which un-stubs the multimodal
@@ -117,3 +117,50 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = (np.arange(height) * h) // height
     cols = (np.arange(width) * w) // width
     return arr[rows][:, cols]
+
+
+# ---------------------------------------------------------------- WAV (PCM)
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode an uncompressed PCM WAV payload with the stdlib ``wave``
+    module (no codec library needed): returns (sample_rate, samples)
+    where samples is int16 shaped (n_frames, n_channels).
+
+    8-bit PCM (unsigned) is widened to int16; 16-bit is native;
+    other widths raise — the marked boundary where soundfile/ffmpeg
+    would plug in.
+    """
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM needs a real audio library (soundfile/ffmpeg)"
+        )
+    return rate, samples.reshape(-1, n_ch)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """Encode int16 samples shaped (n_frames, n_channels) as a 16-bit
+    PCM WAV payload (stdlib wave; exact inverse of decode_wav)."""
+    import io
+    import wave
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()

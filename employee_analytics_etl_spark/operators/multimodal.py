@@ -8,10 +8,11 @@ Decode modes:
 - ``decode="fake"`` (default): deterministic features from the bytes
   themselves — real Spark plumbing (schema, batching, partitioning)
   with a stand-in kernel; works for any payload.
-- ``decode="real"``: TRUE pixel decode for PPM(P6)/BMP payloads via
-  the in-repo pure-Python codecs (``operators.codecs``) — actual
-  pixel statistics and nearest-neighbor resize. Formats needing a
-  real codec library (JPEG/PNG/audio) raise at the call site.
+- ``decode="real"``: TRUE decode for PPM(P6)/BMP images and PCM WAV
+  audio via the in-repo pure-Python codecs (``operators.codecs``) —
+  actual pixel statistics, nearest-neighbor resize, and PCM sample
+  stats. Formats needing a real codec library (JPEG/PNG/MP3/video)
+  raise at the call site.
 - ``decode="strict"``: raises NotImplementedError where PIL/ffmpeg
   would plug in.
 
@@ -79,8 +80,10 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     decode="fake": deterministic byte statistics (no codec needed).
     decode="real": PPM/BMP pixel decode — feature = [width, height,
-    mean_R, mean_G, mean_B]; mean_byte = mean pixel value. Image rows
-    only (non-image kinds keep the byte-stats feature).
+    mean_R, mean_G, mean_B]; mean_byte = mean pixel value. WAV audio
+    decode (stdlib wave, codecs.decode_wav) — feature = [sample_rate,
+    n_frames, duration_sec, rms, peak] over the PCM samples;
+    mean_byte = mean sample. Other kinds keep the byte-stats feature.
     decode="strict": NotImplementedError at the codec call site —
     marks exactly where PIL/soundfile/ffmpeg plug in.
     """
@@ -107,6 +110,24 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                     feats.append(f)
                     sizes.append(len(b))
                     means.append(float(px.mean()))
+                elif decode == "real" and kind == "audio":
+                    import numpy as np
+
+                    from .codecs import decode_wav
+
+                    rate, samples = decode_wav(b)
+                    x = samples.astype(np.float64)
+                    feats.append(
+                        [
+                            float(rate),
+                            float(samples.shape[0]),
+                            samples.shape[0] / rate,
+                            float(np.sqrt((x**2).mean())),
+                            float(np.abs(x).max()) if len(x) else 0.0,
+                        ]
+                    )
+                    sizes.append(len(b))
+                    means.append(float(x.mean()) if len(x) else 0.0)
                 else:
                     f = _fake_decode(b)
                     feats.append(f)

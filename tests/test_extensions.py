@@ -982,3 +982,30 @@ class TestMergeUpsert:
             3: ("c", 30.0),   # untouched
             4: ("d", 40.0),   # insert
         }
+
+
+class TestAudioDecode:
+    def test_real_wav_features_match_numpy(self, spark):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators.codecs import encode_wav
+
+        rate = 16000
+        t = np.arange(rate)  # 1 second
+        sine = (10000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+        silence = np.zeros(rate // 2, dtype=np.int16)
+        rows = [(1, "audio", bytearray(encode_wav(rate, sine))),
+                (2, "audio", bytearray(encode_wav(rate, silence)))]
+        df = spark.createDataFrame(
+            rows, "media_id long, kind string, payload binary"
+        )
+        got = {r["media_id"]: r for r in MM.extract_features(df, decode="real").collect()}
+        x = sine.astype(np.float64)
+        f1 = got[1]["feature"]
+        assert f1[0] == rate and f1[1] == rate  # sample_rate, n_frames
+        assert abs(f1[2] - 1.0) < 1e-12  # duration
+        assert abs(f1[3] - np.sqrt((x**2).mean())) < 1e-9  # rms
+        assert f1[4] == np.abs(x).max()  # peak
+        f2 = got[2]["feature"]
+        assert f2[3] == 0.0 and f2[4] == 0.0
+        assert abs(f2[2] - 0.5) < 1e-12

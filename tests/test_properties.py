@@ -92,3 +92,19 @@ class TestPiiProperties:
             s = re.sub(pat, PII_TOKENS[kind], s)
         for pat in PII_PATTERNS.values():
             assert not re.search(pat, s)
+
+
+class TestWavProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 2000),
+        st.integers(1, 2),
+        st.sampled_from([8000, 16000, 44100]),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32767, size=(n, ch), dtype=np.int16)
+        r, out = C.decode_wav(C.encode_wav(rate, s))
+        assert r == rate
+        assert np.array_equal(out, s)

@@ -2068,3 +2068,70 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@query(
+    "media_audio_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+      CAST(1000 + doc_id % 500 AS BIGINT) AS n_frames,
+      CAST(1000 + doc_id % 500 AS DOUBLE) / 16000 AS duration_sec,
+      TRUE AS rms_in_envelope
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio decode under the driver gate: synthesize a
+    deterministic 440 Hz/16 kHz PCM WAV payload per 'audio' doc
+    (length 1000 + doc_id mod 500 frames) in one Arrow kernel, run it
+    through the real wave-module decode path
+    (multimodal.extract_features decode="real"), and emit what the
+    oracle can re-derive arithmetically — frame count and duration
+    recovered FROM THE DECODED BYTES — plus an envelope boolean
+    asserting the decoded RMS is within 2% of amplitude/√2 (the sine
+    RMS identity; a corrupted encode/decode cannot pass it). This is
+    the bounds-oracle pattern used for every engine-specific kernel."""
+    import math
+
+    from ..operators import multimodal as MM
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = int(1000 + did % 500)
+                ts = np.arange(n)
+                s = (8000 * np.sin(2 * np.pi * 440 * ts / 16000)).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(16000, s))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    docs = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    media = docs.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    feats = MM.extract_features(media, decode="real")
+    target_rms = 8000 / math.sqrt(2)
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 2).cast("long").alias("n_frames"),
+        F.element_at("feature", 3).alias("duration_sec"),
+        (
+            F.abs(F.element_at("feature", 4) - F.lit(target_rms))
+            <= F.lit(0.02 * target_rms)
+        ).alias("rms_in_envelope"),
+    )

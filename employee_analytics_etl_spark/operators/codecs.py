@@ -164,3 +164,22 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
         w.setframerate(rate)
         w.writeframes(np.ascontiguousarray(samples, dtype="<i2").tobytes())
     return buf.getvalue()
+
+
+def resample_nearest_audio(
+    rate: int, samples: np.ndarray, target_rate: int
+) -> np.ndarray:
+    """Nearest-neighbor sample-rate conversion (the audio analogue of
+    resize_nearest): output frame i takes input frame
+    round(i · rate / target_rate). No interpolation/anti-aliasing — the
+    boundary where a real DSP library would plug in, but exact,
+    deterministic, and correct for the integer-ratio cases pipelines
+    normalize to (16 k→8 k picks every 2nd frame)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n_out = max(1, int(round(samples.shape[0] * target_rate / rate)))
+    idx = np.minimum(
+        np.round(np.arange(n_out) * rate / target_rate).astype(np.int64),
+        samples.shape[0] - 1,
+    )
+    return samples[idx]

@@ -196,3 +196,62 @@ def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+RESAMPLE_SCHEMA = (
+    "media_id long, kind string, out_rate int, n_frames long, payload binary"
+)
+
+
+def resample_audio(
+    df: DataFrame, target_rate: int, decode: str = "fake"
+) -> DataFrame:
+    """Normalize audio payloads to one sample rate — the audio analogue
+    of resize_images, and the standard first step of an audio training
+    pipeline (models want a single rate).
+
+    decode="real": WAV decode → nearest-neighbor rate conversion →
+    WAV re-encode (codecs.resample_nearest_audio; true sample math,
+    stdlib only). decode="fake": byte-budget stand-in (scaled
+    truncate/pad). decode="strict": marks where a real DSP resampler
+    (soxr/librosa) would plug in."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out, nf = [], []
+            for payload in pdf["payload"]:
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "anti-aliased resampling requires soxr/librosa"
+                    )
+                b = bytes(payload) if payload is not None else b""
+                if decode == "real":
+                    from .codecs import (
+                        decode_wav,
+                        encode_wav,
+                        resample_nearest_audio,
+                    )
+
+                    rate, samples = decode_wav(b)
+                    res = resample_nearest_audio(rate, samples, target_rate)
+                    out.append(encode_wav(target_rate, res))
+                    nf.append(res.shape[0])
+                else:
+                    scaled = b[: max(1, int(len(b) * target_rate / 16000))]
+                    out.append(scaled)
+                    nf.append(len(scaled) // 2)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_rate": target_rate,
+                    "n_frames": nf,
+                    "payload": out,
+                }
+            )
+
+    return df.filter(F.col("kind") == "audio").mapInPandas(
+        op, schema=RESAMPLE_SCHEMA
+    )

@@ -1009,3 +1009,25 @@ class TestAudioDecode:
         f2 = got[2]["feature"]
         assert f2[3] == 0.0 and f2[4] == 0.0
         assert abs(f2[2] - 0.5) < 1e-12
+
+
+class TestAudioResample:
+    def test_halving_rate_picks_every_second_frame(self, spark):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators.codecs import (
+            decode_wav,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(7)
+        s = rng.integers(-32768, 32767, size=1000, dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, "audio", bytearray(encode_wav(16000, s)))],
+            "media_id long, kind string, payload binary",
+        )
+        r = MM.resample_audio(df, 8000, decode="real").collect()[0]
+        assert r["out_rate"] == 8000 and r["n_frames"] == 500
+        rate, out = decode_wav(bytes(r["payload"]))
+        assert rate == 8000
+        assert np.array_equal(out[:, 0], s[::2])  # exact frame picks

@@ -108,3 +108,24 @@ class TestWavProperties:
         r, out = C.decode_wav(C.encode_wav(rate, s))
         assert r == rate
         assert np.array_equal(out, s)
+
+
+class TestResampleProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.integers(1, 3000),
+        st.sampled_from([(16000, 8000), (16000, 4000), (8000, 16000), (44100, 22050)]),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_length_and_integer_ratio_slicing(self, n, rates, seed):
+        rate, target = rates
+        rng = np.random.default_rng(seed)
+        s = rng.integers(-32768, 32767, size=n, dtype=np.int16)
+        out = C.resample_nearest_audio(rate, s, target)
+        assert out.shape[0] == max(1, int(round(n * target / rate)))
+        if rate % target == 0:
+            k = rate // target
+            # integer-ratio downsample == exact every-k-th-frame slice
+            assert np.array_equal(out[:, 0], s[::k][: out.shape[0]])
+        # every output frame exists in the input (nearest never invents)
+        assert np.isin(out[:, 0], s).all()

@@ -548,3 +548,55 @@ def events_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             " seq[0].value, (a, x) -> x * 0.2D + a * 0.8D)"
         ).alias("ewma"),
     )
+
+
+@query(
+    "events_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+      median(value) OVER (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts), event_id
+        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+      ) AS rolling_median
+    FROM events
+    """,
+)
+def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust statistic: median of each user's last 5 events
+    (4 preceding + current) in event-time order — the outlier-resistant
+    smoother for noisy metrics, where a rolling MEAN would chase every
+    spike.
+
+    Spark has no windowed median, so the window collects its frame into
+    an array and the median is pure array expressions: sort, pick the
+    middle (odd) or average the two middles (even) — exactly
+    quantile_cont(0.5) semantics, so the DuckDB windowed ``median``
+    (linear interpolation at 0.5 = mean of the two middles) is an EXACT
+    oracle; both engines do the identical (a+b)/2 IEEE op.
+
+    One shuffle on user_id; frame arrays are constant-size (5), so the
+    collect_list-per-row memory is O(1) per row at any scale — this is
+    the standard recipe until a native windowed percentile lands.
+    """
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    median = F.when(
+        n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(arr, (n / 2).cast("int"))
+            + F.element_at(arr, (n / 2 + 1).cast("int"))
+        )
+        / 2
+    )
+    return ev.select(
+        "event_id", "user_id", median.alias("rolling_median")
+    )

@@ -587,8 +587,19 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-4, 0)
     )
     arr = F.array_sort(F.collect_list("value").over(w))
+    return ev.select(
+        "event_id",
+        "user_id",
+        _interp_median(arr).alias("rolling_median"),
+    )
+
+
+def _interp_median(arr):
+    """quantile_cont(0.5) of a SORTED array column: middle element
+    (odd n) or mean of the two middles (even n) — the same (a+b)/2
+    IEEE op DuckDB's median/mad interpolation performs."""
     n = F.size(arr)
-    median = F.when(
+    return F.when(
         n % 2 == 1, F.element_at(arr, (n / 2 + 1).cast("int"))
     ).otherwise(
         (
@@ -597,6 +608,63 @@ def events_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 2
     )
-    return ev.select(
-        "event_id", "user_id", median.alias("rolling_median")
+
+
+@query(
+    "events_robust_outliers",
+    oracle="""
+    SELECT event_id, user_id,
+      median(value) OVER w AS rolling_med,
+      mad(value) OVER w AS rolling_mad,
+      abs(value - median(value) OVER w) > 3 * mad(value) OVER w AS is_outlier
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY epoch_us(ts), event_id
+      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust online outlier flag: |x − rolling median| > 3·MAD over
+    each user's last-5-event frame. Median/MAD (not mean/stddev)
+    because one spike inflates a stddev enough to hide the NEXT spike —
+    the classic robust-statistics argument; events_value_zscore is the
+    non-robust twin.
+
+    Spark has neither windowed median nor mad, so the frame is
+    collected into a constant-size array and both statistics are array
+    expressions: interpolated median of the sorted frame, then
+    interpolated median of sorted absolute deviations — exactly
+    DuckDB's windowed median/mad semantics, op for op, so the oracle
+    is EXACT including the boolean threshold.
+    """
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(-4, 0)
+    )
+    staged = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.array_sort(F.collect_list("value").over(w)).alias("_frame"),
+    ).withColumn("rolling_med", _interp_median(F.col("_frame")))
+    devs = F.array_sort(
+        F.transform(
+            F.col("_frame"), lambda x: F.abs(x - F.col("rolling_med"))
+        )
+    )
+    return (
+        staged.withColumn("rolling_mad", _interp_median(devs))
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col("value") - F.col("rolling_med"))
+            > 3 * F.col("rolling_mad"),
+        )
+        .select(
+            "event_id", "user_id", "rolling_med", "rolling_mad", "is_outlier"
+        )
     )

@@ -2135,3 +2135,67 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.02 * target_rms)
         ).alias("rms_in_envelope"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE.replace("doc_id", "source")},
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id)
+    SELECT a.id AS source_a, b.id AS source_b,
+      CAST(COUNT(*) AS BIGINT) AS n_shared,
+      round(CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)), 6) AS jaccard
+    FROM sh a
+    JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    JOIN sizes sa ON sa.id = a.id
+    JOIN sizes sb ON sb.id = b.id
+    GROUP BY a.id, b.id, sa.n, sb.n
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle-overlap matrix: Jaccard similarity between
+    every pair of corpus sources — the corpus-card companion to
+    document dedup ("which sources mirror each other"), the signal that
+    drives source-level dedup priority and mixture down-weighting.
+
+    Same one-shuffle shape as ngram_jaccard_pairs but keyed by SOURCE:
+    distinct (source, shingle) rows, one groupBy(shingle) with a
+    sorted pair-explode, then a size join. Per-shingle fanout is
+    bounded by C(n_sources, 2) — sources number in the tens at any
+    corpus scale, so this stays linear where a document-level matrix
+    would be quadratic."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    sh = D.shingles(docs, id_col="source", text_col="text")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a, y AS b))))"
+    )
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("id").alias("source_a"), F.col("n").alias("na")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("source_b"), F.col("n").alias("nb")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -59,6 +59,12 @@ HEADLINE = [
     # LM-quality / entity-resolution family (added late r2)
     "doc_bigram_lm_score",
     "dedup_levenshtein_pairs",
+    # sketch / CDC / robust-stats / corpus-card families (added late r2)
+    "events_users_hll_rollup",
+    "orders_merge_upsert",
+    "events_debounce_kept",
+    "events_robust_outliers",
+    "source_overlap_matrix",
 ]
 
 

@@ -283,45 +283,66 @@ def debounce_events_kept(
     Unlike ``debounce_events`` (raw-lag, one window function), the
     kept-lag decision for row i depends on the decision for row i-1 —
     a per-key state machine no composition of SQL window functions can
-    express (the oracle needs a recursive CTE). Implemented as an
-    Arrow ``applyInPandas`` kernel: one shuffle on (user, type), then a
-    linear scan per group in numpy. Group size is bounded by a single
-    key's event count — the same bound sessionization already assumes —
-    so memory per task is flat at any corpus scale.
+    express (the oracle needs a recursive CTE).
 
-    The scan orders by (epoch-micros, event id): a total order, so the
+    Implementation: repartition by (user, type) + sortWithinPartitions
+    + ONE ``mapInPandas`` pass per partition with a key-change reset —
+    NOT ``applyInPandas`` per group. Debounce groups are tiny (one
+    user's events of one type), and per-group Arrow slices made the
+    kernel overhead-bound: ~7500 group frames took ~17 s at sf0.1
+    where the whole-partition scan takes ~2 s moving identical rows.
+    Arrow batches may split a group, so the scan carries (key,
+    last_kept) across batch boundaries; within a partition rows arrive
+    fully sorted, so the sequential scan is exactly the per-group scan.
+
+    The order is (user, type, epoch-micros, event id): total, so the
     survivor set is deterministic and the streaming twin
     (streaming.stateful.debounce_stream) reproduces it batch-for-batch.
     """
-    from pyspark.sql import types as T
-
     gap_us = min_gap_sec * 1_000_000
-    out_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("ts_us", T.LongType()),
-        ]
-    )
 
-    def _debounce(pdf):
-        pdf = pdf.sort_values(["_us", id_col], kind="mergesort")
-        keep = []
-        last_kept = None
-        for us in pdf["_us"].to_numpy():
-            ok = last_kept is None or us - last_kept >= gap_us
-            if ok:
-                last_kept = us
-            keep.append(ok)
-        out = pdf.loc[keep, [id_col, user_col, type_col, "_us"]]
-        return out.rename(columns={"_us": "ts_us"})
+    def op(pdfs):
+        import numpy as np
+
+        cur_key = None
+        last_kept = 0
+        for pdf in pdfs:
+            n = len(pdf)
+            if not n:
+                continue
+            users = pdf[user_col].to_numpy()
+            types = pdf[type_col].to_numpy()
+            uss = pdf["_us"].to_numpy()
+            keep = np.zeros(n, dtype=bool)
+            for i in range(n):
+                k = (users[i], types[i])
+                if k != cur_key:
+                    cur_key = k
+                    last_kept = None
+                if last_kept is None or uss[i] - last_kept >= gap_us:
+                    last_kept = uss[i]
+                    keep[i] = True
+            out = pdf.loc[keep, [id_col, user_col, type_col, "_us"]]
+            yield out.rename(
+                columns={
+                    id_col: "event_id",
+                    user_col: "user_id",
+                    type_col: "event_type",
+                    "_us": "ts_us",
+                }
+            )
 
     us = F.expr(f"unix_micros(CAST({ts_col} AS TIMESTAMP))")
     return (
         events.select(
             F.col(id_col), F.col(user_col), F.col(type_col), us.alias("_us")
         )
-        .groupBy(user_col, type_col)
-        .applyInPandas(_debounce, out_schema)
+        .repartition(F.col(user_col), F.col(type_col))
+        .sortWithinPartitions(user_col, type_col, "_us", id_col)
+        .mapInPandas(
+            op,
+            schema=(
+                "event_id long, user_id long, event_type string, ts_us long"
+            ),
+        )
     )

@@ -668,3 +668,45 @@ def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "user_id", "rolling_med", "rolling_mad", "is_outlier"
         )
     )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT 'events.user_id' AS key_name,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / COUNT(*))
+        AS skew_ratio
+    FROM c
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key cardinality summary for a
+    prospective shuffle key — the measurement you run BEFORE choosing
+    between a plain shuffle, AQE skew-split, or explicit salting
+    (operators/partitioning.py:salted_*). ``skew_ratio`` is
+    max-key-count over mean-key-count: ~1 means uniform; tens-to-
+    thousands means the hottest key serializes one reducer and salting
+    pays for itself.
+
+    Two-level aggregate (per-key counts → one summary row), partial
+    agg on both levels — the profile costs one scan regardless of
+    table size, which is why it belongs in the nightly stats job at
+    100 TB."""
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.lit("events.user_id").alias("key_name"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
+        ).alias("skew_ratio"),
+    )

@@ -710,3 +710,83 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("cnt").cast("double") / F.count(F.lit(1)))
         ).alias("skew_ratio"),
     )
+
+
+@query(
+    "orders_price_rank_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+    )
+    """,
+)
+def orders_price_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions: percent_rank ((rank−1)/(n−1))
+    and cume_dist (rows ≤ current / n) of each order's price within its
+    status group. The ORDER BY carries the key tiebreak so both are
+    computed over an identical TOTAL order in both engines — the exact
+    integer-ratio formulas then match bit-for-bit (single IEEE
+    division). Completes the ranking-family surface next to
+    rank/dense_rank/ntile (acctbal queries)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "events_trimmed_mean",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+        quantile_cont(value, 0.1) AS p10,
+        quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, b.p10, b.p90,
+      CAST(COUNT(*) AS BIGINT) AS n_kept,
+      CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS trimmed_mean
+    FROM events e JOIN b ON e.event_type = b.event_type
+    WHERE e.value >= b.p10 AND e.value <= b.p90
+    GROUP BY e.event_type, b.p10, b.p90
+    """,
+)
+def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed mean per event type: drop each group's tails outside
+    [p10, p90] before averaging — the robust-aggregation cousin of the
+    median/MAD family for metrics where a handful of extreme values
+    (bot bursts, price glitches) swamp a plain mean.
+
+    Exact interpolated percentiles (the documented small-group path —
+    percentile_approx is the 100 TB swap-in, see approx_quantile_price)
+    computed per group then broadcast back; the kept-range mean is a
+    DECIMAL-exact sum over 2-decimal values, so the oracle matches
+    bit-for-bit. Two aggregates + one broadcast join, no window."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.1)").alias("p10"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .filter((F.col("value") >= F.col("p10")) & (F.col("value") <= F.col("p90")))
+        .groupBy("event_type", "p10", "p90")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("trimmed_mean"),
+        )
+    )

@@ -790,3 +790,50 @@ def events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trimmed_mean"),
         )
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    WITH mm AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    b AS (
+      SELECT least(CAST(floor((value - lo) / ((hi - lo) / 20) ) AS INT), 19)
+               AS bucket,
+             lo, hi
+      FROM events, mm
+    )
+    SELECT bucket,
+      CAST(lo + bucket * ((hi - lo) / 20) AS DOUBLE) AS bucket_lo,
+      CAST(COUNT(*) AS BIGINT) AS n
+    FROM b GROUP BY bucket, lo, hi
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of event values — the
+    distribution-profiling primitive behind data cards and drift
+    monitors. Global min/max is a 1-row broadcast (the allowlisted
+    scalar-subquery shape); bucket index is floor((v − lo)/width) with
+    the max value clamped into the last bucket — every step a single
+    deterministic IEEE op, so the oracle is exact, bucket edges
+    included. One scan + one tiny groupBy; no sort, no window."""
+    ev = t(spark, sf_dir, "events").select("value")
+    mm = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / 20
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / width).cast("int"), F.lit(19)
+    )
+    return (
+        ev.crossJoin(F.broadcast(mm))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "bucket",
+            (F.col("lo") + F.col("bucket") * ((F.col("hi") - F.col("lo")) / 20))
+            .cast("double")
+            .alias("bucket_lo"),
+            "n",
+        )
+    )

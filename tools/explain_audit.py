@@ -87,6 +87,8 @@ SCALAR_BNLJ_OK = {
     "knn_lsh_hyperplane",
     # vocab-size scalar V joined onto the vocab-sized unigram table
     "doc_bigram_lm_score",
+    # global min/max 1-row broadcast for equi-width bucketing
+    "events_value_histogram",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -2199,3 +2199,44 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "doc_weighted_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, n_chars,
+        pow(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) / 1152921504606846976.0,
+            1.0 / n_chars) AS key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(key, 9) AS sample_key
+    FROM k ORDER BY key DESC, doc_id LIMIT 50
+    """,
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): each doc draws u from its md5-derived
+    60-bit fingerprint (uniform in (0,1), reproducible across engines
+    and re-runs — the same derandomization as doc_train_split) and is
+    ranked by u^(1/w) with weight w = n_chars; the top-50 keys ARE a
+    weighted sample without replacement. This is THE distributed
+    weighted-sampling recipe: keys are computed scan-side with zero
+    shuffle and the top-k compiles to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global sort — at 100 TB
+    the cost is one scan, the same shape as top_customers_by_spend.
+
+    Quality-weighted corpus downsampling drops in by swapping w for a
+    quality score (doc_quality_score)."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+    )
+    key = F.pow(fp / F.lit(1152921504606846976.0), 1.0 / F.col("n_chars"))
+    return (
+        docs.select("doc_id", "n_chars", key.alias("_key"))
+        .orderBy(F.col("_key").desc(), "doc_id")
+        .limit(50)
+        .select("doc_id", "n_chars", F.round("_key", 9).alias("sample_key"))
+    )

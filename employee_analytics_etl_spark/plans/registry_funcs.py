@@ -837,3 +837,35 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+      CAST(hour(ts) AS INT) AS hh,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic heatmap: event count + value by (day-of-week, hour) —
+    the seasonality profile behind capacity planning and anomaly
+    baselines. One scan-side date-part projection + one tiny groupBy
+    (≤ 168 cells at any scale). NB Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday — the oracle maps (+1), same as order_date_parts.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.dayofweek(F.col("ts").cast("date")).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hh"),
+            "value",
+        )
+        .groupBy("dow", "hh")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

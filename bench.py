@@ -4,19 +4,34 @@ ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + materialize counts via
-a cheap action). Session startup is excluded from per-query numbers but
-reported separately.
+Trustworthiness (r2 verdict #1): a single sequential pass is load-
+contaminated — BENCH_r02 showed apparent 4-14x "regressions" that an idle
+re-run disproved. So each query now runs BENCH_RUNS times (default 2) and
+the reported number is the MIN across runs (the least load-contaminated
+observation of an identical deterministic plan); per-run values and the
+median ride along in `queries_runs` / `queries_median`. `os.getloadavg()`
+is recorded before and after, and `load_warning` is set in the JSON when
+the 1-min load exceeds LOAD_WARN_THRESHOLD at start — a flag that the
+host was busy and even the min may be inflated.
+
+`--layout multifile` reruns the fact-heavy subset against a 10x multi-file
+derivative (tools/gen_multifile.py, generated on first use) — the scan-
+parallel layout the single-row-group fixtures can't provide; this is the
+committed, regenerable form of PERF.md's scale-up experiment.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+LOAD_WARN_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "2.0"))
 
 HEADLINE = [
     # reference-parity analytics
@@ -67,14 +82,46 @@ HEADLINE = [
     "source_overlap_matrix",
 ]
 
+# Fact-heavy subset for the multi-file layout: queries whose cost is
+# dominated by the lineitem/orders scan+shuffle, where the single-row-
+# group fixture artifact distorts the single-file numbers the most.
+MULTIFILE_SUBSET = [
+    "tpch_q1_pricing_summary",
+    "tpch_q6_revenue_delta",
+    "tpch_q5_region_volume",
+    "order_fulfillment_workload",
+    "tpch_q18_large_orders",
+    "top_customers_by_spend",
+]
+
+
+def _loadavg() -> list[float]:
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return []
+
+
+def _time_query(fn, spark, sf_dir: str) -> float:
+    t1 = time.time()
+    df = fn(spark, sf_dir)
+    # noop sink materializes EVERY output column (count() would let
+    # Catalyst prune aggregate expressions and under-measure)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t1
+
 
 def main() -> None:
+    layout = "multifile" if "--layout" in sys.argv and "multifile" in sys.argv else "single"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+
+    load_start = _loadavg()
+    load_warning = bool(load_start) and load_start[0] > LOAD_WARN_THRESHOLD
 
     t0 = time.time()
     from employee_analytics_etl_spark.plans import (  # noqa: F401
@@ -85,13 +132,29 @@ def main() -> None:
     from employee_analytics_etl_spark.session import build_session
 
     spark = build_session(app_name="bench")
-    # Warm the JVM: run every headline plan once at the smallest SF so
-    # codegen/JIT compilation is excluded from the timed runs — the
-    # timed numbers then measure data-proportional cost, which is what
-    # scales. (Startup + warmup are still reported separately.)
+
+    names = HEADLINE
+    if layout == "multifile":
+        from tools.gen_multifile import generate
+
+        factor = int(os.environ.get("SPARK_GRAFT_MULTIFILE_FACTOR", "10"))
+        sf_dir = generate(
+            sf_dir,
+            os.environ.get(
+                "SPARK_GRAFT_MULTIFILE_DIR", "/tmp/spark_graft_multifile"
+            ),
+            factor=factor,
+            spark=spark,
+        )
+        names = MULTIFILE_SUBSET
+
+    # Warm the JVM: run every plan once at the smallest SF so codegen/JIT
+    # compilation is excluded from the timed runs — the timed numbers then
+    # measure data-proportional cost, which is what scales. (Startup +
+    # warmup are still reported separately.)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in names:
             try:
                 registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
                     "overwrite"
@@ -101,28 +164,46 @@ def main() -> None:
     startup = time.time() - t0
 
     per_query: dict[str, float] = {}
+    per_query_runs: dict[str, list[float]] = {}
+    per_query_median: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in names:
         fn = registry.QUERIES[name]
-        t1 = time.time()
-        df = fn(spark, sf_dir)
-        # noop sink materializes EVERY output column (count() would let
-        # Catalyst prune aggregate expressions and under-measure)
-        df.write.format("noop").mode("overwrite").save()
-        dt_q = time.time() - t1
-        per_query[name] = round(dt_q, 3)
-        total += dt_q
-        print(f"# {name}: {dt_q:.3f}s", file=sys.stderr)
+        runs = [_time_query(fn, spark, sf_dir) for _ in range(BENCH_RUNS)]
+        best = min(runs)
+        per_query[name] = round(best, 3)
+        per_query_runs[name] = [round(r, 3) for r in runs]
+        per_query_median[name] = round(statistics.median(runs), 3)
+        total += best
+        print(
+            f"# {name}: min={best:.3f}s runs={[f'{r:.2f}' for r in runs]}",
+            file=sys.stderr,
+        )
 
+    load_end = _loadavg()
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
         "sf": sf_val,
+        "layout": layout,
         "startup_sec": round(startup, 3),
-        "n_queries": len(HEADLINE),
+        "n_queries": len(names),
+        "runs_per_query": BENCH_RUNS,
+        "aggregation": "min",
+        "queries_median": per_query_median,
+        "queries_runs": per_query_runs,
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
+        "load_warning": load_warning,
     }
+    if load_warning:
+        out["load_warning_detail"] = (
+            f"1-min loadavg {load_start[0]} > {LOAD_WARN_THRESHOLD} at bench "
+            "start: host was busy, numbers may be inflated even after min-of-"
+            f"{BENCH_RUNS}"
+        )
     print(json.dumps(out))
     spark.stop()
 

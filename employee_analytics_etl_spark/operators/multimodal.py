@@ -122,7 +122,7 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                             float(rate),
                             float(samples.shape[0]),
                             samples.shape[0] / rate,
-                            float(np.sqrt((x**2).mean())),
+                            float(np.sqrt((x**2).mean())) if len(x) else 0.0,
                             float(np.abs(x).max()) if len(x) else 0.0,
                         ]
                     )

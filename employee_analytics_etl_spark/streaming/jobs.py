@@ -73,13 +73,31 @@ def _events_ts_is_nanos_long(sf_dir: str, glob: str) -> bool:
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
+    except ImportError:
+        import warnings
 
-        t = pq.ParquetFile(matches[0]).schema_arrow.field("ts").type
-        return pa.types.is_integer(t) or (
-            pa.types.is_timestamp(t) and t.unit == "ns"
+        warnings.warn(
+            "pyarrow unavailable: assuming legacy nanos-long ts schema for "
+            f"{matches[0]} — event-time operators will mis-scale by 1000x "
+            "if the dataset actually carries micros timestamps",
+            stacklevel=2,
         )
-    except Exception:
         return True
+    try:
+        t = pq.ParquetFile(matches[0]).schema_arrow.field("ts").type
+    except (OSError, KeyError, pa.ArrowInvalid) as exc:
+        import warnings
+
+        warnings.warn(
+            f"parquet footer probe failed on {matches[0]} ({exc!r}): "
+            "falling back to the legacy nanos-long ts default — verify the "
+            "events schema if event-time results look 1000x off",
+            stacklevel=2,
+        )
+        return True
+    return pa.types.is_integer(t) or (
+        pa.types.is_timestamp(t) and t.unit == "ns"
+    )
 
 
 def build_events_stream(

@@ -90,6 +90,10 @@ class SessionTimeoutProcessor(StatefulProcessor):
             lo, hi = int(ms.min()), int(ms.max())
             start_ms = lo if start_ms is None else min(start_ms, lo)
             last_ms = hi if last_ms is None else max(last_ms, hi)
+        if last_ms is None:
+            # no prior state and only empty Arrow batches: nothing to
+            # record, and registerTimer(None + gap) would TypeError
+            return iter([])
         self._sess.update((start_ms, last_ms, n, total))
         # re-arm: exactly one live timer per key
         for t_ms in self._handle.listTimers():

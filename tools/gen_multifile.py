@@ -1,0 +1,113 @@
+"""Generate a multi-file, scaled-up derivative of a testdata SF directory.
+
+The driver's parquet fixtures each hold ONE row group, so a Spark scan of
+them is a single task — every bench number includes a single-threaded
+decode of the fact table (see PERF.md "Known local floor"). This script
+separates plan quality from that fixture artifact: it replicates the two
+fact tables (`lineitem`, `orders`) FACTOR times with orderkeys shifted
+into disjoint ranges (so fact-fact joins stay consistent and per-orderkey
+aggregate cardinality genuinely grows FACTOR times), writes them as
+N_FILES parquet files each, and copies every other table unchanged.
+
+The output directory is a drop-in `sf_dir` for the registry queries and
+`bench.py --layout multifile` (orderkey-join semantics preserved;
+customer-level results reflect FACTOR times the orders per customer, which
+is the point — shuffle volume grows with the keyspace).
+
+Usage:
+    python tools/gen_multifile.py [src_sf_dir] [out_dir] [factor] [n_files]
+
+Defaults: /root/testdata/sf0.1 -> /tmp/spark_graft_multifile (factor 10,
+32 files per fact table). Idempotent: skips generation when the output
+already exists with a matching manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+FACT_TABLES = ("lineitem", "orders")
+COPY_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def generate(
+    src_dir: str,
+    out_dir: str,
+    factor: int = 10,
+    n_files: int = 32,
+    spark=None,
+) -> str:
+    manifest_path = os.path.join(out_dir, "_manifest.json")
+    manifest = {"src": src_dir, "factor": factor, "n_files": n_files}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            if json.load(f) == manifest:
+                return out_dir  # already generated with identical params
+        shutil.rmtree(out_dir)
+
+    from pyspark.sql import functions as F
+
+    own_session = spark is None
+    if own_session:
+        from employee_analytics_etl_spark.session import build_session
+
+        spark = build_session(app_name="gen_multifile")
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in COPY_TABLES:
+        src = os.path.join(src_dir, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy2(src, dst)
+
+    # Disjoint orderkey ranges per replica: shift by the next power of 10
+    # above the source's max orderkey, so replica keys never collide and
+    # the original rows (rep 0) keep their exact keys.
+    max_ok = (
+        spark.read.parquet(os.path.join(src_dir, "orders.parquet"))
+        .agg(F.max("o_orderkey"))
+        .first()[0]
+    )
+    shift = 10 ** len(str(int(max_ok)))
+
+    reps = spark.range(factor).withColumnRenamed("id", "_rep")
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        df = spark.read.parquet(os.path.join(src_dir, f"{t}.parquet"))
+        cols = df.columns
+        out = (
+            df.crossJoin(F.broadcast(reps))
+            .withColumn(key, F.col(key) + F.col("_rep") * F.lit(shift))
+            .select(*cols)
+            .repartition(n_files)
+        )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}.parquet"))
+
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f)
+    if own_session:
+        spark.stop()
+    return out_dir
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_multifile"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    n_files = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    print(generate(src, out, factor, n_files))

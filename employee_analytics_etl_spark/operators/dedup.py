@@ -476,47 +476,110 @@ def simhash_candidates(
     8-bit bands (32-bit sig / 4 bands) give only 256 values per band,
     so buckets — and the pair explode — grow QUADRATICALLY with corpus
     size (measured 10× wall at sf0.1). The 60-bit / 15-bit-band
-    default gives 32768 values per band, keeping buckets near-singleton
-    until the corpus dwarfs the band space; widen further (more bits,
-    or 6×10-bit bands for hamming ≤ 5) before quadratic growth, the
-    standard LSH capacity trade."""
+    default gives 32768 values per band; widen further (more bits, or
+    6×10-bit bands for hamming ≤ 5) before quadratic growth, the
+    standard LSH capacity trade.
+
+    Duplicate-heavy corpora (r3 restructure): banding raw documents
+    collapses when many docs share a signature — template-generated
+    corpora (and the sf testdata) put 100s of docs in ONE band bucket
+    (sf0.1: a 1582-doc bucket → 1.25M pairs in a single task, a 2.9M-
+    row candidate explode and a 2.9M-row DISTINCT shuffle; this was the
+    bench's unexplained 2-8 s run-to-run variance — one straggler task
+    plus GC, not Arrow or the exchange). The operator therefore (1)
+    groups ids by signature FIRST — intra-signature pairs (hamming 0)
+    are emitted directly from the sorted id array, (2) bands only the
+    DISTINCT signatures (sf0.1: 4.6× fewer candidate pairs, max bucket
+    573 vs 1582), (3) replaces the candidate DISTINCT with a zero-
+    shuffle first-collision-band filter — a pair is kept only in the
+    lowest band where its two signatures agree, a predicate computable
+    from the signatures alone, and (4) expands surviving signature
+    pairs (post-hamming-filter, i.e. output-sized) back to id pairs via
+    two AQE-broadcastable joins against the signature→ids table. Every
+    remaining quadratic term is bounded by the true near-dup cluster
+    structure — i.e. by the output size — not by bucket skew."""
     assert bits % bands == 0
     width = bits // bands
+    mask = (1 << width) - 1
     sigs = simhash_signatures(df, id_col, text_col, bits)
+    groups = sigs.groupBy("simhash").agg(
+        F.array_sort(F.collect_list("id")).alias("ids")
+    )
+
+    # (1) hamming-0 pairs: every id pair within one signature group
+    intra_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    intra = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode(F.expr(intra_expr)).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+
+    # (2) band the distinct signatures only
+    dsig = groups.select("simhash")
     band_arr = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("val"),
+                F.expr(f"(simhash >> {b * width}) & {mask}").alias("val"),
             )
             for b in range(bands)
         ]
     )
-    per_band = sigs.select("id", "simhash", F.explode(band_arr).alias("bb")).select(
-        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
+    per_band = dsig.select("simhash", F.explode(band_arr).alias("bb")).select(
+        "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val")
     )
     pair_expr = (
-        "flatten(transform(sigs, (x, i) -> "
-        "transform(slice(sigs, i + 2, size(sigs)), "
-        "y -> struct(x.id AS id_a, y.id AS id_b, x.s AS s_a, y.s AS s_b))))"
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS s_a, y AS s_b))))"
     )
-    return (
+    # (3) multi-band dedup as a filter: keep a signature pair only in
+    # the LOWEST band in which the two signatures collide — decidable
+    # from (s_a, s_b, band) alone, so no DISTINCT exchange is needed.
+    first_band = (
+        "band = 0 OR NOT exists(sequence(0, band - 1), "
+        f"b -> ((s_a >> b * {width}) & {mask}) = ((s_b >> b * {width}) & {mask}))"
+    )
+    sig_pairs = (
         per_band.groupBy("band", "val")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("id"), F.col("simhash").alias("s")))
-            ).alias("sigs")
-        )
-        .filter(F.size("sigs") >= 2)
-        .select(F.explode(F.expr(pair_expr)).alias("p"))
-        .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.expr("bit_count(p.s_a ^ p.s_b)").alias("hamming"),
-        )
-        .distinct()
+        .agg(F.array_sort(F.collect_list("simhash")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select("band", F.explode(F.expr(pair_expr)).alias("p"))
+        .select("band", F.col("p.s_a").alias("s_a"), F.col("p.s_b").alias("s_b"))
+        .filter(F.expr(first_band))
+        .withColumn("hamming", F.expr("bit_count(s_a ^ s_b)"))
         .filter(F.col("hamming") <= max_hamming)
+        .drop("band")
     )
+
+    # (4) signature pairs → id pairs; sig_pairs is output-sized (post
+    # hamming filter) so AQE broadcasts it against the groups table
+    cross = (
+        sig_pairs.join(
+            groups.select(F.col("simhash").alias("s_a"), F.col("ids").alias("ids_a")),
+            "s_a",
+        )
+        .join(
+            groups.select(F.col("simhash").alias("s_b"), F.col("ids").alias("ids_b")),
+            "s_b",
+        )
+        .select(F.explode("ids_a").alias("x"), F.col("ids_b"), F.col("hamming"))
+        .select(F.col("x"), F.explode("ids_b").alias("y"), F.col("hamming"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            F.col("hamming"),
+        )
+    )
+    return intra.unionByName(cross)
 
 
 def connected_components(

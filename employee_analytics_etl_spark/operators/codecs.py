@@ -96,17 +96,153 @@ def encode_bmp(arr: np.ndarray) -> bytes:
     return header + pix
 
 
+# ----------------------------------------------------------- PNG (RFC 2083)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(data: bytes):
+    i = 8
+    while i + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        yield ctype, data[i + 8 : i + 8 + length]
+        if ctype == b"IEND":
+            return
+        i += 12 + length  # len + type + data + crc
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Dependency-free PNG decode: stdlib ``zlib`` inflates the IDAT
+    stream; the five scanline filters (None/Sub/Up/Average/Paeth) are
+    un-applied per the spec. Supports 8-bit depth, color types 0
+    (grayscale, widened to RGB), 2 (RGB), 3 (palette via PLTE), 4
+    (gray+alpha) and 6 (RGBA) — alpha is dropped (analytics features
+    are over the color planes); returns HxWx3 uint8 RGB. 16-bit and
+    Adam7-interlaced images raise at the marked boundary."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    w = h = None
+    depth = ctype_code = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, ctype_code, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG needs a real codec (PIL)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a real codec (PIL)")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_code)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype_code}")
+
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels  # bytes per pixel (8-bit depth)
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1)
+        pos += 1 + stride
+        if ftype == 0:
+            recon = row.copy()
+        elif ftype == 1:  # Sub
+            recon = row.copy()
+            for x in range(bpp, stride):
+                recon[x] = (int(recon[x]) + int(recon[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            recon = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            recon = row.copy()
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                recon[x] = (int(row[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            recon = row.copy()
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                recon[x] = (int(row[x]) + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = recon
+        prev = recon
+    px = out.reshape(h, w, channels)
+    if ctype_code == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[px[..., 0]].copy()
+    if channels == 1:
+        return np.repeat(px, 3, axis=2).copy()
+    if channels == 2:  # gray + alpha
+        return np.repeat(px[..., :1], 3, axis=2).copy()
+    return px[..., :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal RGB PNG encoder (filter type 0 rows, one zlib stream) —
+    the exact inverse of decode_png's color-type-2 path; used by tests
+    and fixture generators so PNG round-trips stay dependency-free."""
+    import zlib
+
+    h, w, c = arr.shape
+    assert c == 3
+    body = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    body[:, 1:] = np.ascontiguousarray(arr, dtype=np.uint8).reshape(h, w * 3)
+    raw = zlib.compress(body.tobytes(), 6)
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    )
+
+
 # ----------------------------------------------------------------- helpers
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; raises at the codec call site for
-    formats this container cannot decode (JPEG/PNG need real codecs)."""
+    formats this container cannot decode (JPEG needs a real codec)."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "only PPM(P6)/BMP decode ships in-container; JPEG/PNG need PIL"
+        "only PPM(P6)/BMP/PNG decode ships in-container; JPEG needs PIL"
     )
 
 

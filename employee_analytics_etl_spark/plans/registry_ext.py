@@ -2138,6 +2138,73 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_image_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+      CAST(8 + doc_id % 8 AS DOUBLE) AS width,
+      CAST(4 + doc_id % 4 AS DOUBLE) AS height,
+      CAST(7 + doc_id % 8 AS DOUBLE) / 2 AS mean_r,
+      CAST(3 + doc_id % 4 AS DOUBLE) / 2 AS mean_g,
+      CAST((8 + doc_id % 8) + (4 + doc_id % 4) - 2 AS DOUBLE) / 2 AS mean_b,
+      CAST((8 + doc_id % 8) + (4 + doc_id % 4) - 2 AS DOUBLE) / 3 AS mean_byte
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def media_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL PNG decode under the driver gate (r3: the PNG
+    codec is pure stdlib zlib + the five scanline filters,
+    operators/codecs.py:decode_png): synthesize a deterministic RGB
+    gradient PNG per 'image' doc (R=x, G=y, B=x+y at w=8+id%8,
+    h=4+id%4 — every channel mean is closed-form: mean_r=(w-1)/2,
+    mean_g=(h-1)/2, mean_b=(w+h-2)/2, mean_byte=(w+h-2)/3, all exact
+    or correctly-rounded identically in both engines since numerator/
+    denominator are exact integers), push it through the Arrow
+    mapInPandas encode → real decode_png → pixel-stats pipeline, and
+    let DuckDB re-derive every output arithmetically. A corrupted
+    inflate, filter pass, or channel order cannot match."""
+    from ..operators import multimodal as MM
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h = int(8 + did % 8), int(4 + did % 4)
+                x = np.arange(w, dtype=np.uint8)[None, :].repeat(h, 0)
+                y = np.arange(h, dtype=np.uint8)[:, None].repeat(w, 1)
+                img = np.stack([x, y, x + y], axis=-1)  # x+y ≤ 28, no wrap
+                payloads.append(encode_png(img))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    docs = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    media = docs.mapInPandas(gen, schema="media_id long, kind string, payload binary")
+    feats = MM.extract_features(media, decode="real")
+    return feats.select(
+        "media_id",
+        F.element_at("feature", 1).alias("width"),
+        F.element_at("feature", 2).alias("height"),
+        F.element_at("feature", 3).alias("mean_r"),
+        F.element_at("feature", 4).alias("mean_g"),
+        F.element_at("feature", 5).alias("mean_b"),
+        "mean_byte",
+    )
+
+
+@query(
     "source_overlap_matrix",
     oracle=f"""
     WITH {_SHINGLES_CTE.replace("doc_id", "source")},

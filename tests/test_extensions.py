@@ -322,11 +322,159 @@ class TestRealImageDecode:
 
     def test_real_decode_raises_on_unknown_format(self, spark):
         df = spark.createDataFrame(
-            [(1, "image", bytearray(b"\x89PNG\r\n"), None)], MM.MEDIA_SCHEMA
+            [(1, "image", bytearray(b"\xff\xd8\xff\xe0JFIF"), None)], MM.MEDIA_SCHEMA
         )
         with pytest.raises(Exception) as ei:
             MM.extract_features(df, decode="real").collect()
         assert "PPM" in str(ei.value) or "NotImplemented" in str(ei.value)
+
+    def test_png_roundtrip_and_feature_parity(self, spark):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = self._gradient(16, 8)
+        png = C.encode_png(img)
+        assert np.array_equal(C.decode_png(png), img)
+        assert np.array_equal(C.decode_image(png), img)
+        df = spark.createDataFrame(
+            [(3, "image", bytearray(png), None)], MM.MEDIA_SCHEMA
+        )
+        got = MM.extract_features(df, decode="real").collect()[0]
+        exp_means = img.reshape(-1, 3).mean(axis=0)
+        assert got["feature"][0] == 16.0 and got["feature"][1] == 8.0
+        assert np.allclose(got["feature"][2:], exp_means)
+        assert abs(got["mean_byte"] - img.mean()) < 1e-9
+
+    def test_png_all_filter_types(self):
+        """Encode scanlines with each of the 5 PNG filters using an
+        independent forward-filter implementation; decode must
+        reconstruct the exact pixels regardless of filter choice."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+        h, w, _ = img.shape
+        bpp = 3
+        flat = img.reshape(h, w * bpp).astype(np.int16)
+
+        def fwd_filter(ftype, row, prev):
+            out = np.zeros_like(row)
+            for x in range(len(row)):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 0:
+                    pred = 0
+                elif ftype == 1:
+                    pred = left
+                elif ftype == 2:
+                    pred = up
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                out[x] = (row[x] - pred) % 256
+            return out
+
+        raw = bytearray()
+        prev = np.zeros(w * bpp, dtype=np.int16)
+        for y in range(h):
+            ftype = y % 5  # exercise None, Sub, Up, Average, Paeth
+            raw.append(ftype)
+            raw += fwd_filter(ftype, flat[y], prev).astype(np.uint8).tobytes()
+            prev = flat[y]
+
+        def chunk(ctype, payload):
+            return (
+                struct.pack(">I", len(payload))
+                + ctype
+                + payload
+                + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(C.decode_png(png), img)
+
+    def test_png_color_types(self):
+        """Grayscale widens to RGB, RGBA drops alpha, palette indexes
+        resolve through PLTE."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        def build(w, h, ctype_code, pixel_bytes, plte=None):
+            def chunk(ct, payload):
+                return (
+                    struct.pack(">I", len(payload))
+                    + ct
+                    + payload
+                    + struct.pack(">I", zlib.crc32(ct + payload) & 0xFFFFFFFF)
+                )
+
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype_code]
+            raw = bytearray()
+            stride = w * channels
+            for y in range(h):
+                raw.append(0)
+                raw += pixel_bytes[y * stride : (y + 1) * stride]
+            out = b"\x89PNG\r\n\x1a\n" + chunk(
+                b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+            )
+            if plte is not None:
+                out += chunk(b"PLTE", plte)
+            return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+        # grayscale 2x2
+        gray = np.array([[0, 85], [170, 255]], dtype=np.uint8)
+        got = C.decode_png(build(2, 2, 0, gray.tobytes()))
+        assert np.array_equal(got, np.repeat(gray[..., None], 3, axis=2))
+        # RGBA 1x2: alpha dropped
+        rgba = np.array([[[10, 20, 30, 0], [40, 50, 60, 255]]], dtype=np.uint8)
+        got = C.decode_png(build(2, 1, 6, rgba.tobytes()))
+        assert np.array_equal(got, rgba[..., :3])
+        # palette 1x3
+        plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+        idx = np.array([[2, 0, 1]], dtype=np.uint8)
+        got = C.decode_png(build(3, 1, 3, idx.tobytes(), plte.tobytes()))
+        assert np.array_equal(got, plte[idx[0]][None, ...])
+
+    def test_png_16bit_and_interlace_raise(self):
+        import struct
+        import zlib
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        def hdr_only(depth, interlace):
+            payload = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            crc = struct.pack(">I", zlib.crc32(b"IHDR" + payload) & 0xFFFFFFFF)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + struct.pack(">I", len(payload))
+                + b"IHDR"
+                + payload
+                + crc
+            )
+
+        with pytest.raises(NotImplementedError):
+            C.decode_png(hdr_only(16, 0))
+        with pytest.raises(NotImplementedError):
+            C.decode_png(hdr_only(8, 1))
 
 
 class TestConnectedComponents:

@@ -89,6 +89,7 @@ def brute_force_topk_vectorized(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k, matrix-multiply formulation.
 
@@ -101,6 +102,14 @@ def brute_force_topk_vectorized(
     survives 100×: candidate scan is embarrassingly parallel, no
     cross-join materialization, shuffle is O(q·k) per partition.
 
+    ``max_query_rows`` guards the driver-side collect (r2 verdict):
+    a caller who hands a corpus-sized "query set" would OOM the
+    driver, so the size is probed first (a ``limit(cap+1)`` count —
+    stops scanning at cap+1 rows) and a too-large set raises with a
+    pointer at ``lsh_multitable_topk``, the path that never collects
+    vectors. Raise the cap explicitly only if the driver can hold
+    cap × dim float64s.
+
     Equivalent to ``brute_force_topk`` (same math in float64; sims
     rounded to 4 decimals), ~20× faster: whole-batch BLAS matmul vs
     an interpreted per-pair ``F.aggregate`` fold.
@@ -108,6 +117,16 @@ def brute_force_topk_vectorized(
     import numpy as np
     import pandas as pd
 
+    probe = queries.select(id_col).limit(max_query_rows + 1).count()
+    if probe > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk_vectorized collects the query set to the "
+            f"driver and got more than max_query_rows={max_query_rows} "
+            f"rows. For large query sets use lsh_multitable_topk "
+            f"(operators/similarity.py) — the bucketed LSH path that never "
+            f"collects vectors — or pass a larger max_query_rows if the "
+            f"driver can hold the matrix."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype="int64")
     q_mat = np.stack([np.asarray(r[1], dtype="float64") for r in q_rows])

@@ -114,6 +114,16 @@ class TestSimilarity:
             assert sims == sorted(sims, reverse=True)
             assert all(-1.0001 <= s <= 1.0001 for s in sims)
 
+    def test_bruteforce_vectorized_query_cap(self, emb):
+        """The driver-side query-set collect is guarded: an over-cap
+        query set raises with a pointer at the LSH path instead of
+        OOMing the driver, and the cap leaves the oracle path intact."""
+        q = emb.filter(F.col("vec_id") % 100 == 0)
+        with pytest.raises(ValueError, match="lsh_multitable_topk"):
+            S.brute_force_topk_vectorized(emb, emb, k=5, max_query_rows=10)
+        out = S.brute_force_topk_vectorized(q, emb, k=5).collect()
+        assert len(out) == 5 * q.count()
+
     def test_lsh_recall_vs_bruteforce(self, emb):
         q = emb.filter(F.col("vec_id") % 100 == 0)
         exact = {

@@ -298,6 +298,18 @@ def debounce_events_kept(
     The order is (user, type, epoch-micros, event id): total, so the
     survivor set is deterministic and the streaming twin
     (streaming.stateful.debounce_stream) reproduces it batch-for-batch.
+
+    Giant-key ceiling (tests/test_skew.py): a single (user, type) group
+    hashes to ONE partition, so the whale key's events are scanned
+    sequentially by one task — the cost floor of any kept-lag
+    semantics, since decision i depends on decision i-1 within the key.
+    Degradation is LINEAR in the hot key's row count (measured: a key
+    owning 10% of 120k rows stays within ~1.5× of the uniform layout),
+    never quadratic; other keys' partitions proceed in parallel. At
+    100 TB, if one key's events exceed a single executor's scan budget,
+    pre-slice the key by coarse time windows and debounce each slice
+    with a carried boundary (the streaming twin's checkpoint state is
+    exactly that carried boundary, arriving incrementally).
     """
     gap_us = min_gap_sec * 1_000_000
 

@@ -1,0 +1,142 @@
+"""Hot-key skew stress tests (r2 verdict #5): one user owns ~10% of all
+events. Verifies the per-key sequential operators (kept-lag debounce,
+sessionize) stay CORRECT under skew — checked against independent
+driver-side sequential references — and that the whale key degrades
+wall-clock gracefully rather than pathologically (the whole-partition
+mapInPandas scan's giant-key ceiling is one partition's sequential scan,
+documented in operators/windows.py).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from employee_analytics_etl_spark.operators import windows as W
+
+N_ROWS = 120_000
+HOT_USER = 1
+N_COLD_USERS = 1999
+BASE_TS = 1_700_000_000
+
+
+def _events(spark, skewed: bool):
+    """Deterministic synthetic events; skewed=True routes every 10th row
+    to HOT_USER (~10% of all rows on one key)."""
+    uid = (
+        F.when(F.col("id") % 10 == 0, F.lit(HOT_USER))
+        .otherwise((F.col("id") % N_COLD_USERS) + 2)
+        if skewed
+        else (F.col("id") % (N_COLD_USERS + 1)) + 1
+    )
+    return spark.range(N_ROWS).select(
+        F.col("id").alias("event_id"),
+        uid.cast("long").alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        F.timestamp_seconds(
+            F.lit(BASE_TS) + (F.col("id") * 37) % 864_000
+        ).alias("ts"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+
+
+def _ref_debounce_kept(rows, gap_sec):
+    """Independent sequential reference: sort by (user, type, ts, id),
+    keep a row iff >= gap after the last KEPT row of its key."""
+    out = set()
+    last = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["event_type"], r["ts_us"], r["event_id"])):
+        k = (r["user_id"], r["event_type"])
+        if k not in last or r["ts_us"] - last[k] >= gap_sec * 1_000_000:
+            last[k] = r["ts_us"]
+            out.add(r["event_id"])
+    return out
+
+
+def _ref_sessions(rows, gap_sec):
+    """Independent gaps-and-islands reference keyed by user."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["ts_us"], r["event_id"], r["value"]))
+    sessions = set()
+    for uid, evs in by_user.items():
+        evs.sort()
+        start = end = None
+        n = 0
+        total = 0.0
+        for ts_us, _eid, val in evs:
+            if start is None or ts_us - end > gap_sec * 1_000_000:
+                if start is not None:
+                    sessions.add((uid, start // 10**6, end // 10**6, n, round(total, 2)))
+                start, n, total = ts_us, 0, 0.0
+            end = ts_us
+            n += 1
+            total += val
+        sessions.add((uid, start // 10**6, end // 10**6, n, round(total, 2)))
+    return sessions
+
+
+class TestHotKeySkew:
+    @pytest.fixture(scope="class")
+    def skewed(self, spark):
+        return _events(spark, skewed=True).cache()
+
+    @pytest.fixture(scope="class")
+    def uniform(self, spark):
+        return _events(spark, skewed=False).cache()
+
+    def test_skew_shape(self, skewed):
+        counts = dict(
+            skewed.groupBy("user_id").count().orderBy(F.desc("count")).limit(2).collect()
+        )
+        assert counts[HOT_USER] == N_ROWS // 10
+
+    def test_debounce_kept_correct_under_skew(self, skewed):
+        gap = 600
+        got = {r["event_id"] for r in W.debounce_events_kept(skewed, gap).collect()}
+        base = skewed.select(
+            "event_id", "user_id", "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        ).collect()
+        assert got == _ref_debounce_kept(base, gap)
+
+    def test_sessionize_correct_under_skew(self, skewed):
+        gap = 900
+        got = {
+            (
+                r["user_id"], r["session_start_sec"], r["session_end_sec"],
+                r["n_events"], round(r["total_value"], 2),
+            )
+            for r in W.sessionize(skewed, gap_sec=gap).collect()
+        }
+        base = skewed.select(
+            "event_id", "user_id", "value",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        ).collect()
+        assert got == _ref_sessions(base, gap)
+
+    def test_hot_key_wall_clock_bounded(self, skewed, uniform):
+        """The whale key serializes ONE partition's scan; total wall must
+        stay within a small factor of the uniform layout, not blow up
+        quadratically. Min-of-2 per layout to damp host-load noise."""
+
+        def best_of(df, n=2):
+            times = []
+            for _ in range(n):
+                t0 = time.time()
+                W.debounce_events_kept(df, 600).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.time() - t0)
+            return min(times)
+
+        warm = best_of(uniform, 1)  # noqa: F841 — JIT/codegen warm
+        t_uniform = best_of(uniform)
+        t_skewed = best_of(skewed)
+        # generous bound: catches quadratic/pathological behavior while
+        # tolerating scheduler noise on a loaded host
+        assert t_skewed <= max(3.0 * t_uniform, t_uniform + 2.0), (
+            f"skewed {t_skewed:.2f}s vs uniform {t_uniform:.2f}s"
+        )

@@ -279,6 +279,7 @@ def run_foreach_batch_parquet(
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    inject_failure_batch: int | None = None,
 ) -> None:
     """Exactly-once file sink via foreachBatch: each micro-batch writes
     to a ``batch_id=N`` subdirectory with mode=overwrite, so a batch
@@ -289,9 +290,25 @@ def run_foreach_batch_parquet(
 
     The checkpoint directory records which batches committed; on
     restart Structured Streaming replays only uncommitted batches.
+
+    ``inject_failure_batch`` is a chaos hook for the kill/recovery test
+    (tests/test_streaming.py): when the given batch id arrives it
+    writes only HALF the batch (a torn write — exactly what a mid-write
+    crash leaves behind) and raises, failing the query AFTER earlier
+    batches committed to the checkpoint. A restart on the same
+    checkpoint must replay that batch, overwrite the torn directory,
+    and end exactly-once.
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if inject_failure_batch is not None and batch_id == inject_failure_batch:
+            half = max(1, batch_df.count() // 2)
+            batch_df.limit(half).write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+            raise RuntimeError(
+                f"injected failure: torn write of batch {batch_id}"
+            )
         (
             batch_df.write.mode("overwrite").parquet(
                 f"{out_dir}/batch_id={batch_id}"

@@ -112,6 +112,56 @@ class TestStreaming:
         assert n1 == want and n2 == want
 
 
+class TestCheckpointRecovery:
+    """Kill the query mid-stream (torn write + failure on batch 1 of 3),
+    restart on the SAME checkpoint, and assert exactly-once output
+    across the restart — the contract the idempotent-replay test alone
+    does not cover (r2 verdict #6)."""
+
+    def test_kill_midstream_restart_exactly_once(self, spark, tmp_path_factory):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            run_foreach_batch_parquet,
+        )
+
+        src = str(tmp_path_factory.mktemp("ckpt_src"))
+        out = str(tmp_path_factory.mktemp("ckpt_out"))
+        ckpt = str(tmp_path_factory.mktemp("ckpt_ckpt"))
+        for i in range(3):
+            ids = list(range(i * 100, (i + 1) * 100))
+            pq.write_table(
+                pa.table({"event_id": ids, "v": [x % 7 for x in ids]}),
+                f"{src}/f{i}.parquet",
+            )
+
+        def mk_stream():
+            return (
+                spark.readStream.format("parquet")
+                .schema("event_id long, v long")
+                .option("maxFilesPerTrigger", 1)
+                .load(src)
+            )
+
+        # run 1: batch 0 commits; batch 1 tears (half written) and fails
+        with pytest.raises(Exception, match="injected failure|Streaming"):
+            run_foreach_batch_parquet(mk_stream(), out, ckpt, inject_failure_batch=1)
+        crashed = spark.read.parquet(out)
+        assert crashed.count() < 300  # torn state visible: not all rows landed
+        torn = spark.read.parquet(f"{out}/batch_id=1")
+        assert torn.count() == 50  # the half-written batch
+
+        # run 2: same checkpoint, no injection — batch 1 replays and
+        # OVERWRITES its torn directory, batch 2 runs, batch 0 untouched
+        run_foreach_batch_parquet(mk_stream(), out, ckpt)
+        final = spark.read.parquet(out)
+        assert final.count() == 300
+        ids = [r["event_id"] for r in final.select("event_id").collect()]
+        assert sorted(ids) == list(range(300))  # each row exactly once
+        assert spark.read.parquet(f"{out}/batch_id=1").count() == 100
+
+
 class TestStreamingDedup:
     def test_dedup_within_watermark_equals_batch_distinct(
         self, spark, batch_events, tmp_path_factory

@@ -47,6 +47,10 @@ HEADLINE = [
     # TPC-H-pattern breadth tier
     "tpch_q6_revenue_delta",
     "tpch_q18_large_orders",
+    # r3 additions: (part,supp) compaction + decorrelated min join-back;
+    # zero-preserving left-join histogram
+    "tpch_q2_min_cost_supplier",
+    "tpch_q13_customer_distribution",
     # event-time tier
     "events_tumbling_hour",
     "events_sessionize",

@@ -2234,6 +2234,322 @@ def tpch_q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_type, eu.s_name, eu.s_acctbal, eu.n_name,
+             ps.supplycost
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey AND p.p_size = 15
+      JOIN eu ON eu.s_suppkey = ps.l_suppkey
+    ),
+    mn AS (SELECT p_partkey, MIN(supplycost) AS min_cost
+           FROM cand GROUP BY p_partkey)
+    SELECT c.s_acctbal, c.s_name, c.n_name, c.p_partkey, c.p_type,
+           c.supplycost
+    FROM cand c
+    JOIN mn ON mn.p_partkey = c.p_partkey AND c.supplycost = mn.min_cost
+    ORDER BY c.s_acctbal DESC, c.n_name, c.s_name, c.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 pattern: cheapest supplier per part within a region —
+    the correlated MIN subquery decorrelated into a per-part aggregate
+    joined back on (part, cost). The supply association is the
+    (l_partkey, l_suppkey) MIN(l_extendedprice) compaction of the fact
+    (this corpus has no partsupp; MIN of a stored double involves no
+    arithmetic, so the equality join-back is engine-exact). Region-
+    filtered suppliers and the size-filtered part dim both broadcast;
+    the only fact-scale shuffle is the (part, supp) compaction, and the
+    top-100 rides a TOTAL order (acctbal desc, nation, supplier, part)
+    so the cut is deterministic at any parallelism."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supplycost"))
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = (
+        t(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    eu = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_type")
+    )
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(eu), ps.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "p_type", "s_name", "s_acctbal", "n_name", "supplycost")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            mn,
+            (cand.p_partkey == mn.m_partkey)
+            & (cand.supplycost == mn.min_cost),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "supplycost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(l_extendedprice) AS DECIMAL(12,2)) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    de AS (
+      SELECT s_suppkey FROM supplier s
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_8')
+    ),
+    v AS (
+      SELECT ps.l_partkey AS p_partkey, SUM(ps.supplycost) AS value_dec
+      FROM ps JOIN de ON de.s_suppkey = ps.l_suppkey
+      GROUP BY ps.l_partkey
+    )
+    SELECT p_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM v
+    WHERE value_dec * (SELECT COUNT(*) FROM v)
+            > 2 * (SELECT SUM(value_dec) FROM v)
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 pattern: per-part inventory value for one nation's
+    suppliers, kept only when it exceeds a threshold derived from the
+    TOTAL — the scalar subquery becomes a one-row aggregate broadcast
+    back over the per-part values (no second scan of the fact). The
+    spec's fixed fraction (0.0001/SF) must scale with data size or the
+    result empties as parts multiply; here the scale-free form keeps
+    parts above 2× the MEAN part value: value·count > 2·total, an
+    integer-scaled DECIMAL compare, exact in both engines — a double
+    fraction multiply could land on a representation tie."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").cast("decimal(12,2)").alias("supplycost"))
+    )
+    de = (
+        t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                t(spark, sf_dir, "nation").filter(
+                    F.col("n_name").isin("NATION_3", "NATION_7", "NATION_8")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(F.broadcast(de), ps.l_suppkey == de.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum("supplycost").alias("value_dec"))
+    )
+    # the scalar threshold attaches as a 1-row-build broadcast nested-
+    # loop join (the filter is non-equi, so no hash join exists): the
+    # correct scalar-subquery plan shape — build side is exactly one
+    # aggregate row. Allowlisted as such in tools/explain_audit.py.
+    total = v.agg(
+        F.sum("value_dec").alias("total_dec"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") * F.col("n_parts") > F.col("total_dec") * 2)
+        .select("p_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH oc AS (
+      SELECT o_custkey, COUNT(*) AS n
+      FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      GROUP BY o_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COALESCE(oc.n, 0) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 pattern: distribution of customers by order count
+    INCLUDING zero-order customers — the left join that a naive
+    groupBy(orders) silently drops. Orders pre-aggregate to one row
+    per customer before the join (the probe side shrinks from fact- to
+    key-scale), the filtered class ('urgent/high' here — the corpus
+    has no o_comment) is excluded scan-side, and the final histogram
+    aggregate is key-count-sized."""
+    oc = (
+        t(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(oc, c.c_custkey == oc.o_custkey, "left")
+        .select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(5,2)))
+          AS total_rev
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN rev r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 pattern: supplier(s) achieving the MAX quarterly
+    revenue — the revenue view computed once, its scalar MAX broadcast
+    back, and the equality kept on DECIMAL revenues (exact, so
+    co-leaders tie correctly; a double roundtrip could split them).
+    Returns every tied supplier, as the spec requires."""
+    rev = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate").cast("date") >= "1996-01-01")
+            & (F.col("l_shipdate").cast("date") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")).cast(
+                    "decimal(5,2)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH cust AS (
+      SELECT c_custkey, c_acctbal, CAST(c_nationkey % 5 AS INT) AS cntrycode
+      FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)
+    ),
+    thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+      FROM cust WHERE c_acctbal > 0
+    )
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM cust, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = cust.c_custkey
+                        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-07-01')
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 pattern: rich-but-idle customers per country code —
+    a scalar AVG threshold subquery (davg-exact: decimal sum / count,
+    one IEEE division, broadcast back), an anti join against recent
+    orders for 'gone idle' (every sf customer has SOME order, so the
+    literal never-ordered form matches on an empty set — a 0-row
+    oracle proves nothing; the date-bounded anti join keeps the result
+    non-empty at every SF and the cutoff pushes into the orders scan),
+    and a small-key aggregate. Country code is c_nationkey mod 5 (the
+    corpus has no c_phone); the threshold compare runs against the
+    same double in both engines because its numerator/denominator are
+    exact."""
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter((F.col("c_nationkey") % 5).isin(0, 1, 2))
+        .select(
+            "c_custkey",
+            "c_acctbal",
+            (F.col("c_nationkey") % 5).cast("int").alias("cntrycode"),
+        )
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").cast("date") >= "2000-07-01")
+        .select("o_custkey")
+    )
+    # non-equi scalar threshold -> 1-row-build BNLJ by design
+    # (allowlisted in tools/explain_audit.py; see tpch_q11)
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, cust.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "events_value_zscore",
     oracle="""
     WITH st AS (

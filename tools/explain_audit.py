@@ -89,6 +89,10 @@ SCALAR_BNLJ_OK = {
     "doc_bigram_lm_score",
     # global min/max 1-row broadcast for equi-width bucketing
     "events_value_histogram",
+    # global (total, count) 1-row broadcast, non-equi threshold
+    "tpch_q11_important_stock",
+    # global davg threshold 1-row broadcast, non-equi compare
+    "tpch_q22_global_sales_opportunity",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

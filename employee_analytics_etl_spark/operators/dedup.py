@@ -727,3 +727,92 @@ def merge_upsert(
         updates.withColumn("_prec", F.lit(0))
     )
     return keyed_dedup_first(tagged, keys, ["_prec"]).drop("_prec")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every token k-gram, slide a
+    w-window over the hash sequence, keep each window's MINIMUM hash.
+    Guarantees: any shared token run of length ≥ k + w - 1 between two
+    documents produces at least one IDENTICAL fingerprint in both —
+    position-robust SUBSTRING-level duplicate detection, the gap
+    MinHash (whole-set resemblance) and SimHash (whole-doc signature)
+    both leave open.
+
+    Plan shape: k-gram construction and hashing are scan-side array
+    exprs (transform over sequence — zero Python); the window min is
+    ONE hash-partition by doc; fingerprints dedup in the same exchange.
+    Output: distinct (id, fp) rows, ~n_tokens/((w+1)/2) per doc in
+    expectation — a 2/(w+1) density guarantee from the paper.
+
+    Hash parity: fingerprint = first 15 md5 hex chars of the k-gram as
+    a bigint, so the DuckDB oracle reproduces every fingerprint
+    bit-for-bit (same idiom as MinHash/SimHash above)."""
+    from pyspark.sql.window import Window
+
+    gram_hashes = (
+        f"transform(sequence(1, size(tk) - {k - 1}), i -> "
+        f"cast(conv(substr(md5(concat_ws(' ', slice(tk, i, {k}))), 1, 15), 16, 10) "
+        f"as bigint))"
+    )
+    grams = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+            ).alias("tk"),
+        )
+        .filter(F.size("tk") >= k + w - 1)  # need at least one full window
+        .select(
+            "id",
+            (F.size("tk") - (k - 1)).alias("n_grams"),
+            F.posexplode(F.expr(gram_hashes)).alias("pos0", "h"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy("pos0").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos0") <= F.col("n_grams") - w)  # full windows only
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 25,
+) -> DataFrame:
+    """Substring-level near-dup candidate pairs: documents sharing
+    ≥ ``min_shared`` winnowing fingerprints. Same generate→pair shape
+    as the shingle Jaccard verifier: one groupBy(fp) with a document-
+    frequency cap (``max_df`` — boilerplate fingerprints shared by many
+    docs carry no pair signal and would fan out quadratically), sorted
+    pair-explode, pair-count aggregate. Never an all-pairs self-join."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))"
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

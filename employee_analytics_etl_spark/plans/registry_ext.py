@@ -2307,3 +2307,77 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("doc_id", "n_chars", F.round("_key", 9).alias("sample_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r3 additions: exact heavy hitters (mergeable Misra-Gries candidates →
+# exact verify) and winnowing substring-level fingerprint pairs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_heavy_hitters",
+    oracle="""
+    WITH occ AS (
+      SELECT u.tok FROM documents,
+        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    )
+    SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM occ GROUP BY tok
+    HAVING COUNT(*) * 30 > (SELECT COUNT(*) FROM occ)
+    """,
+)
+def token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens (count > n/30) without ever shuffling the
+    long tail: per-partition mergeable Misra-Gries summaries nominate
+    candidates (provably a superset of every true heavy hitter —
+    operators/frequent.py has the pigeonhole argument), then one
+    candidate-only exact count verifies. The oracle is the plain
+    GROUP BY + HAVING ground truth, so the sketch can only ever
+    over-generate, never change the answer. The final scalar-total
+    threshold is a 1-row-build BNLJ (allowlisted scalar shape)."""
+    from ..operators import frequent as FQ
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    occ = docs.select(F.explode(TX.tokens_col("text")).alias("tok"))
+    return FQ.heavy_hitters(occ, "tok", k=30)
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id AS id,
+                         regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+                  FROM documents),
+    grams AS (
+      SELECT id, i,
+        CAST(('0x' || substr(md5(array_to_string(tk[i:i+3], ' ')), 1, 15))
+             AS BIGINT) AS h,
+        len(tk) - 3 AS n_grams
+      FROM toks, UNNEST(range(1, len(tk) - 2)) AS u(i)
+      WHERE len(tk) >= 7
+    ),
+    wins AS (
+      SELECT id, i, n_grams,
+        MIN(h) OVER (PARTITION BY id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT id, fp FROM wins WHERE i <= n_grams - 3),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 25)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT f.* FROM fps f JOIN rare USING (fp)) a
+    JOIN (SELECT f.* FROM fps f JOIN rare USING (fp)) b
+      ON a.fp = b.fp AND a.id < b.id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup pairs via winnowing fingerprints
+    (Schleimer et al. SIGMOD'03): documents sharing ≥3 window-min
+    k-gram hashes. Catches COPIED PASSAGES between otherwise-different
+    documents — the failure mode whole-document MinHash/SimHash
+    resemblance misses. Fingerprints are md5-parity bigints so the
+    oracle reproduces them bit-for-bit; the pair stage reuses the
+    DF-capped groupBy+pair-explode shape (never an all-pairs join)."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return D.winnow_pairs(docs, "doc_id", "text", k=4, w=4, min_shared=3, max_df=25)

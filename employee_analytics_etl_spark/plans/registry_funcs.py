@@ -869,3 +869,94 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "orders_price_drift_psi",
+    oracle="""
+    WITH a AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ),
+    b AS (
+      SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+    ),
+    ca AS (SELECT bucket, COUNT(*) AS n FROM a GROUP BY bucket),
+    cb AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM a) AS na,
+                   (SELECT COUNT(*) FROM b) AS nb),
+    grid AS (SELECT CAST(u.g AS INT) AS bucket FROM UNNEST(range(0, 10)) AS u(g)),
+    j AS (
+      SELECT g.bucket,
+             COALESCE(ca.n, 0) AS ca_n, COALESCE(cb.n, 0) AS cb_n
+      FROM grid g
+      LEFT JOIN ca ON ca.bucket = g.bucket
+      LEFT JOIN cb ON cb.bucket = g.bucket
+    )
+    SELECT bucket,
+      (ca_n + 0.5) / (na + 5.0) AS share_a,
+      (cb_n + 0.5) / (nb + 5.0) AS share_b,
+      CAST(CAST(((ca_n + 0.5) / (na + 5.0) - (cb_n + 0.5) / (nb + 5.0))
+                * ln(((ca_n + 0.5) / (na + 5.0)) / ((cb_n + 0.5) / (nb + 5.0)))
+           AS DECIMAL(28,6)) AS DOUBLE) AS psi_term
+    FROM j CROSS JOIN tot
+    """,
+)
+def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift between two order-price
+    snapshots (pre/post 1998) — the standard production monitor for
+    'did this column's distribution move between ingests'. Fixed
+    equi-width buckets (floor(price/50k), capped at 10) keep the
+    binning deterministic and snapshot-independent; counts ride ONE
+    scan each (partition-prunable by the date predicate); the bucket
+    grid is a 10-row literal so zero-count buckets still appear with
+    Laplace-smoothed shares (+0.5 / +0.5·B). Cross-engine
+    determinism: shares are single IEEE divisions of exact integers;
+    each PSI term is snapped to DECIMAL(28,6) (the bigram-LM idiom)
+    because ln() may differ by 1 ulp between libm and the JVM.
+    Consumers sum psi_term; the per-bucket rows localize WHICH band
+    drifted (PSI > 0.2 of any single bucket = actionable drift)."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+    ).alias("bucket")
+    pre = F.col("o_orderdate").cast("date") < "1998-01-01"
+    ca = (
+        o.filter(pre).select(bucket).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ca_n"))
+    )
+    cb = (
+        o.filter(~pre).select(bucket).groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cb_n"))
+    )
+    tot = (
+        o.agg(
+            F.sum(pre.cast("long")).alias("na"),
+            F.sum((~pre).cast("long")).alias("nb"),
+        )
+    )
+    grid = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    share_a = (F.col("ca_n") + 0.5) / (F.col("na") + 5.0)
+    share_b = (F.col("cb_n") + 0.5) / (F.col("nb") + 5.0)
+    return (
+        grid.join(F.broadcast(ca), "bucket", "left")
+        .join(F.broadcast(cb), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce(F.col("ca_n"), F.lit(0)).alias("ca_n"),
+            F.coalesce(F.col("cb_n"), F.lit(0)).alias("cb_n"),
+            "na",
+            "nb",
+        )
+        .select(
+            "bucket",
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            ((share_a - share_b) * F.log(share_a / share_b))
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("psi_term"),
+        )
+    )

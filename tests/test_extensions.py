@@ -1189,3 +1189,99 @@ class TestAudioResample:
         rate, out = decode_wav(bytes(r["payload"]))
         assert rate == 8000
         assert np.array_equal(out[:, 0], s[::2])  # exact frame picks
+
+
+class TestHeavyHitters:
+    """Two-phase exact frequent items: MG candidates must be a superset
+    of true heavy hitters, and the final output must equal the exact
+    GROUP BY ground truth on a skewed synthetic stream."""
+
+    def _stream(self, spark):
+        # Zipf-flavored: item 'hot_i' appears ~N/(i+1) times over 20
+        # hot items, plus a 5000-item long tail appearing ~twice each
+        hot = [
+            (f"hot_{i}",)
+            for i in range(20)
+            for _ in range(2000 // (i + 1))
+        ]
+        tail = [(f"tail_{j % 5000}",) for j in range(10_000)]
+        return spark.createDataFrame(hot + tail, "item string")
+
+    def test_exact_vs_groupby(self, spark):
+        from employee_analytics_etl_spark.operators import frequent as FQ
+
+        df = self._stream(spark).repartition(8)
+        k = 40
+        got = {
+            (r["item"], r["cnt"])
+            for r in FQ.heavy_hitters(df, "item", k=k).collect()
+        }
+        n = df.count()
+        want = {
+            (r["item"], r["cnt"])
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * k > F.lit(n))
+            .collect()
+        }
+        assert got == want and len(want) > 0
+
+    def test_candidates_are_superset(self, spark):
+        from employee_analytics_etl_spark.operators import frequent as FQ
+
+        df = self._stream(spark).repartition(8)
+        k = 40
+        n = df.count()
+        cands = {
+            r["item"]
+            for r in FQ.mg_candidates(df, "item", k)
+            .filter(F.col("item").isNotNull())
+            .collect()
+        }
+        true_hh = {
+            r["item"]
+            for r in df.groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") * k > F.lit(n))
+            .collect()
+        }
+        assert true_hh <= cands
+        # and the sketch actually pruned the tail (else it's a groupBy)
+        assert len(cands) < 8 * k + 8
+
+
+class TestWinnowing:
+    def test_shared_passage_guarantees_shared_fingerprint(self, spark):
+        """Winnowing guarantee: a common token run of length >= k+w-1
+        yields at least one identical fingerprint in both documents."""
+        passage = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1
+        rows = [
+            (1, f"completely different preamble one {passage} tail x"),
+            (2, f"other words entirely here {passage} closing words y"),
+            (3, "no overlap with anything else whatsoever in this text"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        fps = D.winnow_fingerprints(df, k=4, w=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["id"], set()).add(r["fp"])
+        assert by_doc[1] & by_doc[2]  # shared passage -> shared fp
+        assert not (by_doc[1] & by_doc[2] & by_doc.get(3, set()))
+
+    def test_density_bound(self, spark):
+        """Fingerprints per doc <= number of windows (trivially) and
+        >= n_windows/w (every w consecutive windows pick >= 1 value)."""
+        import random
+
+        rng = random.Random(7)
+        words = " ".join(
+            rng.choice("aa bb cc dd ee ff gg hh ii jj".split())
+            for _ in range(200)
+        )
+        df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+        n_tokens = 200
+        k = w = 4
+        n_windows = (n_tokens - (k - 1)) - w + 1
+        got = D.winnow_fingerprints(df, k=k, w=w).count()
+        assert got <= n_windows
+        assert got >= n_windows // (2 * w)  # loose lower bound, dedup'd

@@ -93,6 +93,10 @@ SCALAR_BNLJ_OK = {
     "tpch_q11_important_stock",
     # global davg threshold 1-row broadcast, non-equi compare
     "tpch_q22_global_sales_opportunity",
+    # global token-count 1-row broadcast, non-equi cnt*k > n threshold
+    "token_heavy_hitters",
+    # 10-row bucket grid × 1-row (na, nb) totals broadcast
+    "orders_price_drift_psi",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -166,8 +166,12 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     top_word = F.expr(
         "array_max(transform(array_distinct(_tk), w -> size(filter(_tk, x -> x = w))))"
     )
+    # zip_with over two shifted slices, not transform(sequence, i ->
+    # _tk[i]...): index-lambda outer-array access is the interpreted
+    # slow path (see bigram_lm_score — 20x measured there)
     bigrams = F.expr(
-        "transform(sequence(0, size(_tk) - 2), i -> concat(_tk[i], ' ', _tk[i+1]))"
+        "zip_with(slice(_tk, 1, size(_tk) - 1), slice(_tk, 2, size(_tk) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     top_bigram = F.expr(
         "array_max(transform(array_distinct(_bg), w -> size(filter(_bg, x -> x = w))))"
@@ -262,16 +266,22 @@ def bigram_lm_score(
     double-sum of logs would differ between engines in the last ulps.
     """
     toks = docs.select(F.col(id_col), tokens_col(text_col).alias("tk"))
+    # arrays_zip of two shifted slices, NOT a transform((x,i) -> struct)
+    # lambda: higher-order functions run interpreted (outside codegen)
+    # and the lambda's per-element tk[i+1] indexing made gram
+    # construction the query's dominant cost — measured 3.1 s vs
+    # 0.15 s for the zip form at sf0.1 (identical output, r3)
     grams = (
         toks.select(
             id_col,
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
-                " (x, i) -> struct(x AS w1, tk[i + 1] AS w2))"
-            ).alias("gs"),
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                    " slice(tk, 2, greatest(size(tk) - 1, 0)))"
+                )
+            ).alias("g"),
         )
-        .select(id_col, F.explode("gs").alias("g"))
-        .select(id_col, "g.w1", "g.w2")
+        .select(id_col, F.col("g.0").alias("w1"), F.col("g.1").alias("w2"))
     )
     unis = toks.select(F.explode("tk").alias("w"))
     uc = unis.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))

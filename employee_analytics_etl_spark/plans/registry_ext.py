@@ -2381,3 +2381,56 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DF-capped groupBy+pair-explode shape (never an all-pairs join)."""
     docs = fan_out(t(spark, sf_dir, "documents"))
     return D.winnow_pairs(docs, "doc_id", "text", k=4, w=4, min_shared=3, max_df=25)
+
+
+@query(
+    "knn_ivf_kmeans",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           TRUE AS recall_ok, TRUE AS no_self_matches, TRUE AS k_bounded
+    FROM embeddings WHERE vec_id % 50 = 0
+    """,
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-quantizer IVF ANN (FAISS-IVFFlat shape), bounds-style
+    oracle — same envelope pattern as knn_lsh_hyperplane: the k-means
+    fit is not SQL-expressible, so the query emits n_queries plus
+    booleans asserting (a) recall@5 vs the exact brute-force top-5
+    ≥ 0.15 at nprobe=2 of 16 cells (measured 0.28 on the isotropic
+    sf embeddings; the threshold leaves 2x margin and already beats
+    the 0.125 probed-fraction baseline), (b) no self-matches, (c) ≤ k
+    rows per query. Deterministic given the seeded fit. Raw neighbor
+    lists via operators.similarity.ivf_kmeans_topk; recall monotonicity
+    in nprobe and cell balance are pytest-gated."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    approx = S.ivf_kmeans_topk(queries, emb, k=5, n_cells=16, nprobe=2)
+    exact = S.brute_force_topk_vectorized(queries, emb, k=5)
+    n_q = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    flagged = approx.join(
+        exact.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    stats = (
+        flagged.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_per_q"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits_q"),
+            F.max((F.col("neighbor_id") == F.col("query_id")).cast("int")).alias("s"),
+        )
+        .agg(
+            F.sum("hits_q").alias("n_hits"),
+            F.max("n_per_q").alias("max_per_q"),
+            F.max("s").alias("any_self"),
+        )
+    )
+    return (
+        n_q.crossJoin(stats)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            (F.col("n_hits") >= 0.15 * 5 * F.col("n_queries")).alias("recall_ok"),
+            (F.coalesce(F.col("any_self"), F.lit(0)) == 0).alias("no_self_matches"),
+            (F.coalesce(F.col("max_per_q"), F.lit(0)) <= 5).alias("k_bounded"),
+        )
+    )

@@ -85,6 +85,8 @@ SCALAR_BNLJ_OK = {
     "idle_rich_customers",
     # bounds-style envelope row: three 1-row aggregates crossJoined
     "knn_lsh_hyperplane",
+    # same envelope shape (n_q × stats 1-row aggregates)
+    "knn_ivf_kmeans",
     # vocab-size scalar V joined onto the vocab-sized unigram table
     "doc_bigram_lm_score",
     # global min/max 1-row broadcast for equi-width bucketing

@@ -275,6 +275,52 @@ def clicks_before_purchase_stream(
     ).select("purchase_id", "click_id", "p_user_id")
 
 
+def purchases_with_clicks_outer_stream(
+    events: DataFrame,
+    lookback_sec: int = 3600,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched purchases as (purchase, click) pairs immediately, and
+    purchases with NO qualifying click as a null-padded row once the
+    watermark passes their join interval (the engine must hold the
+    purchase in state exactly that long to PROVE no click can still
+    arrive; this is the semantics inner joins cannot express and the
+    reason outer stream-stream joins require watermarks on both sides).
+    Null rows therefore arrive delayed by the watermark horizon — the
+    correctness/latency trade a production funnel pipeline tunes via
+    the watermark. Batch twin: the same condition as a left join."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user_id = p_user_id AND
+            click_ts >= purchase_ts - INTERVAL {lookback_sec} SECONDS AND
+            click_ts < purchase_ts
+            """
+        ),
+        "left_outer",
+    ).select("purchase_id", "click_id", "p_user_id")
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame,
     out_dir: str,

@@ -112,6 +112,61 @@ class TestStreaming:
         assert n1 == want and n2 == want
 
 
+class TestOuterStreamJoin:
+    """Left-outer stream-stream join: matched purchases pair up, and
+    purchases with no qualifying click emit NULL-padded once the
+    watermark proves no click can still arrive."""
+
+    def test_unmatched_purchases_null_padded(self, spark, tmp_path_factory):
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            purchases_with_clicks_outer_stream,
+            run_to_memory,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+        def ev(eid, mins, uid, etype):
+            return (eid, t0 + dt.timedelta(minutes=mins), uid, etype, 1.0)
+
+        rows = [
+            ev(1, 0, 1, "click"),
+            ev(2, 30, 1, "purchase"),   # matched by click 1
+            ev(3, 40, 2, "purchase"),   # user 2 has no clicks -> null row
+            ev(4, 50, 3, "click"),
+            ev(5, 45, 3, "purchase"),   # click AFTER purchase -> no match
+            # sentinels push the final watermark far past every interval
+            # (both sides need their event-time to advance)
+            ev(100, 3000, 99, "click"),
+            ev(101, 3000, 99, "purchase"),
+        ]
+        src = str(tmp_path_factory.mktemp("outer_join_src"))
+        batch = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(batch.schema)
+            .load(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        got = run_to_memory(
+            purchases_with_clicks_outer_stream(stream, lookback_sec=3600),
+            "t_outer_join",
+            spark,
+            output_mode="append",
+        )
+        res = {
+            (r["purchase_id"], r["click_id"])
+            for r in got.filter(F.col("purchase_id") < 100).collect()
+        }
+        assert res == {(2, 1), (3, None), (5, None)}
+
+
 class TestCheckpointRecovery:
     """Kill the query mid-stream (torn write + failure on batch 1 of 3),
     restart on the SAME checkpoint, and assert exactly-once output

@@ -960,3 +960,81 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("psi_term"),
         )
     )
+
+
+@query(
+    "events_value_trend_ols",
+    oracle="""
+    WITH st AS (
+      SELECT event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(epoch_us(ts) // 1000000 - 1700000000 AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST((epoch_us(ts) // 1000000 - 1700000000) * (epoch_us(ts) // 1000000 - 1700000000)
+             AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST((epoch_us(ts) // 1000000 - 1700000000) * value AS DECIMAL(28,6)))
+             AS DOUBLE) AS sxy
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      ROUND(CASE WHEN n * sxx - sx * sx > 0
+           THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END, 12)
+        AS slope,
+      ROUND(CASE WHEN n * sxx - sx * sx > 0
+           THEN (sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n
+           ELSE sy / n END, 9) AS intercept
+    FROM st
+    """,
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS trend (the SQL-standard regr_slope /
+    regr_intercept family): is each event type's value drifting over
+    time? ONE scan + one small groupBy — the moment sums (Σx, Σy, Σx²,
+    Σxy) are the sufficient statistics, so the fact table never moves
+    twice and the per-group state is four numbers regardless of group
+    size (at 100 TB this is a map-side-combine aggregate like any
+    count/sum).
+
+    Engine-exact rather than using the built-in regr_* aggregates:
+    those accumulate doubles in engine-chosen order (plan-dependent
+    last-ulp drift); here each product is ONE IEEE multiply
+    (bit-identical in both engines), x is offset to a small epoch base
+    (keeps x² inside exact integer range), the sums ride DECIMAL
+    (order-independent), and the closed-form division is a fixed scalar
+    op sequence on identical doubles."""
+    ev = t(spark, sf_dir, "events")
+    x = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000") - F.lit(1700000000)
+    st = (
+        ev.select(
+            "event_type",
+            x.alias("x"),
+            F.col("value").alias("y"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast("decimal(18,0)")).cast("double").alias("sx"),
+            F.sum(F.col("y").cast("decimal(18,6)")).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("x").cast("double") * F.col("y")).cast("decimal(28,6)"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / det
+    # ROUND-snapped outputs: the compound (sy - sx*slope)/n arithmetic
+    # can differ in the last ulp across engines (FMA fusion choice);
+    # the snap removes that while keeping ~7+ significant digits
+    return st.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.when(det > 0, slope).otherwise(F.lit(0.0)), 12).alias("slope"),
+        F.round(
+            F.when(det > 0, (F.col("sy") - F.col("sx") * slope) / F.col("n"))
+            .otherwise(F.col("sy") / F.col("n")),
+            9,
+        ).alias("intercept"),
+    )

@@ -1038,3 +1038,109 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("intercept"),
     )
+
+
+@query(
+    "events_hourly_value_interp",
+    oracle="""
+    WITH hb AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h, value FROM events
+      WHERE user_id % 25 = 0
+    ),
+    obs AS (
+      SELECT user_id, h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS v
+      FROM hb GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hb GROUP BY 1),
+    spine AS (
+      SELECT user_id, u.h FROM span, UNNEST(generate_series(mn, mx)) AS u(h)
+    ),
+    j AS (
+      SELECT s.user_id, s.h, o.v FROM spine s
+      LEFT JOIN obs o ON o.user_id = s.user_id AND o.h = s.h
+    ),
+    w AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY h
+          ROWS UNBOUNDED PRECEDING) AS ph,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT user_id, CAST(h AS BIGINT) AS hour_idx,
+      v IS NOT NULL AS observed,
+      ROUND(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * CAST(h - ph AS DOUBLE) / (nh - ph)
+            END, 9) AS value_interp
+    FROM w
+    """,
+)
+def events_hourly_value_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the hourly gap-filled series — the
+    third member of the imputation family (zero-fill:
+    events_hourly_gapfill; LOCF: events_last_purchase_ffill): missing
+    hours take the straight line between the neighboring OBSERVED
+    hours. The spine is bounded per user (min..max observed hour), so
+    its endpoints are always observed and no extrapolation case
+    exists.
+
+    One shuffle on user_id; the four neighbor columns (prev/next value
+    and hour) come from ignore-nulls running windows over the SAME
+    sorted partition — one window pass, not a self-join per gap.
+    Observed hourly means are davg-exact; the interpolation ratio is
+    compound double arithmetic, so the output is ROUND-snapped (the
+    OLS/FMA precedent). User subset (mod 25) keeps the dense spine
+    output driver-gate-sized at every SF — the operator itself has no
+    such limit."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 25 == 0)
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"),
+            "value",
+        )
+    )
+    obs = e.groupBy("user_id", "h").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("h"))
+    )
+    j = spine.join(obs, ["user_id", "h"], "left")
+    wp = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("user_id").orderBy("h").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    filled = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(h_obs, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(h_obs, ignorenulls=True).over(wn))
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("h") - F.col("ph")).cast("double") / (F.col("nh") - F.col("ph"))
+    )
+    return filled.select(
+        "user_id",
+        F.col("h").alias("hour_idx"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 9
+        ).alias("value_interp"),
+    )

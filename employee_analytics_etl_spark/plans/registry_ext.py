@@ -2434,3 +2434,84 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("max_per_q"), F.lit(0)) <= 5).alias("k_bounded"),
         )
     )
+
+
+@query(
+    "graph_pagerank_suppliers",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM deg),
+    r0 AS (SELECT src, 1.0 / nn AS rank FROM deg, n),
+    i1 AS (
+      SELECT e.dst AS src,
+        0.15 / (SELECT nn FROM n)
+          + 0.85 * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15)))
+                        AS DOUBLE) AS rank
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN r0 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    i2 AS (
+      SELECT e.dst AS src,
+        0.15 / (SELECT nn FROM n)
+          + 0.85 * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15)))
+                        AS DOUBLE) AS rank
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN i1 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    i3 AS (
+      SELECT e.dst AS src,
+        0.15 / (SELECT nn FROM n)
+          + 0.85 * CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(28,15)))
+                        AS DOUBLE) AS rank
+      FROM edges e
+      JOIN deg d ON d.src = e.src
+      JOIN i2 r ON r.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT CAST(src AS BIGINT) AS node, ROUND(rank, 12) AS rank FROM i3
+    """,
+)
+def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite customer↔supplier trade graph
+    (edges: customer bought from supplier, both directions; supplier
+    ids offset into their own range) — graph centrality beyond the
+    connected-components family; the importance prior for review
+    queues and link-weighted sampling.
+
+    EXACT oracle for a distributed iterative algorithm: contributions
+    are single IEEE divisions summed through DECIMAL(28,15)
+    (order-independent), so every iteration's ranks are
+    engine-identical regardless of partitioning; the oracle unrolls
+    the 3 fixed power iterations as chained CTEs and the output snaps
+    to 12 decimals (sub-ulp literal differences in (1-d)/N). Per
+    iteration: ONE join + ONE aggregate — connected_components' plan
+    discipline (operators/graph.py has the scale notes)."""
+    from ..operators import graph as G
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    pr = G.pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").cast("long").alias("node"), F.round("rank", 12).alias("rank")
+    )

@@ -1335,3 +1335,31 @@ class TestIvfKmeans:
         # property a data-oblivious partition can't guarantee
         assert max(counts) <= 4 * n / 16
         assert inertia == sorted(inertia, reverse=True)  # Lloyd's monotone
+
+
+class TestPageRank:
+    def test_ranks_sum_to_one_and_follow_degree(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        # star graph: hub 0 connected to 1..9, plus a 2-chain 100-101
+        pairs = [(0, i) for i in range(1, 10)] + [(100, 101)]
+        rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(rows, "src long, dst long")
+        pr = {r["node"]: r["rank"] for r in G.pagerank(edges, iters=10).collect()}
+        # total mass conserved (teleport + damping): sums to 1
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        # the hub dominates its leaves; chain nodes sit between
+        assert pr[0] > pr[1]
+        assert all(abs(pr[i] - pr[1]) < 1e-12 for i in range(2, 10))  # symmetry
+        assert pr[0] > pr[100]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        rows = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+        rows += [(b, a) for a, b in rows]
+        e1 = spark.createDataFrame(rows, "src long, dst long").repartition(2)
+        e2 = spark.createDataFrame(rows, "src long, dst long").repartition(16)
+        r1 = sorted(map(tuple, G.pagerank(e1, iters=4).collect()))
+        r2 = sorted(map(tuple, G.pagerank(e2, iters=4).collect()))
+        assert r1 == r2  # DECIMAL contribution sums: partition-independent

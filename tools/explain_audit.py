@@ -99,6 +99,8 @@ SCALAR_BNLJ_OK = {
     "token_heavy_hitters",
     # 10-row bucket grid × 1-row (na, nb) totals broadcast
     "orders_price_drift_psi",
+    # 1-row decile-edge array broadcast over the fact scan
+    "orders_price_decile_bins",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -1280,3 +1280,76 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "orders_incremental_agg_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+      GROUP BY 1
+    ),
+    delta AS (
+      SELECT o_orderstatus, COUNT(*) AS n,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s,
+        MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+      FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+      GROUP BY 1
+    ),
+    merged AS (
+      SELECT o_orderstatus, SUM(n) AS n, SUM(s) AS s,
+             MIN(mn) AS mn, MAX(mx) AS mx
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+      GROUP BY 1
+    )
+    SELECT o_orderstatus, CAST(n AS BIGINT) AS n_orders,
+      CAST(s AS DOUBLE) AS total_price, mn AS min_price, mx AS max_price,
+      CAST(s AS DOUBLE) / n AS avg_price
+    FROM merged
+    """,
+)
+def orders_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: a persisted base
+    aggregate (pre-2000 orders) is refreshed by MERGING a delta
+    aggregate — union of partial states + re-aggregation (counts/sums
+    add, min/max combine, avg derives from merged sum/count) — without
+    ever rescanning the base fact partition. The algebraic-aggregate
+    property every nightly-refresh rollup at 100 TB relies on (the
+    HLL rollup is its sketch-tier sibling); the oracle replays the
+    same merge relationally, and pytest pins merge ≡ full recompute.
+    DECIMAL partial sums make the merge exact, so derived averages
+    match a from-scratch aggregation bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.col("o_orderdate").cast("date") < "2000-01-01"
+
+    def agg_of(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = agg_of(o.filter(cutoff))
+    delta = agg_of(o.filter(~cutoff))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("s").alias("s"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+    )
+    return merged.select(
+        "o_orderstatus",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("s").cast("double").alias("total_price"),
+        F.col("mn").alias("min_price"),
+        F.col("mx").alias("max_price"),
+        (F.col("s").cast("double") / F.col("n")).alias("avg_price"),
+    )

@@ -1363,3 +1363,41 @@ class TestPageRank:
         r1 = sorted(map(tuple, G.pagerank(e1, iters=4).collect()))
         r2 = sorted(map(tuple, G.pagerank(e2, iters=4).collect()))
         assert r1 == r2  # DECIMAL contribution sums: partition-independent
+
+
+class TestIncrementalAggMerge:
+    def test_merge_equals_full_recompute(self, spark):
+        """The algebraic-merge property: base-aggregate + delta-aggregate
+        merged must equal aggregating everything from scratch."""
+        from employee_analytics_etl_spark.plans import (  # noqa: F401
+            registry,
+            registry_funcs,
+        )
+        from employee_analytics_etl_spark.sources.readers import read_parquet_table
+        from tests.conftest import SF_SMOKE
+
+        merged = {
+            tuple(r)
+            for r in registry.QUERIES["orders_incremental_agg_merge"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        o = read_parquet_table(spark, SF_SMOKE, "orders")
+        full = {
+            tuple(r)
+            for r in o.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_price"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+                (
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("avg_price"),
+            )
+            .collect()
+        }
+        assert merged == full

@@ -2516,36 +2516,3 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"), F.round("rank", 12).alias("rank")
     )
 
-
-@query(
-    "doc_feature_hash",
-    oracle="""
-    WITH occ AS (
-      SELECT doc_id, u.tok
-      FROM documents,
-        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
-    )
-    SELECT doc_id,
-      CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS INT)
-        AS bucket,
-      CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM occ GROUP BY 1, 2
-    """,
-)
-def doc_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashing-trick vectorizer (feature hashing): every token maps to
-    one of 256 buckets by md5, per-doc bucket counts form the sparse
-    feature vector — the fixed-dimension, vocabulary-free featurizer
-    (no dictionary to build, broadcast, or keep consistent across
-    ingests; collisions are the accepted trade). One explode + one
-    groupBy((doc, bucket)) — output bounded by docs × 256 regardless
-    of vocabulary growth. md5-derived bucket ids are engine-exact
-    (same idiom as MinHash/SimHash/winnowing)."""
-    docs = fan_out(t(spark, sf_dir, "documents"))
-    occ = docs.select("doc_id", F.explode(TX.tokens_col("text")).alias("tok"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint") % 256
-    )
-    return occ.groupBy("doc_id", bucket.cast("int").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )

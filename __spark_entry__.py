@@ -24,6 +24,7 @@ def _registry():
         registry,
         registry_ext,
         registry_funcs,
+        registry_more,
     )
 
     return registry.QUERIES, registry.ORACLE

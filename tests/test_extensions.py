@@ -1365,6 +1365,42 @@ class TestPageRank:
         assert r1 == r2  # DECIMAL contribution sums: partition-independent
 
 
+class TestTriangleStats:
+    def test_known_graphs(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        # K4: C(4,3)=4 triangles, 6 edges, 12 wedges, clustering 1.0
+        k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        r = G.triangle_stats(spark.createDataFrame(k4, "u long, v long")).first()
+        assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (4, 6, 4, 12)
+        assert r.global_clustering == 1.0
+
+        # triangle 1-2-3 with pendant 3-4: 1 triangle, 5 wedges -> 0.6
+        tp = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        r = G.triangle_stats(spark.createDataFrame(tp, "u long, v long")).first()
+        assert (r.n_triangles, r.n_wedges) == (1, 5)
+        assert r.global_clustering == 0.6
+
+        # star: hub sees every wedge, zero triangles
+        star = [(0, i) for i in range(1, 8)]
+        r = G.triangle_stats(spark.createDataFrame(star, "u long, v long")).first()
+        assert r.n_triangles == 0 and r.n_wedges == 21
+
+    def test_orientation_handles_duplicate_and_skewed_input(self, spark):
+        """Duplicate edge rows collapse; a hub star plus a clique mixes
+        high- and low-degree endpoints so both orientation branches run."""
+        from employee_analytics_etl_spark.operators import graph as G
+
+        clique = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+        star = [(0, i) for i in range(100, 139)]  # disjoint from the clique
+        rows = (clique + star) * 3  # duplicates must not change counts
+        r = G.triangle_stats(
+            spark.createDataFrame(rows, "u long, v long").repartition(7)
+        ).first()
+        assert r.n_edges == len(clique) + len(star)
+        assert r.n_triangles == 10  # C(5,3) from the clique only
+
+
 class TestIncrementalAggMerge:
     def test_merge_equals_full_recompute(self, spark):
         """The algebraic-merge property: base-aggregate + delta-aggregate

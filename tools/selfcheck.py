@@ -46,6 +46,7 @@ def main() -> int:
         registry,
         registry_ext,
         registry_funcs,
+        registry_more,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -100,3 +100,415 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query(
+    "events_value_acf",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb,
+             CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(k.k AS INT) AS lag_hours, h1.x AS xl, h2.x AS xn
+      FROM hourly h1, UNNEST(range(1, 7)) AS k(k)
+      JOIN hourly h2 ON h2.hb = h1.hb + k.k
+    ),
+    m AS (
+      SELECT lag_hours, COUNT(*) AS n,
+        CAST(SUM(CAST(xl AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(xn AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(xl * xl AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(xn * xn AS DECIMAL(28,6))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(xl * xn AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag_hours
+    )
+    SELECT lag_hours, CAST(n AS BIGINT) AS n_pairs,
+      ROUND((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 9) AS acf
+    FROM m
+    """,
+)
+def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly mean event value at lags 1..6 h —
+    the seasonality probe run before picking windowing/forecast
+    features. Pairs are ALIGNED BY HOUR BUCKET (equi-join on hb + k),
+    not by row offset, so missing hours don't smear lags and the plan
+    is a shuffle-parallel join instead of a single-partition ordered
+    window. One lag-explode (6×) + one equi-join + one moment-sum agg
+    computes every lag in a single pass; correlations come from
+    decimal-snapped moment sums (the lineitem_corr_matrix
+    determinism recipe — engine-native corr() cannot hash-match)."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x")
+    )
+
+    def dsnap(expr, alias):
+        return F.sum(expr.cast("decimal(28,6)")).cast("double").alias(alias)
+
+    shifted = hourly.select(
+        F.explode(F.array(*[F.lit(k) for k in range(1, 7)])).alias("lag_hours"),
+        (F.col("hb") + F.col("lag_hours")).alias("hb_t"),
+        F.col("x").alias("xl"),
+    )
+    pairs = shifted.join(
+        hourly.select(F.col("hb").alias("hb_t"), F.col("x").alias("xn")), "hb_t"
+    )
+    m = pairs.groupBy("lag_hours").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsnap(F.col("xl"), "sx"),
+        dsnap(F.col("xn"), "sy"),
+        dsnap(F.col("xl") * F.col("xl"), "sxx"),
+        dsnap(F.col("xn") * F.col("xn"), "syy"),
+        dsnap(F.col("xl") * F.col("xn"), "sxy"),
+    )
+    return m.select(
+        "lag_hours",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            9,
+        ).alias("acf"),
+    )
+
+
+@query(
+    "orders_target_encode_priority",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS gmean
+      FROM orders
+    ),
+    cat AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n_orders,
+      ROUND(s / n, 9) AS raw_mean,
+      ROUND((s + 50 * gmean) / (n + 50), 9) AS encoded
+    FROM cat, g
+    """,
+)
+def orders_target_encode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of o_orderpriority against
+    o_totalprice (m-estimate, m=50): the categorical-feature
+    preprocessing step for tabular training sets. Category stats and
+    the global prior come from the SAME decimal-exact sums (one scan,
+    map-side combine); the prior joins in as a broadcast scalar. At
+    100 TB the category table is dimension-sized — the corpus is
+    touched once."""
+    orders = t(spark, sf_dir, "orders")
+    cat = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("s"),
+    )
+    g = orders.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("gmean")
+    )
+    return cat.crossJoin(F.broadcast(g)).select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(F.col("s") / F.col("n"), 9).alias("raw_mean"),
+        F.round(
+            (F.col("s") + 50 * F.col("gmean")) / (F.col("n") + 50), 9
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "doc_chunk_exact_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             array_to_string(words[(i.i*10+1):(i.i*10+10)], ' ') AS chunk
+      FROM d, UNNEST(range(0, CAST(ceil(len(words)/10.0) AS BIGINT))) AS i(i)
+    ),
+    kept AS (
+      SELECT doc_id, chunk_idx, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_kept
+      FROM kept WHERE rn = 1 GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(a.text_kept, '') AS text_kept
+    FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """,
+)
+def doc_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact-substring deduplication at 10-word-chunk
+    granularity, with document reconstruction — the scalable
+    approximation of Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better" ExactSubstr pass (suffix arrays don't
+    distribute; fixed-width chunk hashing does). Every chunk keeps
+    its FIRST occurrence under the total order (doc_id, chunk_idx);
+    later copies anywhere in the corpus are cut and survivors are
+    re-joined in position order.
+
+    Scale shape: posexplode → one row_number window partitioned BY
+    CHUNK TEXT (the dedup key — high cardinality, evenly hashed; at
+    100 TB swap the sort key to a 16-byte chunk digest so the shuffle
+    never moves chunk bodies twice) → one per-doc agg. The final
+    left join keeps fully-duplicated docs visible with n_kept = 0
+    instead of silently dropping them."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nch = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    ex = docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).localCheckpoint(eager=False)  # feeds both the window and n_chunks
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    kept = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_kept"),
+        )
+    )
+    tot = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    return tot.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+    )
+
+
+def _md5_bucket(col, seed_col, width: int):
+    """First 8 md5 hex chars of 'seed:value' as a long, mod width —
+    the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's
+    ('0x' || substr(md5)) cast). 32-bit range: always positive."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", seed_col.cast("string"), col)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+
+
+@query(
+    "sketch_cms_token_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT u.tok FROM documents,
+        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ),
+    seeded AS (
+      SELECT s.s AS seed,
+        CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' || tok), 1, 8))
+             AS BIGINT) % 512 AS bucket
+      FROM toks, UNNEST(range(0, 4)) AS s(s)
+    ),
+    sketch AS (SELECT seed, bucket, COUNT(*) AS cnt FROM seeded GROUP BY 1, 2),
+    exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20),
+    est AS (
+      SELECT t.tok, MIN(sk.cnt) AS cms_est
+      FROM top t, UNNEST(range(0, 4)) AS s(s)
+      JOIN sketch sk ON sk.seed = s.s
+        AND sk.bucket = CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+                              t.tok), 1, 8)) AS BIGINT) % 512
+      GROUP BY t.tok
+    )
+    SELECT t.tok AS token, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_est AS BIGINT) AS cms_est,
+           e.cms_est >= t.exact_cnt AS over_ok
+    FROM top t JOIN est e ON e.tok = t.tok
+    """,
+)
+def sketch_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=512 buckets) over corpus token
+    occurrences, evaluated against exact counts for the top-20 tokens.
+    The sketch is the 100 TB shape for frequency monitoring: the
+    corpus reduces to a CONSTANT-SIZE (d·w) mergeable table via one
+    map-side-combinable groupBy — rollups union sketches instead of
+    rescanning token streams (same mergeability argument as the HLL
+    rollup). Point estimates are min-over-rows; the one-sided
+    over_ok ≥ guarantee is structural, never probabilistic.
+
+    Because the hash family is md5-derived (_md5_bucket), the DuckDB
+    oracle reproduces the sketch CELL-FOR-CELL — the estimates are
+    value-hash-compared exactly, not just bounds-checked."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+        ).alias("tok")
+    ).localCheckpoint(eager=False)  # feeds the sketch AND exact counts
+    d_rows, width = 4, 512
+    seeds = F.array(*[F.lit(s) for s in range(d_rows)])
+    sketch = (
+        toks.select(F.explode(seeds).alias("seed"), "tok")
+        .select("seed", _md5_bucket(F.col("tok"), F.col("seed"), width).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = (
+        top.select("tok", F.explode(seeds).alias("seed"))
+        .select("tok", "seed", _md5_bucket(F.col("tok"), F.col("seed"), width).alias("bucket"))
+        .join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return top.join(est, "tok").select(
+        F.col("tok").alias("token"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("over_ok"),
+    )
+
+
+@query(
+    "bloom_prune_orders",
+    oracle="""
+    WITH bld AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bloom AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+              CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8192 AS pos
+      FROM bld, UNNEST(range(0, 3)) AS s(s)
+    ),
+    probe AS (
+      SELECT o.o_orderkey, o.o_custkey, s.s AS seed,
+        CAST(('0x' || substr(md5(CAST(s.s AS VARCHAR) || ':' ||
+              CAST(o.o_custkey AS VARCHAR)), 1, 8)) AS BIGINT) % 8192 AS pos
+      FROM orders o, UNNEST(range(0, 3)) AS s(s)
+    ),
+    pass AS (
+      SELECT o_orderkey, ANY_VALUE(o_custkey) AS o_custkey
+      FROM probe JOIN bloom USING (pos)
+      GROUP BY o_orderkey HAVING COUNT(DISTINCT seed) = 3
+    ),
+    truth AS (SELECT DISTINCT c_custkey FROM bld)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pass) AS n_bloom_pass,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         JOIN truth t ON t.c_custkey = o.o_custkey) AS n_true_match,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pass p
+         LEFT JOIN truth t ON t.c_custkey = p.o_custkey
+         WHERE t.c_custkey IS NULL) AS n_false_pos,
+      (SELECT COUNT(*) FROM pass p JOIN truth t ON t.c_custkey = p.o_custkey)
+        = (SELECT COUNT(*) FROM orders o JOIN truth t ON t.c_custkey = o.o_custkey)
+        AS superset_ok
+    """,
+)
+def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning: an 8192-bit / 3-hash filter built
+    from the BUILDING-segment customer keys pre-filters the orders
+    probe side before the real join — the runtime-filter pattern
+    Spark applies JVM-side for shuffle joins, reconstructed explicitly
+    so the false-positive economics are measurable. Output is the
+    audit row: probe size, bloom-pass count, true matches, false
+    positives, and the structural no-false-negative guarantee
+    (superset_ok must be true by construction, and IS verified
+    exactly because the md5 hash family reproduces in the oracle).
+
+    Scale shape: the filter is dimension-derived (distinct bit
+    positions ≤ 8192 rows → broadcast); the fact table is touched
+    once, and the per-row membership test is a broadcast-hash
+    existence join + seed count — no corpus shuffle."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    seeds = F.array(*[F.lit(s) for s in range(3)])
+    bld = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bloom = (
+        bld.select(F.explode(seeds).alias("seed"), "c_custkey")
+        .select(_md5_bucket(F.col("c_custkey"), F.col("seed"), 8192).alias("pos"))
+        .distinct()
+    )
+    probe = orders.select(
+        "o_orderkey", "o_custkey", F.explode(seeds).alias("seed")
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "seed",
+        _md5_bucket(F.col("o_custkey"), F.col("seed"), 8192).alias("pos"),
+    )
+    passed = (
+        probe.join(F.broadcast(bloom), "pos")
+        .groupBy("o_orderkey")
+        .agg(
+            F.first("o_custkey").alias("o_custkey"),
+            F.countDistinct("seed").alias("nseed"),
+        )
+        .filter(F.col("nseed") == 3)
+        .localCheckpoint(eager=False)  # reused by three audit counts
+    )
+    truth = bld.distinct()
+    n_orders = orders.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("long").alias("n_bloom_pass"))
+    n_true = (
+        orders.join(
+            F.broadcast(truth), orders.o_custkey == truth.c_custkey
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_true_match"))
+    )
+    n_fp = (
+        passed.join(
+            F.broadcast(truth), passed.o_custkey == truth.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+    )
+    n_pass_true = passed.join(
+        F.broadcast(truth), passed.o_custkey == truth.c_custkey
+    ).agg(F.count(F.lit(1)).alias("n_pass_true"))
+    return (
+        n_orders.crossJoin(n_pass)
+        .crossJoin(n_true)
+        .crossJoin(n_fp)
+        .crossJoin(n_pass_true)
+        .select(
+            "n_orders",
+            "n_bloom_pass",
+            "n_true_match",
+            "n_false_pos",
+            (F.col("n_pass_true") == F.col("n_true_match")).alias("superset_ok"),
+        )
+    )

@@ -1401,6 +1401,39 @@ class TestTriangleStats:
         assert r.n_triangles == 10  # C(5,3) from the clique only
 
 
+class TestChunkExactDedup:
+    def test_first_occurrence_survives_and_copies_are_cut(self, spark, tmp_path):
+        """A doc that is a verbatim copy of an earlier doc loses every
+        chunk; a doc sharing only its first 10 words loses exactly that
+        chunk; unique text is untouched."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.plans.registry_more import (
+            doc_chunk_exact_dedup,
+        )
+
+        w = " ".join(f"w{i}" for i in range(25))  # 25 words -> 3 chunks
+        shared_head = " ".join(f"w{i}" for i in range(10)) + " unique tail here"
+        rows = {
+            "doc_id": [1, 2, 3, 4],
+            "text": [w, w, shared_head, "totally different words"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(w), len(w), len(shared_head), 23],
+        }
+        pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+        out = {
+            r["doc_id"]: r
+            for r in doc_chunk_exact_dedup(spark, str(tmp_path)).collect()
+        }
+        assert out[1]["n_kept"] == 3 and out[1]["text_kept"] == w
+        assert out[2]["n_kept"] == 0 and out[2]["text_kept"] == ""
+        assert out[3]["n_kept"] == 1  # head chunk cut, tail chunk kept
+        assert "unique tail here" in out[3]["text_kept"]
+        assert out[4]["n_kept"] == 1 and out[4]["text_kept"] == rows["text"][3]
+
+
 class TestIncrementalAggMerge:
     def test_merge_equals_full_recompute(self, spark):
         """The algebraic-merge property: base-aggregate + delta-aggregate

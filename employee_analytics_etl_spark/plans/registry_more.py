@@ -312,6 +312,160 @@ def doc_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_ks_click_purchase",
+    oracle="""
+    WITH s AS (
+      SELECT value, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    n AS (
+      SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+      FROM s
+    ),
+    g AS (
+      SELECT value,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY value
+    ),
+    cdf AS (
+      SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+             SUM(cb) OVER (ORDER BY value) AS cum_b
+      FROM g
+    )
+    SELECT CAST(n.na AS BIGINT) AS n_click, CAST(n.nb AS BIGINT) AS n_purchase,
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n.na
+                         - CAST(cum_b AS DOUBLE) / n.nb)), 9) AS ks_stat
+    FROM cdf, n GROUP BY n.na, n.nb
+    """,
+)
+def events_ks_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of click vs purchase events — the nonparametric
+    companion to the PSI drift monitor (orders_price_drift_psi): no
+    binning choice, detects any distributional shift. Empirical CDFs
+    are integer cumulative counts (exact in any engine); each CDF
+    value is ONE division, so sup|F1 - F2| is deterministic.
+
+    The cumulative window runs unpartitioned over DISTINCT values —
+    already reduced by the groupBy, so the sort input is the value
+    cardinality, not the event count. At 100 TB cardinality can still
+    be large: the scale path pre-bins values to a fixed grid (the
+    PSI query's shape), trading exactness of sup for a bounded-error
+    grid sup; kept exact here because the gate is exactness."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_a = (F.col("event_type") == "click").cast("long")
+    is_b = (F.col("event_type") == "purchase").cast("long")
+    n = ev.agg(
+        F.sum(is_a).alias("na"), F.sum(is_b).alias("nb")
+    )
+    g = ev.groupBy("value").agg(F.sum(is_a).alias("ca"), F.sum(is_b).alias("cb"))
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = g.select(
+        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    )
+    return (
+        cdf.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("cum_a").cast("double") / F.col("na")
+                        - F.col("cum_b").cast("double") / F.col("nb")
+                    )
+                ),
+                9,
+            ).alias("ks_stat")
+        )
+        .select(
+            F.col("na").cast("long").alias("n_click"),
+            F.col("nb").cast("long").alias("n_purchase"),
+            "ks_stat",
+        )
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb,
+             CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY 1
+    ),
+    gl AS (
+      SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+             COUNT(*) AS n
+      FROM hourly
+    ),
+    cum AS (
+      SELECT hb,
+             CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (ORDER BY hb) AS DOUBLE) AS cx,
+             ROW_NUMBER() OVER (ORDER BY hb) AS tpos
+      FROM hourly
+    ),
+    dev AS (
+      SELECT hb, ABS(cx - tpos * (gl.sx / gl.n)) AS s_abs, gl.n
+      FROM cum, gl
+    )
+    SELECT CAST(n AS BIGINT) AS n_hours,
+           CAST(hb * 3600 AS BIGINT) AS changepoint_epoch_sec,
+           ROUND(s_abs, 9) AS max_abs_cusum
+    FROM dev ORDER BY s_abs DESC, hb LIMIT 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint locator over the hourly mean value series:
+    the hour where |cumsum(x) - t·mean| peaks is the classic
+    level-shift estimate — the monitoring primitive behind
+    "when did this metric move". Determinism recipe: the cumulative
+    sum is a DECIMAL window sum (order-independent accumulation), the
+    drift term is one multiply of one division — every float op is a
+    single IEEE instruction on exact inputs, so the argmax and its
+    value are engine-identical. The window sort input is the HOURLY
+    series (scan-reduced), not the event stream."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x")
+    )
+    gl = hourly.agg(
+        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hourly.select(
+        "hb",
+        F.sum(F.col("x").cast("decimal(28,6)")).over(w).cast("double").alias("cx"),
+        F.row_number().over(Window.orderBy("hb")).alias("tpos"),
+    )
+    dev = cum.crossJoin(F.broadcast(gl)).select(
+        "hb",
+        F.abs(F.col("cx") - F.col("tpos") * (F.col("sx") / F.col("n"))).alias(
+            "s_abs"
+        ),
+        "n",
+    )
+    return (
+        dev.orderBy(F.col("s_abs").desc(), F.col("hb"))
+        .limit(1)
+        .select(
+            F.col("n").cast("long").alias("n_hours"),
+            (F.col("hb") * 3600).cast("long").alias("changepoint_epoch_sec"),
+            F.round("s_abs", 9).alias("max_abs_cusum"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

@@ -101,6 +101,16 @@ SCALAR_BNLJ_OK = {
     "orders_price_drift_psi",
     # 1-row decile-edge array broadcast over the fact scan
     "orders_price_decile_bins",
+    # three 1-row count aggregates crossJoined into the stats row
+    "graph_triangle_stats",
+    # 1-row global-mean prior broadcast onto the category table
+    "orders_target_encode_priority",
+    # five 1-row audit counts crossJoined into the report row
+    "bloom_prune_orders",
+    # 1-row (na, nb) totals broadcast onto the CDF grid
+    "events_ks_click_purchase",
+    # 1-row (sum, count) broadcast onto the hourly cumsum series
+    "events_cusum_changepoint",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact
@@ -201,6 +211,7 @@ def main() -> None:
         registry,
         registry_ext,
         registry_funcs,
+        registry_more,
     )
     from employee_analytics_etl_spark.session import build_session
 

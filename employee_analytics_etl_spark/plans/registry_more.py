@@ -466,6 +466,124 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "embedding_pca_top_component",
+    oracle="""
+    WITH emb AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    g AS (
+      SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+        CAST(SUM(CAST(e[CAST(i.i AS INT)] * e[CAST(j.j AS INT)]
+                      AS DECIMAL(28,12))) AS DOUBLE) AS g
+      FROM emb, UNNEST(range(1, 65)) AS i(i), UNNEST(range(1, 65)) AS j(j)
+      GROUP BY 1, 2
+    ),
+    v0 AS (
+      SELECT CAST(i.i AS INT) AS i,
+             CASE WHEN i.i = 1 THEN 1.0 ELSE 0.0 END AS v
+      FROM UNNEST(range(1, 65)) AS i(i)
+    ),
+    w1 AS (
+      SELECT g.i, CAST(SUM(CAST(g.g * v.v AS DECIMAL(38,9))) AS DOUBLE) AS w
+      FROM g JOIN v0 v ON v.i = g.j GROUP BY g.i
+    ),
+    n1 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS n FROM w1),
+    v1 AS (SELECT i, w / n1.n AS v FROM w1, n1),
+    w2 AS (
+      SELECT g.i, CAST(SUM(CAST(g.g * v.v AS DECIMAL(38,9))) AS DOUBLE) AS w
+      FROM g JOIN v1 v ON v.i = g.j GROUP BY g.i
+    ),
+    n2 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS n FROM w2),
+    v2 AS (SELECT i, w / n2.n AS v FROM w2, n2),
+    w3 AS (
+      SELECT g.i, CAST(SUM(CAST(g.g * v.v AS DECIMAL(38,9))) AS DOUBLE) AS w
+      FROM g JOIN v2 v ON v.i = g.j GROUP BY g.i
+    ),
+    n3 AS (SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS n FROM w3)
+    SELECT w3.i AS dim, ROUND(w3.w / n3.n, 9) AS loading,
+           ROUND(n3.n, 6) AS eigenvalue_est
+    FROM w3, n3
+    """,
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram
+    matrix via 3 distributed power iterations — the whitening /
+    dominant-direction probe run before index building or dimension
+    reduction on a 100 TB embedding corpus.
+
+    Scale shape: the corpus is touched ONCE to build the d×d Gram
+    table (explode of the per-row outer product with map-side
+    combine: the shuffle is d²·partitions partials, never the corpus;
+    for very large d swap in a mapInPandas per-partition BLAS partial
+    Gram — the kmeans assignment pattern). Every subsequent iteration
+    is matrix-scale (4096 rows), not corpus-scale.
+
+    Exact oracle for an iterative float algorithm, the pagerank
+    recipe: Gram cells are decimal-snapped sums of single IEEE
+    products of DOUBLE-cast elements; each mat-vec contribution is
+    one multiply summed through DECIMAL; the norm is one sqrt of a
+    decimal-snapped sum and each normalized component is one
+    division. The oracle unrolls the 3 iterations as chained CTEs
+    from the same deterministic start vector e1."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    # d×d Gram: explode (i, j, e[i]*e[j]) then decimal-sum per cell
+    outer = emb.select(
+        F.posexplode(
+            F.expr(
+                "flatten(transform(e, x -> transform(e, y -> x * y)))"
+            )
+        ).alias("k", "p")
+    )
+    d = 64
+    gram = (
+        outer.groupBy(
+            (F.col("k") / d).cast("int").alias("im1"),
+            (F.col("k") % d).alias("jm1"),
+        )
+        .agg(F.sum(F.col("p").cast("decimal(28,12)")).cast("double").alias("g"))
+        .select(
+            (F.col("im1") + 1).cast("int").alias("i"),
+            (F.col("jm1") + 1).cast("int").alias("j"),
+            "g",
+        )
+        .localCheckpoint(eager=False)  # re-joined every iteration
+    )
+    v = spark.range(1, d + 1).select(
+        F.col("id").cast("int").alias("i"),
+        F.when(F.col("id") == 1, F.lit(1.0)).otherwise(F.lit(0.0)).alias("v"),
+    )
+    w = None
+    for _ in range(3):
+        w = (
+            gram.join(v.withColumnRenamed("i", "j"), "j")
+            .groupBy("i")
+            .agg(
+                F.sum((F.col("g") * F.col("v")).cast("decimal(38,9)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        norm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,6)")).cast("double")
+            ).alias("n")
+        )
+        v = w.crossJoin(F.broadcast(norm)).select(
+            "i", (F.col("w") / F.col("n")).alias("v")
+        )
+    return (
+        w.crossJoin(F.broadcast(norm))
+        .select(
+            F.col("i").alias("dim"),
+            F.round(F.col("w") / F.col("n"), 9).alias("loading"),
+            F.round(F.col("n"), 6).alias("eigenvalue_est"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

@@ -111,6 +111,8 @@ SCALAR_BNLJ_OK = {
     "events_ks_click_purchase",
     # 1-row (sum, count) broadcast onto the hourly cumsum series
     "events_cusum_changepoint",
+    # 1-row norm scalar broadcast onto the d-row eigenvector, 3×
+    "embedding_pca_top_component",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

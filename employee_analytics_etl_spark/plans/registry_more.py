@@ -103,6 +103,211 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "graph_label_propagation",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    ed AS (SELECT u AS src, v AS dst FROM e
+           UNION ALL SELECT v AS src, u AS dst FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM ed),
+    c1 AS (
+      SELECT ed.dst AS node, l.label, COUNT(*) AS cnt
+      FROM ed JOIN l0 l ON l.node = ed.src GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT ed.dst AS node, l.label, COUNT(*) AS cnt
+      FROM ed JOIN l1 l ON l.node = ed.src GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT CAST(label AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l2 GROUP BY label
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (2 fixed
+    rounds) on the co-purchase graph: each node adopts its neighbors'
+    most frequent label, ties broken by smallest label — a TOTAL
+    order, which is what makes a distributed LPA run reproducible at
+    all (textbook LPA's random tie-break cannot be oracle-checked or
+    re-run stably). Per round: ONE join + ONE count agg + ONE
+    row_number window partitioned by node — connected_components'
+    plan discipline; rounds are fixed, not converged, for the same
+    restartability argument as pagerank. Output is the community
+    size distribution."""
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    ed = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)  # re-joined every round
+    labels = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(2):
+        counts = (
+            ed.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+_EDGES_Q4_SQL = """
+    e AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_orderkey % 4 = 0
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    )
+"""
+
+
+@query(
+    "graph_jaccard_link_prediction",
+    oracle=f"""
+    WITH {_EDGES_Q4_SQL},
+    wedge AS (
+      SELECT e1.v AS a, e2.v AS b, COUNT(*) AS cn
+      FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+      GROUP BY 1, 2
+    ),
+    wedge2 AS (
+      SELECT e1.u AS a, e2.v AS b, COUNT(*) AS cn
+      FROM e e1 JOIN e e2 ON e2.u = e1.v AND e1.u < e2.v
+      GROUP BY 1, 2
+    ),
+    wedge3 AS (
+      SELECT e1.u AS a, e2.u AS b, COUNT(*) AS cn
+      FROM e e1 JOIN e e2 ON e2.v = e1.v AND e2.u > e1.u
+      GROUP BY 1, 2
+    ),
+    cnall AS (
+      SELECT a, b, SUM(cn) AS cn FROM (
+        SELECT * FROM wedge UNION ALL
+        SELECT * FROM wedge2 UNION ALL SELECT * FROM wedge3
+      ) GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT c.a, c.b, c.cn FROM cnall c
+      LEFT JOIN e ON e.u = c.a AND e.v = c.b WHERE e.u IS NULL
+    ),
+    scored AS (
+      SELECT a, b, cn,
+             CAST(cn AS DOUBLE) / (da.d + db.d - cn) AS jaccard
+      FROM nonedge
+      JOIN deg da ON da.node = nonedge.a
+      JOIN deg db ON db.node = nonedge.b
+    )
+    SELECT CAST(a AS BIGINT) AS part_a, CAST(b AS BIGINT) AS part_b,
+           CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(jaccard, 9) AS jaccard
+    FROM scored ORDER BY jaccard DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction: the 20 strongest NOT-YET-LINKED part pairs by
+    neighbor-set Jaccard similarity — "parts bought together with the
+    same companions but never together themselves", the co-purchase
+    recommendation shape. Common-neighbor counts come from the SAME
+    wedge enumeration as triangle_stats (each distance-2 pair counted
+    once per shared neighbor across the three canonical wedge
+    orientations); the union size is inclusion-exclusion on exact
+    degrees, so jaccard is one division of exact integers. Existing
+    edges are removed with an anti-join BEFORE scoring. At 100 TB the
+    wedge table is the dominant object — bound it with the degree
+    orientation of triangle_stats or a top-degree cap; the gate runs
+    on the orderkey%4 quarter of the graph to keep the un-oriented
+    3-way wedge sweep at a few-hundred-k rows."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 4 == 0)
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    e = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(F.col("l1.l_partkey").alias("u"), F.col("l2.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    w1 = e1.join(
+        e2, (F.col("e2.u") == F.col("e1.u")) & (F.col("e2.v") > F.col("e1.v"))
+    ).select(F.col("e1.v").alias("a"), F.col("e2.v").alias("b"))
+    w2 = e1.join(
+        e2, (F.col("e2.u") == F.col("e1.v")) & (F.col("e1.u") < F.col("e2.v"))
+    ).select(F.col("e1.u").alias("a"), F.col("e2.v").alias("b"))
+    w3 = e1.join(
+        e2, (F.col("e2.v") == F.col("e1.v")) & (F.col("e2.u") > F.col("e1.u"))
+    ).select(F.col("e1.u").alias("a"), F.col("e2.u").alias("b"))
+    cn = (
+        w1.unionAll(w2)
+        .unionAll(w3)
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    nonedge = cn.join(
+        e, (cn.a == e.u) & (cn.b == e.v), "left_anti"
+    )
+    scored = (
+        nonedge.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            (F.col("cn").cast("double") / (F.col("da") + F.col("db") - F.col("cn"))).alias(
+                "jaccard"
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("jaccard").desc(), "a", "b")
+        .limit(20)
+        .select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            F.col("cn").cast("long").alias("common_neighbors"),
+            F.round("jaccard", 9).alias("jaccard"),
+        )
+    )
+
+
+@query(
     "events_value_acf",
     oracle="""
     WITH hourly AS (

@@ -789,6 +789,126 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, label AS clabel,
+                      CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim FROM (
+      SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(q.v, c.v) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.neighbor_id) AS rn
+      FROM q JOIN c ON q.qlabel <> c.clabel
+    ) WHERE rn <= 3
+    """,
+)
+def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the 3 most cosine-similar vectors carrying a DIFFERENT
+    label — the pairs that sharpen an embedding model most. The
+    label-mismatch predicate must run BEFORE top-k selection (a
+    post-filtered same-label top-k silently under-delivers
+    negatives). Same all-pairs-verifier status as
+    dedup_embedding_cosine: the scale path generates candidates with
+    the LSH/IVF screens and label-filters only candidates; float64
+    throughout matches list_cosine_similarity after 4-decimal
+    rounding."""
+    from ..operators import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("va"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("vb"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("qlabel") != F.col("clabel"))
+        .withColumn("_sim", S.cosine(F.col("va"), F.col("vb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.round("_sim", 4).alias("sim"))
+    )
+
+
+@query(
+    "doc_oov_rate_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, u.tok FROM documents,
+        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+      ) ORDER BY cnt DESC, tok LIMIT 30
+    ),
+    per AS (
+      SELECT t.source, COUNT(*) AS n_tokens,
+        SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab
+      FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.source
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_in_vocab AS BIGINT) AS n_in_vocab,
+           ROUND(1.0 - CAST(n_in_vocab AS DOUBLE) / n_tokens, 9) AS oov_rate
+    FROM per
+    """,
+)
+def doc_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-30
+    token vocabulary — the tokenizer-fit monitor run before
+    committing a vocab to a 100 TB mixture (a source with high OOV
+    under the shared vocab fragments into bytes and inflates token
+    budgets). The vocab is deterministic (count desc, token asc) and
+    dimension-sized → broadcast membership join; the corpus is
+    touched twice (vocab build + rate scan), which is the honest
+    minimum when the vocab derives from the same corpus."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+        ).alias("tok"),
+    ).localCheckpoint(eager=False)  # vocab build + rate scan
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(30)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("_in"), F.lit(0))).alias("n_in_vocab"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_in_vocab").cast("long").alias("n_in_vocab"),
+        F.round(
+            F.lit(1.0) - F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 9
+        ).alias("oov_rate"),
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

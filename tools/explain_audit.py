@@ -121,7 +121,13 @@ SCALAR_BNLJ_OK = {
 # exact check on candidates only — the same generate→verify split as
 # MinHash→Jaccard). Audited here so a SECOND accidental all-pairs
 # query still fails the gate.
-ALLPAIRS_BNLJ_OK = {"dedup_embedding_cosine"}
+ALLPAIRS_BNLJ_OK = {
+    "dedup_embedding_cosine",
+    # label-mismatch non-equi broadcast: the 10-row query side drives
+    # a deliberate all-pairs verify (docstring names the LSH/IVF
+    # candidate-screen scale path)
+    "knn_hard_negatives",
+}
 
 
 def audit(name: str, plan: str, codegen_plan: str) -> list[str]:

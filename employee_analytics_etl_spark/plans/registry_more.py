@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..operators import graph as G
 from .registry import query, t
+from .registry_ext import _SHINGLES_CTE
 
 # Shared DuckDB CTE: canonical part co-purchase edges + degrees.
 _EDGES_SQL = """
@@ -906,6 +907,215 @@ def doc_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(1.0) - F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 9
         ).alias("oov_rate"),
+    )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+    shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, CAST(i.intersection AS BIGINT) AS intersection,
+           ROUND(CAST(i.intersection AS DOUBLE) / sa.set_size, 6) AS contain_a_in_b,
+           ROUND(CAST(i.intersection AS DOUBLE) / sb.set_size, 6) AS contain_b_in_a
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.intersection AS DOUBLE) / sa.set_size >= 0.5
+       OR CAST(i.intersection AS DOUBLE) / sb.set_size >= 0.5
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL shingle containment C(A→B) = |A∩B| / |A| for
+    candidate pairs — Jaccard misses subset relationships (a quoted
+    paragraph inside a long doc scores low Jaccard but containment
+    ≈ 1), so quote/superset detection needs this asymmetric score.
+    Rides the exact same one-groupBy pair pipeline as
+    dedup_ngram_jaccard (operators/dedup.py:ngram_jaccard_pairs);
+    only the final normalization differs."""
+    from ..operators import dedup as D
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=25
+    )
+    ca = F.col("intersection").cast("double") / F.col("size_a")
+    cb = F.col("intersection").cast("double") / F.col("size_b")
+    return (
+        pairs.filter((ca >= 0.5) | (cb >= 0.5))
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            F.round(ca, 6).alias("contain_a_in_b"),
+            F.round(cb, 6).alias("contain_b_in_a"),
+        )
+    )
+
+
+def _jl_signs(out_dims: int = 8, in_dims: int = 64) -> list[list[int]]:
+    """±1 Johnson-Lindenstrauss projection matrix derived from md5
+    parity of 'i:j' — no RNG, so the matrix is a pure function both
+    engines (and any restart) reproduce. Sign = +1 iff the first hex
+    nibble of md5 is even."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+@query(
+    "embedding_jl_projection",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    signs AS (
+      SELECT CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+        CASE WHEN CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' ||
+                        CAST(j.j AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+             THEN 1.0 ELSE -1.0 END AS s
+      FROM UNNEST(range(0, 64)) AS i(i), UNNEST(range(0, 8)) AS j(j)
+    ),
+    terms AS (
+      SELECT emb.vec_id, signs.j,
+        CAST(SUM(CAST(e[signs.i + 1] * signs.s AS DECIMAL(38,12)))
+             AS DOUBLE) AS dot
+      FROM emb, signs
+      GROUP BY emb.vec_id, signs.j
+    )
+    SELECT vec_id, j AS out_dim, ROUND(dot / sqrt(8.0), 9) AS component
+    FROM terms
+    """,
+)
+def embedding_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 → 8 dims with a
+    derandomized ±1/√k matrix (md5-parity signs, _jl_signs) — the
+    standard cheap dimensionality reduction before coarse ANN
+    bucketing or sketched distances. The projection matrix embeds in
+    the plan as LITERALS, so each output component is a zero-shuffle
+    whole-stage-codegen fold over the row's own array (zip_with +
+    decimal-fold aggregate): the corpus is never exploded and never
+    shuffled — the correct 100 TB shape for per-row linear algebra.
+    The oracle rebuilds the same matrix from SQL md5 and reproduces
+    every component exactly (single IEEE multiply per term, decimal
+    sums, one final division)."""
+    signs = _jl_signs(8, 64)
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    comps = []
+    for j, row in enumerate(signs):
+        arr = ", ".join(f"{s}.0D" for s in row)
+        comps.append(
+            F.round(
+                # DECIMAL(30,12) + DECIMAL(30,12) -> DECIMAL(31,12) in
+                # Spark (scale preserved, no rounding); the recast to
+                # (30,12) is exact for |acc| < 1e18. A (38,12)
+                # accumulator would silently drop to scale 11 per step.
+                F.expr(
+                    f"aggregate(zip_with(e, array({arr}), (a, b) -> a * b), "
+                    "CAST(0 AS DECIMAL(30,12)), "
+                    "(acc, v) -> CAST(acc + CAST(v AS DECIMAL(30,12)) "
+                    "AS DECIMAL(30,12)))"
+                ).cast("double")
+                / F.sqrt(F.lit(8.0)),
+                9,
+            ).alias(f"c{j}")
+        )
+    wide = emb.select("vec_id", *comps)
+    return wide.select(
+        "vec_id",
+        F.posexplode(F.array(*[F.col(f"c{j}") for j in range(8)])).alias(
+            "out_dim", "component"
+        ),
+    )
+
+
+@query(
+    "lineitem_status_asof_ship",
+    oracle="""
+    WITH latest_per_day AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate, o_orderstatus
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+          ORDER BY o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS sdate, l.l_quantity
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT d.o_orderstatus AS status_at_ship,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(p.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM probe p
+    ASOF LEFT JOIN latest_per_day d
+      ON d.o_custkey = p.o_custkey AND d.odate <= p.sdate
+    GROUP BY d.o_orderstatus
+    """,
+)
+def lineitem_status_asof_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact-to-dimension join: each lineitem picks the
+    customer's most recent order-status regime AS OF its ship date
+    (SCD2-style effective dating without materializing the history
+    table), then aggregates shipments per regime. The right side is
+    deduped to one regime per (customer, day) — ASOF requires a
+    unique timeline — via a total-order row_number. The as-of itself
+    is the union-tag single-shuffle algorithm
+    (operators/windows.py:asof_join), never a nested-loop range
+    join; DuckDB verifies with its native ASOF LEFT JOIN (LEFT
+    because the synthetic shipdates can precede the customer's first
+    order — those shipments aggregate under a NULL regime instead of
+    silently dropping)."""
+    from ..operators import windows as W
+
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_quantity")
+    wd = Window.partitionBy(
+        "o_custkey", F.col("o_orderdate").cast("date")
+    ).orderBy(F.col("o_orderkey").desc())
+    latest = (
+        orders.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderstatus",
+        )
+    )
+    probe = li.join(
+        orders.select("o_orderkey", "o_custkey"), li.l_orderkey == orders.o_orderkey
+    ).select(
+        "o_custkey",
+        F.col("l_shipdate").cast("date").alias("sdate"),
+        "l_quantity",
+    )
+    joined = W.asof_join(
+        probe, latest, key="o_custkey", left_ts="sdate", right_ts="odate",
+        right_cols=["o_orderstatus"],
+    )
+    return joined.groupBy(
+        F.col("asof_o_orderstatus").alias("status_at_ship")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
     )
 
 

@@ -189,6 +189,62 @@ def session_window_stream(
     )
 
 
+def cms_user_counts_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    cms_width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch of per-user event frequency, one
+    sketch per tumbling window: (window_start_sec, seed, bucket, cnt)
+    with bucket = md5('seed:user_id') mod width — the same
+    engine-portable hash family as the batch sketch_cms_token_counts
+    query, so stream and batch sketches are directly comparable (and
+    mergeable by summing cells).
+
+    Why a sketch in the stream: a per-user groupBy keys state by USER
+    (unbounded as the population grows); the sketch keys state by
+    (window × depth × cms_width) — CONSTANT per window regardless of
+    how many users appear. The watermark evicts finalized windows, so
+    total state is horizon/width × depth × cms_width cells. Point
+    estimates (min over depth rows) answer "roughly how active was
+    user u in hour h" without per-user state; exact top-k runs in
+    batch over the same parquet if needed."""
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("seed").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % cms_width
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(seeds).alias("seed"), "user_id")
+        .withColumn("bucket", bucket)
+        .groupBy(F.window("ts", width), "seed", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "seed",
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -112,6 +112,107 @@ class TestStreaming:
         assert n1 == want and n2 == want
 
 
+class TestStreamingCms:
+    def test_stream_sketch_equals_batch_sketch(self, spark, batch_events):
+        """The streamed per-window CMS must be cell-for-cell identical
+        to the batch sketch on the same bounded input, and every point
+        estimate must dominate the exact per-user count (the one-sided
+        CMS guarantee)."""
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            cms_user_counts_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            cms_user_counts_stream(stream), "t_cms", spark
+        ).collect()
+
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("seed").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+        want = (
+            batch_events.select(
+                "ts",
+                F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("seed"),
+                "user_id",
+            )
+            .withColumn("bucket", bucket)
+            .groupBy(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb"),
+                "seed",
+                "bucket",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .select(
+                (F.col("hb") * 3600).alias("window_start_sec"),
+                "seed",
+                "bucket",
+                "cnt",
+            )
+            .collect()
+        )
+
+        def key(rows):
+            return sorted(
+                (r["window_start_sec"], r["seed"], r["bucket"], r["cnt"])
+                for r in rows
+            )
+
+        assert key(got) == key(want)
+
+        # point-estimate guarantee on one window: est >= exact per user
+        sketch = {}
+        for r in got:
+            sketch[(r["window_start_sec"], r["seed"], r["bucket"])] = r["cnt"]
+        target_win = got[0]["window_start_sec"]
+        exact = (
+            batch_events.filter(
+                (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000") * 3600) == target_win
+            )
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        import hashlib
+
+        for r in exact:
+            est = min(
+                sketch.get(
+                    (
+                        target_win,
+                        s,
+                        int(
+                            hashlib.md5(
+                                f"{s}:{r['user_id']}".encode()
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % 256,
+                    ),
+                    0,
+                )
+                for s in range(4)
+            )
+            assert est >= r["n"]
+
+
 class TestOuterStreamJoin:
     """Left-outer stream-stream join: matched purchases pair up, and
     purchases with no qualifying click emit NULL-padded once the

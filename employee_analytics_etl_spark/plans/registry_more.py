@@ -1119,6 +1119,131 @@ def lineitem_status_asof_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "doc_token_entropy_by_source",
+    oracle="""
+    WITH toks AS (
+      SELECT source, u.tok FROM documents,
+        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ),
+    c AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    n AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY 1),
+    terms AS (
+      SELECT c.source,
+        CAST(CAST(-(CAST(c.c AS DOUBLE) / n.n)
+                  * ln(CAST(c.c AS DOUBLE) / n.n)
+             AS DECIMAL(28,12)) AS DOUBLE) AS term
+      FROM c JOIN n ON n.source = c.source
+    ),
+    d AS (SELECT source, COUNT(*) AS n_distinct FROM c GROUP BY 1)
+    SELECT t.source,
+           CAST(n.n AS BIGINT) AS n_tokens,
+           CAST(d.n_distinct AS BIGINT) AS n_distinct,
+           ROUND(SUM(t.term), 9) AS entropy_nats
+    FROM terms t
+    JOIN n ON n.source = t.source
+    JOIN d ON d.source = t.source
+    GROUP BY t.source, n.n, d.n_distinct
+    """,
+)
+def doc_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source (nats) —
+    the corpus-curation diversity signal: low entropy flags template
+    spam / boilerplate-heavy sources before they flood a training
+    mixture; entropy also calibrates compression-ratio quality
+    filters. One scan → (source, token) counts with map-side combine;
+    each -p·ln p term is IEEE ops on exact count ratios snapped to
+    DECIMAL (the PSI/bigram-LM idiom — ln can differ by 1 ulp across
+    libm implementations), so the sums are engine-identical."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '([a-z0-9]+)', 1)")
+        ).alias("tok"),
+    )
+    c = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        c.join(F.broadcast(n), "source")
+        .select(
+            "source",
+            "n",
+            "n_distinct",
+            (-p * F.log(p)).cast("decimal(28,12)").cast("double").alias("term"),
+        )
+        .groupBy("source", "n", "n_distinct")
+        .agg(F.round(F.sum("term"), 9).alias("entropy_nats"))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "entropy_nats",
+        )
+    )
+
+
+@query(
+    "events_mi_type_hour",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod FROM events
+    ),
+    nij AS (SELECT event_type, hod, COUNT(*) AS nij FROM e GROUP BY 1, 2),
+    ni AS (SELECT event_type, COUNT(*) AS ni FROM e GROUP BY 1),
+    nj AS (SELECT hod, COUNT(*) AS nj FROM e GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM e)
+    SELECT nij.event_type, nij.hod,
+           CAST(nij.nij AS BIGINT) AS n_cell,
+           CAST(CAST((CAST(nij.nij AS DOUBLE) / n.n)
+                     * ln(CAST(nij.nij AS DOUBLE) * n.n
+                          / (CAST(ni.ni AS DOUBLE) * nj.nj))
+                AS DECIMAL(28,12)) AS DOUBLE) AS mi_term
+    FROM nij
+    JOIN ni ON ni.event_type = nij.event_type
+    JOIN nj ON nj.hod = nij.hod
+    CROSS JOIN n
+    """,
+)
+def events_mi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day,
+    reported per contingency cell (consumers sum mi_term; per-cell
+    rows localize WHICH type×hour association carries the signal —
+    the PSI reporting shape). The feature-selection primitive: MI ≈ 0
+    says hour adds nothing to a model that knows the type. Four
+    count aggregates off one scan; every term is IEEE arithmetic on
+    exact integer ratios with the ln snapped to DECIMAL."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    )
+    nij = ev.groupBy("event_type", "hod").agg(F.count(F.lit(1)).alias("nij"))
+    ni = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("ni"))
+    nj = ev.groupBy("hod").agg(F.count(F.lit(1)).alias("nj"))
+    n = ev.agg(F.count(F.lit(1)).alias("n"))
+    term = (
+        (F.col("nij").cast("double") / F.col("n"))
+        * F.log(
+            F.col("nij").cast("double")
+            * F.col("n")
+            / (F.col("ni").cast("double") * F.col("nj"))
+        )
+    ).cast("decimal(28,12)").cast("double")
+    return (
+        nij.join(F.broadcast(ni), "event_type")
+        .join(F.broadcast(nj), "hod")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "event_type",
+            "hod",
+            F.col("nij").cast("long").alias("n_cell"),
+            term.alias("mi_term"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

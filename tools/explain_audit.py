@@ -113,6 +113,8 @@ SCALAR_BNLJ_OK = {
     "events_cusum_changepoint",
     # 1-row norm scalar broadcast onto the d-row eigenvector, 3×
     "embedding_pca_top_component",
+    # 1-row global count broadcast onto the contingency cells
+    "events_mi_type_hour",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -313,7 +313,7 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH hourly AS (
       SELECT epoch_us(ts) // 3600000000 AS hb,
-             CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS x
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
       FROM events GROUP BY 1
     ),
     pairs AS (
@@ -325,9 +325,9 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT lag_hours, COUNT(*) AS n,
         CAST(SUM(CAST(xl AS DECIMAL(28,6))) AS DOUBLE) AS sx,
         CAST(SUM(CAST(xn AS DECIMAL(28,6))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(xl * xl AS DECIMAL(28,6))) AS DOUBLE) AS sxx,
-        CAST(SUM(CAST(xn * xn AS DECIMAL(28,6))) AS DOUBLE) AS syy,
-        CAST(SUM(CAST(xl * xn AS DECIMAL(28,6))) AS DOUBLE) AS sxy
+        CAST(SUM(CAST(xl * xl AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(xn * xn AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(xl * xn AS DECIMAL(38,6))) AS DOUBLE) AS sxy
       FROM pairs GROUP BY lag_hours
     )
     SELECT lag_hours, CAST(n AS BIGINT) AS n_pairs,
@@ -337,27 +337,29 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def events_value_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Autocorrelation of the hourly mean event value at lags 1..6 h —
-    the seasonality probe run before picking windowing/forecast
+    """Autocorrelation of the hourly TOTAL event value at lags 1..6 h
+    — the seasonality probe run before picking windowing/forecast
     features. Pairs are ALIGNED BY HOUR BUCKET (equi-join on hb + k),
     not by row offset, so missing hours don't smear lags and the plan
     is a shuffle-parallel join instead of a single-partition ordered
     window. One lag-explode (6×) + one equi-join + one moment-sum agg
-    computes every lag in a single pass; correlations come from
-    decimal-snapped moment sums (the lineitem_corr_matrix
-    determinism recipe — engine-native corr() cannot hash-match)."""
+    computes every lag in a single pass.
+
+    Determinism: the series value is the DECIMAL(18,2)-exact hourly
+    sum (value carries 2 decimals), so x, x·y (4 decimals, <2^53
+    units) and every moment CAST are EXACT — no double→decimal
+    rounding of dirty doubles anywhere. Snapping hourly MEANS instead
+    fails at sf0.1: mean is an arbitrary double and Spark/DuckDB
+    round its decimal ties differently (half-up vs half-even) — the
+    lineitem_corr_matrix recipe works precisely because its inputs
+    are low-scale decimals."""
     ev = t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb")
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(28,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("x")
-    )
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
 
-    def dsnap(expr, alias):
-        return F.sum(expr.cast("decimal(28,6)")).cast("double").alias(alias)
+    def dsnap(expr, alias, scale="decimal(38,6)"):
+        return F.sum(expr.cast(scale)).cast("double").alias(alias)
 
     shifted = hourly.select(
         F.explode(F.array(*[F.lit(k) for k in range(1, 7)])).alias("lag_hours"),
@@ -601,17 +603,16 @@ def events_ks_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT epoch_us(ts) // 3600000000 AS hb,
-             CAST(SUM(CAST(value AS DECIMAL(28,9))) AS DOUBLE) / COUNT(*) AS x
+             SUM(CAST(value AS DECIMAL(18,2))) AS x
       FROM events GROUP BY 1
     ),
     gl AS (
-      SELECT CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
-             COUNT(*) AS n
+      SELECT CAST(SUM(x) AS DOUBLE) AS sx, COUNT(*) AS n
       FROM hourly
     ),
     cum AS (
       SELECT hb,
-             CAST(SUM(CAST(x AS DECIMAL(28,6))) OVER (ORDER BY hb) AS DOUBLE) AS cx,
+             CAST(SUM(x) OVER (ORDER BY hb) AS DOUBLE) AS cx,
              ROW_NUMBER() OVER (ORDER BY hb) AS tpos
       FROM hourly
     ),
@@ -626,32 +627,29 @@ def events_ks_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint locator over the hourly mean value series:
+    """CUSUM changepoint locator over the hourly total value series:
     the hour where |cumsum(x) - t·mean| peaks is the classic
     level-shift estimate — the monitoring primitive behind
-    "when did this metric move". Determinism recipe: the cumulative
-    sum is a DECIMAL window sum (order-independent accumulation), the
-    drift term is one multiply of one division — every float op is a
+    "when did this metric move". Determinism recipe: the series is
+    the DECIMAL(18,2)-EXACT hourly sum (see events_value_acf for why
+    means don't survive cross-engine decimal snapping), the
+    cumulative sum stays decimal (order-independent), and the drift
+    term is one multiply of one division — every float op is a
     single IEEE instruction on exact inputs, so the argmax and its
     value are engine-identical. The window sort input is the HOURLY
     series (scan-reduced), not the event stream."""
     ev = t(spark, sf_dir, "events")
     hourly = ev.groupBy(
         F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb")
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(28,9)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("x")
-    )
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
     gl = hourly.agg(
-        F.sum(F.col("x").cast("decimal(28,6)")).cast("double").alias("sx"),
+        F.sum("x").cast("double").alias("sx"),
         F.count(F.lit(1)).alias("n"),
     )
     w = Window.orderBy("hb").rowsBetween(Window.unboundedPreceding, 0)
     cum = hourly.select(
         "hb",
-        F.sum(F.col("x").cast("decimal(28,6)")).over(w).cast("double").alias("cx"),
+        F.sum("x").over(w).cast("double").alias("cx"),
         F.row_number().over(Window.orderBy("hb")).alias("tpos"),
     )
     dev = cum.crossJoin(F.broadcast(gl)).select(
@@ -1241,6 +1239,119 @@ def events_mi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nij").cast("long").alias("n_cell"),
             term.alias("mi_term"),
         )
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, last_order, frequency, monetary,
+        CAST(NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS INT) AS r_score,
+        CAST(NTILE(5) OVER (ORDER BY frequency DESC, custkey) AS INT) AS f_score,
+        CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m_score
+      FROM rfm
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(28,2))) AS DOUBLE) AS segment_value
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation —
+    the canonical customer-value grid. Per-customer aggregates come
+    from ONE scan; the three NTILE(5) windows share an unpartitioned
+    sort over the CUSTOMER table (dimension-scale — at 100 TB facts
+    never enter a global sort; if the customer dimension itself
+    outgrows one sort, swap NTILE for percentile_approx edge
+    bucketing, the decile-bins pattern). Total orders
+    (metric desc, custkey) make every score deterministic. Output is
+    the segment grid with population and value."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "monetary"
+        ),
+    )
+    scored = rfm.select(
+        "custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(28,2)")).cast("double").alias(
+            "segment_value"
+        ),
+    )
+
+
+@query(
+    "orders_monthly_yoy",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, CAST(n_orders AS BIGINT) AS n_orders, revenue,
+      ROUND(revenue - LAG(revenue, 1) OVER (PARTITION BY mo ORDER BY yr), 2)
+        AS yoy_delta,
+      ROUND(CASE WHEN LAG(revenue, 1) OVER (PARTITION BY mo ORDER BY yr) > 0
+            THEN revenue / LAG(revenue, 1) OVER (PARTITION BY mo ORDER BY yr) - 1
+            END, 9) AS yoy_growth
+    FROM m
+    """,
+)
+def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per calendar month — the BI
+    "time intelligence" comparison (this January vs last January),
+    which needs a lag PARTITIONED BY MONTH ordered by year, not a
+    simple 12-row offset (that silently breaks on gap months). The
+    window runs over the monthly rollup (metadata-scale after one
+    map-side-combined scan); revenue is decimal-exact so the deltas
+    and ratios reproduce across engines."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "revenue"
+        ),
+    )
+    w = Window.partitionBy("mo").orderBy("yr")
+    prev = F.lag("revenue", 1).over(w)
+    return m.select(
+        "yr",
+        "mo",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+        F.round(
+            F.when(prev > 0, F.col("revenue") / prev - 1), 9
+        ).alias("yoy_growth"),
     )
 
 

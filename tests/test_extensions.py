@@ -1386,6 +1386,41 @@ class TestTriangleStats:
         r = G.triangle_stats(spark.createDataFrame(star, "u long, v long")).first()
         assert r.n_triangles == 0 and r.n_wedges == 21
 
+    def test_random_graphs_match_bruteforce(self, spark):
+        """Seeded Erdős–Rényi graphs vs an O(n·m) pure-Python count —
+        catches orientation/wedge bugs the hand-built graphs miss."""
+        import itertools
+        import random
+
+        from employee_analytics_etl_spark.operators import graph as G
+
+        for seed, n, p in [(7, 25, 0.25), (11, 40, 0.12), (13, 18, 0.5)]:
+            rng = random.Random(seed)
+            edges = [
+                (a, b)
+                for a, b in itertools.combinations(range(n), 2)
+                if rng.random() < p
+            ]
+            adj = {v: set() for v in range(n)}
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            want_tri = sum(
+                1
+                for a, b in edges
+                for c in adj[a] & adj[b]
+                if c > b  # a < b < c counts each triangle once
+            )
+            want_wedges = sum(
+                len(nb) * (len(nb) - 1) // 2 for nb in adj.values()
+            )
+            r = G.triangle_stats(
+                spark.createDataFrame(edges, "u long, v long")
+            ).first()
+            assert r.n_triangles == want_tri, (seed, n, p)
+            assert r.n_wedges == want_wedges, (seed, n, p)
+            assert r.n_edges == len(edges)
+
     def test_orientation_handles_duplicate_and_skewed_input(self, spark):
         """Duplicate edge rows collapse; a hub star plus a clique mixes
         high- and low-degree endpoints so both orientation branches run."""

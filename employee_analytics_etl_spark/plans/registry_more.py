@@ -1355,6 +1355,268 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_minhash_estimate_vs_exact",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS m
+      FROM sh, UNNEST(range(0, 8)) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             MIN(CASE WHEN seed % 2 = 0 THEN m END)
+             || MIN(CASE WHEN seed % 2 = 1 THEN m END) AS bucket
+      FROM mh GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             SUM(CASE WHEN ma.m = mb.m THEN 1 ELSE 0 END) AS n_match
+      FROM cand c
+      JOIN mh ma ON ma.id = c.id_a
+      JOIN mh mb ON mb.id = c.id_b AND mb.seed = ma.seed
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(CAST(e.n_match AS DOUBLE) / 8, 6) AS est_jaccard,
+           ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (sa.set_size + sb.set_size - COALESCE(i.i, 0)), 6)
+             AS exact_jaccard
+    FROM est e
+    LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+    JOIN sizes sa ON sa.id = e.id_a
+    JOIN sizes sb ON sb.id = e.id_b
+    """,
+)
+def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching-signature fraction, the quantity the
+    banding actually thresholds on) next to the exact shingle Jaccard
+    — the query an operator runs before tuning bands/rows, because
+    the estimate's bias at your document length distribution decides
+    the LSH operating point. Estimate and truth both derive from the
+    md5 hash family, so the oracle reproduces BOTH exactly (no
+    bounds envelope needed for a probabilistic sketch). The exact
+    side uses unfiltered shingles (no stop-shingle DF cap): the
+    candidate set is already linear-size, so the quadratic guard is
+    unnecessary here."""
+    from ..operators import dedup as D
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    cand = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3
+    )
+    wide = D.minhash_signatures_wide(
+        docs, "doc_id", "text", num_hashes=8, shingle_n=3
+    ).localCheckpoint(eager=False)  # joined from both pair sides
+    wa = wide.select(
+        F.col("id").alias("id_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(8)]
+    )
+    wb = wide.select(
+        F.col("id").alias("id_b"), *[F.col(f"m{s}").alias(f"b{s}") for s in range(8)]
+    )
+    n_match = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(8)
+    )
+    est = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select("id_a", "id_b", (n_match.cast("double") / 8).alias("est"))
+    )
+    exact = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=1 << 30
+    ).select("id_a", "id_b", "jaccard")
+    return (
+        est.join(exact, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est", 6).alias("est_jaccard"),
+            F.coalesce(F.col("jaccard"), F.lit(0.0)).alias("exact_jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_screen_precision_recall",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT id, u.seed,
+             MIN(md5(CAST(u.seed AS VARCHAR) || ':' || shingle)) AS m
+      FROM sh, UNNEST(range(0, 8)) AS u(seed)
+      GROUP BY id, u.seed
+    ),
+    bands AS (
+      SELECT id, seed // 2 AS band,
+             MIN(CASE WHEN seed % 2 = 0 THEN m END)
+             || MIN(CASE WHEN seed % 2 = 1 THEN m END) AS bucket
+      FROM mh GROUP BY id, seed // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+    shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON sa.id = i.id_a
+      JOIN sizes sb ON sb.id = i.id_b
+      WHERE CAST(i.i AS DOUBLE) / (sa.set_size + sb.set_size - i.i) >= 0.2
+    ),
+    hits AS (
+      SELECT COUNT(*) AS n FROM cand c
+      JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+      (SELECT CAST(n AS BIGINT) FROM hits) AS n_hits,
+      ROUND((SELECT CAST(n AS DOUBLE) FROM hits)
+            / (SELECT COUNT(*) FROM cand), 9) AS precision,
+      ROUND((SELECT CAST(n AS DOUBLE) FROM hits)
+            / (SELECT COUNT(*) FROM truth), 9) AS recall
+    """,
+)
+def dedup_screen_precision_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end evaluation of the MinHash-LSH candidate screen
+    against the exact-Jaccard truth set (≥ 0.2, the
+    dedup_ngram_jaccard definition): precision says how much exact
+    verification work the screen wastes, recall says what fraction
+    of true near-dups the banding misses — THE two numbers that
+    justify a generate→verify dedup at 100 TB. Composes the two
+    existing operators and three count aggregates; entirely
+    md5-deterministic, so even this meta-evaluation is exact."""
+    from ..operators import dedup as D
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    cand = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3
+    ).localCheckpoint(eager=False)
+    truth = (
+        D.ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=25
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    n_hits = cand.join(truth, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        n_cand.crossJoin(n_truth)
+        .crossJoin(n_hits)
+        .select(
+            "n_candidates",
+            "n_truth",
+            "n_hits",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 9
+            ).alias("precision"),
+            F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 9).alias(
+                "recall"
+            ),
+        )
+    )
+
+
+@query(
+    "orders_pareto_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey) AS cum_r,
+             ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rnk
+      FROM rev
+    ),
+    tot AS (SELECT SUM(r) AS total_r, COUNT(*) AS n FROM rev)
+    SELECT
+      (SELECT CAST(n AS BIGINT) FROM tot) AS n_customers,
+      (SELECT CAST(total_r AS DOUBLE) FROM tot) AS total_revenue,
+      (SELECT CAST(MIN(rnk) AS BIGINT) FROM ranked, tot
+        WHERE cum_r * 5 >= total_r * 4) AS n_top80,
+      (SELECT ROUND(CAST(MAX(cum_r) AS DOUBLE) / CAST(MAX(total_r) AS DOUBLE), 9)
+         FROM ranked, tot WHERE rnk * 10 <= n) AS share_top10pct
+    """,
+)
+def orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/80-20): how many top customers
+    cover 80% of revenue, and what share the top decile holds — the
+    skew diagnostic that decides whether a customer-keyed pipeline
+    needs salting at all. The cumulative runs over the CUSTOMER
+    aggregate (dimension-scale) under a total order; the 80% and
+    decile thresholds compare in EXACT integer/decimal arithmetic
+    (cum·5 ≥ total·4, rank·10 ≤ n) so no float boundary can flip
+    membership between engines."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    wsum = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wrnk = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(wsum).alias("cum_r"),
+        F.row_number().over(wrnk).alias("rnk"),
+    ).localCheckpoint(eager=False)  # feeds both threshold scans
+    tot = rev.agg(
+        F.sum("r").alias("total_r"), F.count(F.lit(1)).alias("n")
+    )
+    top80 = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_r") * 5 >= F.col("total_r") * 4)
+        .agg(F.min("rnk").cast("long").alias("n_top80"))
+    )
+    top10 = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rnk") * 10 <= F.col("n"))
+        .agg(F.max("cum_r").alias("cum10"))
+    )
+    return (
+        tot.crossJoin(top80)
+        .crossJoin(top10)
+        .select(
+            F.col("n").cast("long").alias("n_customers"),
+            F.col("total_r").cast("double").alias("total_revenue"),
+            "n_top80",
+            F.round(
+                F.col("cum10").cast("double") / F.col("total_r").cast("double"), 9
+            ).alias("share_top10pct"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

@@ -115,6 +115,10 @@ SCALAR_BNLJ_OK = {
     "embedding_pca_top_component",
     # 1-row global count broadcast onto the contingency cells
     "events_mi_type_hour",
+    # three 1-row count aggregates crossJoined into the report row
+    "dedup_screen_precision_recall",
+    # 1-row totals broadcast onto the ranked dimension + report row
+    "orders_pareto_revenue",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -1617,6 +1617,107 @@ def orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n_transitions,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_from, 9) AS p
+    FROM c JOIN tot t ON t.from_type = c.from_type
+    """,
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between consecutive event
+    types per user — the behavioral-sequence summary behind funnel
+    design and next-action models. Consecutiveness comes from ONE
+    lead() window under the total order (ts, event_id) — the same
+    single shuffle on user_id as sessionization; probabilities are
+    single divisions of exact counts, row-normalized per from-state."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.col("n_from"), 9).alias("p"),
+    )
+
+
+@query(
+    "nation_share_of_region",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_nationkey, n.n_name AS nation, n.n_regionkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2, 3
+    ),
+    reg AS (SELECT n_regionkey, SUM(r) AS region_r FROM rev GROUP BY 1)
+    SELECT rg.r_name AS region, rev.nation,
+           CAST(rev.r AS DOUBLE) AS nation_revenue,
+           CAST(reg.region_r AS DOUBLE) AS region_revenue,
+           ROUND(CAST(rev.r AS DOUBLE) / CAST(reg.region_r AS DOUBLE), 9)
+             AS share_of_region
+    FROM rev
+    JOIN reg ON reg.n_regionkey = rev.n_regionkey
+    JOIN region rg ON rg.r_regionkey = rev.n_regionkey
+    """,
+)
+def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup: each nation's revenue as a share of its
+    region — the hierarchical "% of parent" BI pattern. One fact scan
+    aggregates to the nation grain (broadcast dimension joins); the
+    region total re-aggregates the 25-row nation table, NOT the fact
+    table, and broadcasts back — the two-level reaggregation shape
+    that keeps parent ratios fact-scan-free at any scale. Decimal
+    sums make the shares single divisions of exact values."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    # customer is NOT force-broadcast: at 100 TB it's a real dimension
+    # (AQE picks broadcast when it fits); nation/region always are
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name", "n_regionkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rv"))
+    )
+    reg = rev.groupBy("n_regionkey").agg(F.sum("rv").alias("region_r"))
+    return (
+        rev.join(F.broadcast(reg), "n_regionkey")
+        .join(F.broadcast(r), rev.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("rv").cast("double").alias("nation_revenue"),
+            F.col("region_r").cast("double").alias("region_revenue"),
+            F.round(
+                F.col("rv").cast("double") / F.col("region_r").cast("double"), 9
+            ).alias("share_of_region"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

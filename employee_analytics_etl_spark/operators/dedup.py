@@ -206,13 +206,19 @@ def minhash_band_rows(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, bucket) LSH band table — the persistable index form.
     At scale this is what you write ``write_bucketed`` on (band,
     bucket) so that tomorrow's delta joins it with zero base-side
-    exchange; see ``minhash_incremental_candidates``."""
+    exchange; see ``minhash_incremental_candidates``.
+
+    ``wide``: precomputed ``minhash_signatures_wide`` output. Pass it
+    (checkpointed) when the caller also consumes the signatures
+    directly — skips a second corpus-scale shingle+hash pass."""
     assert num_hashes % rows_per_band == 0
-    wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
+    if wide is None:
+        wide = minhash_signatures_wide(df, id_col, text_col, num_hashes, shingle_n)
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
@@ -237,13 +243,15 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     rows_per_band: int = 2,
     shingle_n: int = 3,
+    wide: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: concat each band's minhashes into a bucket key;
     documents sharing any (band, bucket) become candidate pairs
     (id_a < id_b, distinct). This is the linear-cost candidate
-    generator the exact Jaccard verifier then confirms."""
+    generator the exact Jaccard verifier then confirms. ``wide``
+    forwards a precomputed signature table (see minhash_band_rows)."""
     per_band = minhash_band_rows(
-        df, id_col, text_col, num_hashes, rows_per_band, shingle_n
+        df, id_col, text_col, num_hashes, rows_per_band, shingle_n, wide=wide
     )
     # groupBy + pair-explode instead of a bucket self-join: one shuffle
     # of (band, bucket) keys, and singleton buckets vanish in the

@@ -1384,10 +1384,12 @@ def orders_monthly_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN mh mb ON mb.id = c.id_b AND mb.seed = ma.seed
       GROUP BY c.id_a, c.id_b
     ),
-    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    cd AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
+    shc AS (SELECT sh.id, sh.shingle FROM sh JOIN cd USING (id)),
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM shc GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT e.id_a, e.id_b,
@@ -1410,19 +1412,22 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
     the LSH operating point. Estimate and truth both derive from the
     md5 hash family, so the oracle reproduces BOTH exactly (no
     bounds envelope needed for a probabilistic sketch). The exact
-    side uses unfiltered shingles (no stop-shingle DF cap): the
-    candidate set is already linear-size, so the quadratic guard is
-    unnecessary here."""
+    side runs only over DOCUMENTS THAT APPEAR IN A CANDIDATE PAIR
+    (semi-join before shingle pairing) and skips the stop-shingle DF
+    cap: the candidate subset is near-dup-dense and tiny relative to
+    the corpus, which is exactly why the screen-then-verify split
+    scales — this query IS that split, instrumented."""
     from ..operators import dedup as D
     from ..operators.partitioning import fan_out
 
     docs = fan_out(t(spark, sf_dir, "documents"))
-    cand = D.minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3
-    )
     wide = D.minhash_signatures_wide(
         docs, "doc_id", "text", num_hashes=8, shingle_n=3
-    ).localCheckpoint(eager=False)  # joined from both pair sides
+    ).localCheckpoint(eager=False)  # ONE signature pass feeds banding + est
+    cand = D.minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=8, rows_per_band=2, shingle_n=3,
+        wide=wide,
+    ).localCheckpoint(eager=False)  # feeds est AND the exact-side subset
     wa = wide.select(
         F.col("id").alias("id_a"), *[F.col(f"m{s}").alias(f"a{s}") for s in range(8)]
     )
@@ -1437,8 +1442,14 @@ def dedup_minhash_estimate_vs_exact(spark: SparkSession, sf_dir: str) -> DataFra
         .join(wb, "id_b")
         .select("id_a", "id_b", (n_match.cast("double") / 8).alias("est"))
     )
+    cd = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cd), "doc_id", "semi")
     exact = D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=1 << 30
+        cand_docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=1 << 30
     ).select("id_a", "id_b", "jaccard")
     return (
         est.join(exact, ["id_a", "id_b"], "left")

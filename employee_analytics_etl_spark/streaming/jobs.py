@@ -245,6 +245,70 @@ def cms_user_counts_stream(
     )
 
 
+def psi_drift_stream(
+    events: DataFrame,
+    reference: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "2 hours",
+    n_buckets: int = 10,
+    bucket_width: float = 50.0,
+) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling window, the
+    PSI contribution of each value bucket against a STATIC reference
+    histogram — drift detection in motion, the streaming twin of
+    orders_price_drift_psi.
+
+    ``reference`` is (bucket, share_ref) — precomputed from a trusted
+    snapshot, broadcast into every micro-batch (stream-static join,
+    no state beyond the windowed counts). The stream side is a single
+    windowed aggregation (valid in append mode); per-bucket psi_term
+    rows localize WHICH band drifted, and consumers sum terms per
+    window — the same reporting shape as the batch monitor, so one
+    dashboard serves both. Laplace smoothing keeps empty stream
+    buckets finite; ln is computed on single-division shares."""
+    bucket = F.least(
+        F.floor(F.col("value") / bucket_width).cast("int"), F.lit(n_buckets - 1)
+    )
+    # Streaming forbids a SECOND aggregation (window totals), so all
+    # bucket counts come out of ONE windowed agg as conditional sums;
+    # the total is their row-local sum and the per-bucket rows are a
+    # post-agg posexplode (projection, not aggregation — legal in
+    # append mode). State per window: n_buckets longs.
+    win = (
+        events.withWatermark("ts", watermark)
+        .withColumn("bucket", bucket)
+        .groupBy(F.window("ts", width))
+        .agg(
+            *[
+                F.sum((F.col("bucket") == b).cast("long")).alias(f"n{b}")
+                for b in range(n_buckets)
+            ]
+        )
+    )
+    counts = F.array(*[F.col(f"n{b}") for b in range(n_buckets)])
+    exploded = win.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+        F.aggregate(
+            counts, F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("n_total"),
+        F.posexplode(counts).alias("bucket", "n"),
+    )
+    share_cur = (F.col("n") + 0.5) / (F.col("n_total") + 0.5 * n_buckets)
+    psi_term = (share_cur - F.col("share_ref")) * F.log(
+        share_cur / F.col("share_ref")
+    )
+    return (
+        exploded.join(F.broadcast(reference), "bucket")
+        .select(
+            "window_start_sec",
+            "bucket",
+            F.col("n").cast("long").alias("n_events"),
+            F.col("share_ref"),
+            psi_term.alias("psi_term"),
+        )
+    )
+
+
 def dedup_events_stream(
     events: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -213,6 +213,105 @@ class TestStreamingCms:
             assert est >= r["n"]
 
 
+class TestStreamingPsi:
+    def test_stream_psi_equals_batch_twin(self, spark, batch_events):
+        """Streamed per-window PSI terms must equal the batch
+        computation on the same bounded input, and a reference built
+        from the data itself must yield near-zero total PSI."""
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import psi_drift_stream
+
+        n_buckets, bw = 10, 50.0
+        bucket = F.least(
+            F.floor(F.col("value") / bw).cast("int"), F.lit(n_buckets - 1)
+        )
+        grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+        ref_counts = (
+            batch_events.withColumn("bucket", bucket)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("rn"))
+        )
+        tot = batch_events.count()
+        reference = (
+            grid.join(ref_counts, "bucket", "left")
+            .select(
+                "bucket",
+                (
+                    (F.coalesce(F.col("rn"), F.lit(0)) + 0.5)
+                    / (F.lit(tot) + 0.5 * n_buckets)
+                ).alias("share_ref"),
+            )
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            psi_drift_stream(stream, reference), "t_psi", spark
+        ).collect()
+        assert len(got) > 0
+
+        # batch twin: same windows, same smoothing
+        win = (
+            batch_events.withColumn("bucket", bucket)
+            .groupBy(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 21600000000").alias(
+                    "wb"
+                ),
+                "bucket",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wtot = win.groupBy("wb").agg(F.sum("n").alias("n_total"))
+        twin = (
+            wtot.join(grid, how="cross")
+            .join(win, ["wb", "bucket"], "left")
+            .join(reference, "bucket")
+            .select(
+                (F.col("wb") * 21600).alias("window_start_sec"),
+                "bucket",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+                "share_ref",
+                (
+                    (
+                        (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                        / (F.col("n_total") + 0.5 * n_buckets)
+                        - F.col("share_ref")
+                    )
+                    * F.log(
+                        (
+                            (F.coalesce(F.col("n"), F.lit(0)) + 0.5)
+                            / (F.col("n_total") + 0.5 * n_buckets)
+                        )
+                        / F.col("share_ref")
+                    )
+                ).alias("psi_term"),
+            )
+            .collect()
+        )
+
+        def key(rows):
+            return sorted(
+                (
+                    r["window_start_sec"],
+                    r["bucket"],
+                    r["n_events"],
+                    round(r["psi_term"], 12),
+                )
+                for r in rows
+            )
+
+        assert key(got) == key(twin)
+
+        # Laplace smoothing must keep every term finite even for empty
+        # buckets (smoke-scale windows hold ~8 events, so PSI
+        # MAGNITUDE is sample noise here — the cell equality above is
+        # the correctness gate; magnitude calibration belongs to the
+        # batch monitor's larger windows)
+        import math
+
+        assert all(math.isfinite(r["psi_term"]) for r in got)
+
+
 class TestOuterStreamJoin:
     """Left-outer stream-stream join: matched purchases pair up, and
     purchases with no qualifying click emit NULL-padded once the

@@ -1729,6 +1729,148 @@ def nation_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "part_pair_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.n_pair,
+        CAST(p.n_pair AS DOUBLE) / ia.n_item AS conf_a_to_b,
+        CAST(p.n_pair AS DOUBLE) * n.n_orders
+          / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+      FROM pair p
+      JOIN item ia ON ia.l_partkey = p.part_a
+      JOIN item ib ON ib.l_partkey = p.part_b
+      CROSS JOIN n
+    )
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           ROUND(conf_a_to_b, 9) AS conf_a_to_b, ROUND(lift, 9) AS lift
+    FROM scored
+    ORDER BY lift DESC, part_a, part_b LIMIT 20
+    """,
+)
+def part_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support, confidence and lift
+    for co-purchased part pairs (min support 3 orders), top-20 by
+    lift — the classic "customers who bought A also bought B"
+    analysis. The pair count rides the same bounded per-order
+    self-join as the co-purchase graph (fan-out ≤ C(order size, 2));
+    lift = P(A∧B)/(P(A)·P(B)) is single divisions/multiplies of
+    exact counts, so the ranking is deterministic under the
+    (lift, part_a, part_b) total order."""
+    b = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=False)  # item counts + pair self-join + n
+    )
+    n = b.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    b1, b2 = b.alias("b1"), b.alias("b2")
+    pair = (
+        b1.join(
+            b2,
+            (F.col("b1.l_orderkey") == F.col("b2.l_orderkey"))
+            & (F.col("b1.l_partkey") < F.col("b2.l_partkey")),
+        )
+        .groupBy(
+            F.col("b1.l_partkey").alias("part_a"),
+            F.col("b2.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("na"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("nb"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("na"), 9).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_orders")
+                / (F.col("na").cast("double") * F.col("nb")),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "embedding_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    edges AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk(id, label) AS (
+      SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 3 = 0
+      UNION
+      SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id, MIN(label) AS cluster_id FROM walk GROUP BY id)
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM comp GROUP BY cluster_id
+    """,
+)
+def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-duplicate clusters: connected components over the
+    cosine ≥ 0.4 embedding pair graph — the embedding-space twin of
+    the shingle-based dedup_clusters, closing the same transitive gap
+    (A≈B, B≈C ⟹ one cluster even when A,C don't match directly).
+    Pair generation here is the exact all-pairs verifier over a
+    deterministic 1/3 corpus slice (dedup_embedding_cosine's
+    documented status — LSH/IVF screens generate candidates at
+    100 TB, and the slice keeps the gate's quadratic cost bounded at
+    every SF); the closure is the same one-join-per-
+    iteration min-label propagation, cross-checked against the
+    oracle's recursive reachability walk. Output: cluster size
+    distribution keyed by the min-id representative."""
+    from ..operators import dedup as D
+    from ..operators import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("_sim", S.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("_sim") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    comp = D.connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

@@ -119,6 +119,8 @@ SCALAR_BNLJ_OK = {
     "dedup_screen_precision_recall",
     # 1-row totals broadcast onto the ranked dimension + report row
     "orders_pareto_revenue",
+    # 1-row basket count broadcast onto the scored pair table
+    "part_pair_lift",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

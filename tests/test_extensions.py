@@ -1469,6 +1469,56 @@ class TestChunkExactDedup:
         assert out[4]["n_kept"] == 1 and out[4]["text_kept"] == rows["text"][3]
 
 
+class TestChunkDedupModel:
+    def test_random_corpora_match_python_model(self, spark, tmp_path):
+        """Seeded random corpora with heavy chunk reuse vs a sequential
+        pure-Python model of first-occurrence survivorship."""
+        import random
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.plans.registry_more import (
+            doc_chunk_exact_dedup,
+        )
+
+        rng = random.Random(42)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many dup chunks
+        docs = []
+        for did in range(40):
+            n_words = rng.randint(1, 35)
+            docs.append((did, " ".join(rng.choice(vocab) for _ in range(n_words))))
+
+        # python model: chunks of 10 words, first (doc_id, idx) wins
+        seen = set()
+        want = {}
+        for did, text in docs:  # docs ordered by doc_id == survivor order
+            words = text.split(" ")
+            chunks = [
+                " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+            ]
+            kept = []
+            for c in chunks:  # add-as-you-go: within-doc dups cut too
+                if c not in seen:
+                    kept.append(c)
+                    seen.add(c)
+            want[did] = (len(chunks), len(kept), " ".join(kept))
+
+        rows = {
+            "doc_id": [d for d, _ in docs],
+            "text": [t for _, t in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(t) for _, t in docs],
+        }
+        pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_kept"])
+            for r in doc_chunk_exact_dedup(spark, str(tmp_path)).collect()
+        }
+        assert got == want
+
+
 class TestIncrementalAggMerge:
     def test_merge_equals_full_recompute(self, spark):
         """The algebraic-merge property: base-aggregate + delta-aggregate

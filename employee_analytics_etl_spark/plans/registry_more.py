@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from ..operators import graph as G
 from .registry import query, t
-from .registry_ext import _SHINGLES_CTE
+from .registry_ext import _SHINGLES_CTE, _lang_count_sql
 
 # Shared DuckDB CTE: canonical part co-purchase edges + degrees.
 _EDGES_SQL = """
@@ -1868,6 +1868,116 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+
+
+@query(
+    "orders_revenue_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT r, ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i FROM rev
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(r) AS DOUBLE) AS s,
+             CAST(SUM(r * i) AS DOUBLE) AS si
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           ROUND(2 * si / (n * s) - (n + 1.0) / n, 9) AS gini
+    FROM m
+    """,
+)
+def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the customer revenue distribution — the
+    scalar inequality companion to orders_pareto_revenue (same sorted
+    dimension, one number for dashboards/alerting). Uses the
+    rank-weighted identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over an
+    ascending TOTAL order; r·i products stay DECIMAL-exact (2-dp
+    revenue × integer rank), so both moment sums are
+    order-independent and the final expression is a handful of IEEE
+    ops on exact inputs."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = rev.select(
+        "r",
+        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").cast("double").alias("s"),
+        F.sum(F.col("r") * F.col("i")).cast("double").alias("si"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            2 * F.col("si") / (F.col("n") * F.col("s"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "doc_lang_confusion_matrix",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_count_sql('en')} AS sw_en,
+             {_lang_count_sql('es')} AS sw_es,
+             {_lang_count_sql('de')} AS sw_de,
+             {_lang_count_sql('fr')} AS sw_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS lang_actual,
+        CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) <= 0 THEN 'und'
+             WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+             WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+             WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+             ELSE 'fr' END AS lang_pred
+      FROM scored
+    ),
+    c AS (
+      SELECT lang_actual, lang_pred, COUNT(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    tot AS (SELECT lang_actual, SUM(n) AS n_actual FROM c GROUP BY 1)
+    SELECT c.lang_actual, c.lang_pred, CAST(c.n AS BIGINT) AS n_docs,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_actual, 9) AS share_of_actual
+    FROM c JOIN tot t ON t.lang_actual = c.lang_actual
+    """,
+)
+def doc_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword lang-ID heuristic against the
+    corpus's labeled lang column — the evaluation harness for a
+    classifier-shaped operator (precision_recall's sibling for the
+    text tier): per (actual, predicted) cell counts with row-
+    normalized shares, so per-class recall reads straight off the
+    diagonal. One classification scan + a 16-cell aggregate."""
+    from ..operators import text as TX
+
+    docs = t(spark, sf_dir, "documents")
+    pred = TX.with_lang_id(docs, "text").select(
+        F.col("lang").alias("lang_actual"), "lang_pred"
+    )
+    c = pred.groupBy("lang_actual", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("lang_actual").agg(F.sum("n").alias("n_actual"))
+    return c.join(F.broadcast(tot), "lang_actual").select(
+        "lang_actual",
+        "lang_pred",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("n_actual"), 9).alias(
+            "share_of_actual"
+        ),
     )
 
 

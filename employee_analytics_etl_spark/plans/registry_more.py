@@ -1981,6 +1981,67 @@ def doc_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "nation_revenue_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c_nationkey,
+             COUNT(*) AS n_cust,
+             CAST(SUM(r * r) AS DOUBLE) AS sq,
+             CAST(SUM(r) AS DOUBLE) AS s
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation, CAST(m.n_cust AS BIGINT) AS n_customers,
+           ROUND(m.sq / (m.s * m.s), 9) AS hhi,
+           ROUND((m.sq / (m.s * m.s) - 1.0 / m.n_cust)
+                 / (1 - 1.0 / m.n_cust), 9) AS hhi_normalized
+    FROM m JOIN nation n ON n.n_nationkey = m.c_nationkey
+    WHERE m.n_cust > 1
+    """,
+)
+def nation_revenue_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of customer revenue within
+    each nation — "is this market one whale or many small fish",
+    the per-group sibling of the global Gini/Pareto pair. Computed as
+    Σr² / (Σr)² instead of Σ(share²): both moments are DECIMAL-exact
+    (2-dp revenue products), so the whole statistic is ONE division
+    of exact values — summing squared shares would re-hit the
+    dirty-double snapping trap events_value_acf documents. One fact
+    scan → customer grain → 25-group moment agg."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r"))
+    )
+    m = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("r") * F.col("r")).cast("double").alias("sq"),
+        F.sum("r").cast("double").alias("s"),
+    )
+    hhi = F.col("sq") / (F.col("s") * F.col("s"))
+    return (
+        m.filter(F.col("n_cust") > 1)
+        .join(F.broadcast(n), m.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_cust").cast("long").alias("n_customers"),
+            F.round(hhi, 9).alias("hhi"),
+            F.round(
+                (hhi - 1.0 / F.col("n_cust")) / (1 - 1.0 / F.col("n_cust")), 9
+            ).alias("hhi_normalized"),
+        )
+    )
+
+
 def _md5_bucket(col, seed_col, width: int):
     """First 8 md5 hex chars of 'seed:value' as a long, mod width —
     the engine-portable hash family (conv(substr(md5)) ≡ DuckDB's

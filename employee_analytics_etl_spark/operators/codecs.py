@@ -1,9 +1,11 @@
-"""Pure-Python media codecs: PPM (P6), uncompressed 24-bit BMP, PCM WAV.
+"""Pure-Python media codecs: PPM (P6), uncompressed 24-bit BMP, PNG,
+baseline JPEG, PCM WAV.
 
-The container ships no PIL/ffmpeg, but these two formats are simple
-enough to decode with numpy alone — which un-stubs the multimodal
-``decode="real"`` path with true pixel math instead of byte statistics
-(the remaining formats still raise at the marked codec call site).
+The container ships no PIL/ffmpeg, but these formats are decodable with
+numpy + stdlib (zlib for PNG, an 8x8 DCT matmul pair for JPEG) — which
+un-stubs the multimodal ``decode="real"`` path with true pixel math
+instead of byte statistics (progressive/subsampled JPEG, MP3, and video
+still raise at the marked codec call site).
 
 All functions are plain ``bytes → numpy`` (and back) so they are unit-
 testable without Spark and ride inside Arrow ``mapInPandas`` kernels
@@ -230,19 +232,472 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# -------------------------------------------- JPEG (baseline DCT, ITU T.81)
+#
+# Dependency-free baseline-sequential JPEG: standard Annex K quantization
+# and Huffman tables, 8x8 orthonormal DCT via one numpy matmul pair,
+# grayscale (1 component) and 4:4:4 YCbCr color (3 components, no chroma
+# subsampling). Progressive (SOF2), chroma-subsampled, 12-bit, and
+# arithmetic-coded streams raise at the marked boundary — those are where
+# a real codec library (PIL/libjpeg) plugs in. Fixture images are tiny,
+# so the pure-Python entropy coder is not a hot path; the Spark-side
+# plumbing batches it behind Arrow ``mapInPandas`` like every codec here.
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Annex K quantization tables, raster (row-major) order.
+_JPEG_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K Huffman specs: (BITS[1..16] code-length counts, HUFFVAL symbols).
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix C: forward = C @ B @ C.T,
+    inverse = C.T @ B @ C."""
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(0.5)
+    return c * 0.5
+
+
+def _jpeg_quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 keeps the Annex K table verbatim."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, raw value bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = (ycc[..., i] for i in range(3))
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 75) -> bytes:
+    """Baseline-sequential JPEG encoder: grayscale for 2-D / HxWx1
+    input, 4:4:4 YCbCr (no chroma subsampling) for HxWx3 RGB.
+    Standard Annex K quant + Huffman tables, edge-replicate padding to
+    8x8 blocks. Flat 8x8 areas whose DC is a multiple of the DC quant
+    step reconstruct bit-exactly — the property the oracle-gated
+    fixtures rely on."""
+    gray = arr.ndim == 2 or arr.shape[2] == 1
+    if gray:
+        planes = [arr.reshape(arr.shape[0], arr.shape[1]).astype(np.float64) - 128.0]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] - 128.0 for i in range(3)]
+    h, w = planes[0].shape
+    qt = [_jpeg_quality_scale(_JPEG_Q_LUMA, quality)]
+    if not gray:
+        qt.append(_jpeg_quality_scale(_JPEG_Q_CHROMA, quality))
+    dct = _jpeg_dct_matrix()
+    bh, bw = -(-h // 8), -(-w // 8)
+
+    # Per-component quantized coefficient blocks, raster MCU order.
+    comp_blocks: list[list[np.ndarray]] = []
+    for ci, plane in enumerate(planes):
+        padded = np.pad(plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        q = qt[0 if ci == 0 else 1].reshape(8, 8)
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = dct @ blk @ dct.T
+                blocks.append(np.rint(coef / q).astype(np.int64))
+        comp_blocks.append(blocks)
+
+    dc_tabs = [_jpeg_canonical_codes(*_JPEG_HUFF_DC_LUMA)]
+    ac_tabs = [_jpeg_canonical_codes(*_JPEG_HUFF_AC_LUMA)]
+    if not gray:
+        dc_tabs.append(_jpeg_canonical_codes(*_JPEG_HUFF_DC_CHROMA))
+        ac_tabs.append(_jpeg_canonical_codes(*_JPEG_HUFF_AC_CHROMA))
+
+    wtr = _JpegBitWriter()
+    prev_dc = [0] * len(planes)
+    for mcu in range(bh * bw):
+        for ci in range(len(planes)):
+            ti = 0 if ci == 0 else 1
+            zz = comp_blocks[ci][mcu].reshape(64)[_JPEG_ZIGZAG]
+            diff = int(zz[0]) - prev_dc[ci]
+            prev_dc[ci] = int(zz[0])
+            size, bits = _jpeg_magnitude(diff)
+            code, length = dc_tabs[ti][size]
+            wtr.write(code, length)
+            if size:
+                wtr.write(bits, size)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_tabs[ti][0xF0]  # ZRL
+                    wtr.write(code, length)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                code, length = ac_tabs[ti][(run << 4) | size]
+                wtr.write(code, length)
+                wtr.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_tabs[ti][0x00]  # EOB
+                wtr.write(code, length)
+    scan = wtr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qt):
+        out += seg(0xFFDB, bytes([ti]) + bytes(int(x) for x in q[_JPEG_ZIGZAG]))
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xFFC0, sof)
+    huffs = [(0x00, _JPEG_HUFF_DC_LUMA), (0x10, _JPEG_HUFF_AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _JPEG_HUFF_DC_CHROMA), (0x11, _JPEG_HUFF_AC_CHROMA)]
+    for tclass_id, (bits_spec, vals) in huffs:
+        out += seg(0xFFC4, bytes([tclass_id]) + bytes(bits_spec) + bytes(vals))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            elif nxt == 0xD9:  # EOI reached mid-fill: pad with 1s
+                b = 0xFF
+            else:
+                raise NotImplementedError(
+                    f"unexpected marker 0xFF{nxt:02X} in JPEG scan "
+                    "(restart-interval streams need a real codec)"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol lookup for the entropy decoder."""
+    enc = _jpeg_canonical_codes(bits, vals)
+    return {(length, code): sym for sym, (code, length) in enc.items()}
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """T.81 EXTEND: map raw magnitude bits back to a signed value."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline-sequential JPEG decoder (pure numpy + Python entropy
+    loop): parses DQT/SOF0/DHT/SOS, Huffman-decodes the interleaved
+    scan, dequantizes, inverse-DCTs, and converts YCbCr→RGB (4:4:4) or
+    widens grayscale. Returns HxWx3 uint8 RGB. Progressive (SOF2),
+    chroma-subsampled, 12-bit, arithmetic-coded, and restart-interval
+    streams raise NotImplementedError — the documented boundary where
+    PIL/libjpeg would plug in."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtab)
+    scan_comps: list[tuple[int, int, int]] = []  # (comp index, dc tab, ac tab)
+    pos = 2
+    scan_start = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[pos + 1]
+        (ln,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit quant tables need a real codec")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                nat = np.zeros(64, np.int32)
+                nat[_JPEG_ZIGZAG] = zz
+                qtabs[tid] = nat.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("12-bit JPEG needs a real codec")
+            for ci in range(nc):
+                cid, samp, qid = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma-subsampled JPEG needs a real codec (PIL)"
+                    )
+                comps.append((cid, samp, qid))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "progressive/extended JPEG needs a real codec (PIL)"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                htabs[(tclass, tid)] = _jpeg_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (interval,) = struct.unpack_from(">H", body, 0)
+            if interval:
+                raise NotImplementedError(
+                    "restart-interval JPEG needs a real codec (PIL)"
+                )
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for si in range(ns):
+                cid, tabs = body[1 + 2 * si], body[2 + 2 * si]
+                idx = next(i for i, c in enumerate(comps) if c[0] == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or scan_start is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    dct = _jpeg_dct_matrix()
+    bh, bw = -(-h // 8), -(-w // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    rdr = _JpegBitReader(data, scan_start)
+
+    def read_symbol(tab: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | rdr.read_bit()
+            sym = tab.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    prev_dc = [0] * len(comps)
+    for mcu in range(bh * bw):
+        by, bx = divmod(mcu, bw)
+        for idx, dct_id, act_id in scan_comps:
+            zz = np.zeros(64, np.int64)
+            size = read_symbol(htabs[(0, dct_id)])
+            diff = _jpeg_extend(rdr.read_bits(size), size)
+            prev_dc[idx] += diff
+            zz[0] = prev_dc[idx]
+            k = 1
+            while k < 64:
+                sym = read_symbol(htabs[(1, act_id)])
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                zz[k] = _jpeg_extend(rdr.read_bits(size), size)
+                k += 1
+            nat = np.zeros(64, np.int64)
+            nat[_JPEG_ZIGZAG] = zz
+            coef = nat.reshape(8, 8) * qtabs[comps[idx][2]]
+            blk = dct.T @ coef @ dct + 128.0
+            planes[idx][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+
+    planes = [p[:h, :w] for p in planes]
+    if len(comps) == 1:
+        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(gray[..., None], 3, axis=2)
+    if len(comps) != 3:
+        raise NotImplementedError("CMYK/other JPEG needs a real codec (PIL)")
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
 # ----------------------------------------------------------------- helpers
 
 def decode_image(data: bytes) -> np.ndarray:
     """Dispatch on magic bytes; raises at the codec call site for
-    formats this container cannot decode (JPEG needs a real codec)."""
+    formats this container cannot decode (progressive/subsampled JPEG,
+    GIF/TIFF/WebP need a real codec)."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "only PPM(P6)/BMP/PNG decode ships in-container; JPEG needs PIL"
+        "only PPM(P6)/BMP/PNG/baseline-JPEG decode ships in-container; "
+        "other formats need PIL"
     )
 
 

@@ -8,11 +8,11 @@ Decode modes:
 - ``decode="fake"`` (default): deterministic features from the bytes
   themselves — real Spark plumbing (schema, batching, partitioning)
   with a stand-in kernel; works for any payload.
-- ``decode="real"``: TRUE decode for PPM(P6)/BMP images and PCM WAV
-  audio via the in-repo pure-Python codecs (``operators.codecs``) —
-  actual pixel statistics, nearest-neighbor resize, and PCM sample
-  stats. Formats needing a real codec library (JPEG/PNG/MP3/video)
-  raise at the call site.
+- ``decode="real"``: TRUE decode for PPM(P6)/BMP/PNG/baseline-JPEG
+  images and PCM WAV audio via the in-repo pure-Python codecs
+  (``operators.codecs``) — actual pixel statistics, nearest-neighbor
+  resize, and PCM sample stats. Formats needing a real codec library
+  (progressive/subsampled JPEG, MP3, video) raise at the call site.
 - ``decode="strict"``: raises NotImplementedError where PIL/ffmpeg
   would plug in.
 

@@ -332,7 +332,7 @@ class TestRealImageDecode:
 
     def test_real_decode_raises_on_unknown_format(self, spark):
         df = spark.createDataFrame(
-            [(1, "image", bytearray(b"\xff\xd8\xff\xe0JFIF"), None)], MM.MEDIA_SCHEMA
+            [(1, "image", bytearray(b"GIF89a\x01\x00\x01\x00"), None)], MM.MEDIA_SCHEMA
         )
         with pytest.raises(Exception) as ei:
             MM.extract_features(df, decode="real").collect()
@@ -485,6 +485,76 @@ class TestRealImageDecode:
             C.decode_png(hdr_only(16, 0))
         with pytest.raises(NotImplementedError):
             C.decode_png(hdr_only(8, 1))
+
+    def test_jpeg_flat_gray_is_bit_exact(self):
+        """Flat 8x8 areas whose DC (=8*(v-128)) is a multiple of the DC
+        quant step (16 at quality 50 ⟺ v-128 even) survive the lossy
+        pipeline bit-exactly — the property the oracle fixture uses.
+        Non-multiple-of-8 sizes exercise pad + crop."""
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        for v in (80, 128, 130, 224):
+            img = np.full((12, 19), v, dtype=np.uint8)
+            out = C.decode_jpeg(C.encode_jpeg(img, quality=50))
+            assert out.shape == (12, 19, 3)
+            assert np.all(out == v)
+
+    def test_jpeg_color_roundtrip_within_quant_error(self):
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        x = np.arange(32, dtype=np.float64)[None, :].repeat(24, 0)
+        y = np.arange(24, dtype=np.float64)[:, None].repeat(32, 1)
+        img = (
+            np.stack([x * 4, y * 5, 255 - x * 3], axis=-1)
+            .clip(0, 255)
+            .astype(np.uint8)
+        )
+        out = C.decode_image(C.encode_jpeg(img, quality=90))
+        err = np.abs(out.astype(int) - img.astype(int))
+        # smooth gradient at q90: bounded by quantization of the top
+        # DCT bands + YCbCr rounding (measured max 3)
+        assert err.max() <= 8 and err.mean() <= 2.0
+
+    def test_jpeg_noise_roundtrip_parses_worst_case_entropy(self):
+        """Random noise maximizes AC symbol variety (ZRL runs, all size
+        categories) — a parse/entropy-coder stress with a loose pixel
+        bound."""
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+        out = C.decode_jpeg(C.encode_jpeg(img, quality=95))
+        err = np.abs(out[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 40 and err.mean() <= 6
+
+    def test_jpeg_unsupported_variants_raise(self):
+        import struct
+
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        base = C.encode_jpeg(np.full((8, 8), 130, dtype=np.uint8), quality=50)
+        # flip SOF0 -> SOF2 (progressive)
+        prog = base.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        with pytest.raises(NotImplementedError):
+            C.decode_jpeg(prog)
+        # splice a DRI segment with a nonzero restart interval after SOI
+        dri = base[:2] + struct.pack(">HHH", 0xFFDD, 4, 8) + base[2:]
+        with pytest.raises(NotImplementedError):
+            C.decode_jpeg(dri)
+        # 2x1-sampled luma in SOF (chroma subsampling)
+        idx = base.index(b"\xff\xc0")
+        sub = bytearray(base)
+        sub[idx + 11] = 0x21  # component 1 sampling byte
+        with pytest.raises(NotImplementedError):
+            C.decode_jpeg(bytes(sub))
 
 
 class TestConnectedComponents:

@@ -1353,3 +1353,283 @@ def orders_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").alias("max_price"),
         (F.col("s").cast("double") / F.col("n")).alias("avg_price"),
     )
+
+
+@query(
+    "funnel_hours_to_convert",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+    ),
+    s1 AS (SELECT user_id, MIN(tus) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(tus) AS t2 FROM e
+           JOIN s1 ON s1.user_id = e.user_id
+           WHERE event_type = 'purchase' AND tus > t1 GROUP BY e.user_id),
+    lat AS (SELECT (t2 - t1) / 3600e6 AS hours
+            FROM s2 JOIN s1 ON s1.user_id = s2.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(hours, 0.5), 6) AS median_hours,
+           round(quantile_cont(hours, 0.9), 6) AS p90_hours,
+           round(AVG(hours), 6) AS avg_hours
+    FROM lat
+    """,
+)
+def funnel_hours_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: hours from each user's FIRST
+    view to their first subsequent purchase, summarized as median /
+    p90 / mean — the time-to-convert companion of the stage-count
+    funnel (funnel_view_click_purchase). Same one-shuffle shape: the
+    oracle's two stage-joins are folded into a single sorted-array
+    latch per user (two BIGINTs of state), so the event fact shuffles
+    once regardless of stage count; the latency summary then reduces
+    user-level rows (|users| ≪ |events|). Exact integer microsecond
+    differences make the double division identical in both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_type",
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("tus", "event_type"))).alias("evs")
+    )
+    latched = per_user.withColumn(
+        "f",
+        F.expr(
+            """
+            aggregate(
+              evs,
+              named_struct('t1', CAST(NULL AS BIGINT),
+                           't2', CAST(NULL AS BIGINT)),
+              (acc, e) -> named_struct(
+                't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                           THEN e.tus ELSE acc.t1 END,
+                't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                                AND e.event_type = 'purchase' AND e.tus > acc.t1
+                           THEN e.tus ELSE acc.t2 END))
+            """
+        ),
+    ).filter(F.col("f.t2").isNotNull())
+    hours = latched.select(
+        ((F.col("f.t2") - F.col("f.t1")) / F.lit(3600e6)).alias("hours")
+    )
+    return hours.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.expr("percentile(hours, 0.5)"), 6).alias("median_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 6).alias("p90_hours"),
+        F.round(F.avg("hours"), 6).alias("avg_hours"),
+    )
+
+
+@query(
+    "orders_weekday_seasonality",
+    oracle="""
+    WITH d AS (
+      SELECT dayname(o_orderdate) AS weekday, SUM(o_totalprice) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY dayname(o_orderdate)
+    )
+    SELECT weekday, round(revenue, 2) AS revenue,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           round(revenue / SUM(revenue) OVER (), 6) AS revenue_share,
+           round(7 * revenue / SUM(revenue) OVER (), 6) AS seasonal_index
+    FROM d
+    """,
+)
+def orders_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index: each weekday's revenue share scaled
+    by 7, so 1.0 = flat seasonality (the multiplicative seasonal factor
+    a forecasting pipeline divides out before trend fitting). Weekday
+    names (date_format 'EEEE' ≡ DuckDB dayname) avoid the engines'
+    conflicting day-NUMBER conventions (Spark dayofweek is 1=Sunday,
+    DuckDB 0=Sunday). One 7-group aggregate + a 7-row window — the
+    share normalization costs nothing after the reduce, at any scale."""
+    orders = t(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format("o_orderdate", "EEEE").alias("weekday")
+    ).agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.partitionBy()
+    return d.select(
+        "weekday",
+        F.round("rev", 2).alias("revenue"),
+        "n_orders",
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("revenue_share"),
+        F.round(F.lit(7) * F.col("rev") / F.sum("rev").over(w), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+@query(
+    "orders_kfold_assign",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 5 AS fold,
+             o_totalprice, o_custkey
+      FROM orders
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(AVG(o_totalprice), 6) AS avg_price,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM f GROUP BY fold
+    """,
+)
+def orders_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (k=5) by the
+    engine-portable md5 key hash (conv(substr(md5)) ≡ DuckDB's hex
+    cast) — folds survive re-runs, repartitioning, and appends exactly
+    like doc_train_split's split column, and the per-fold count /
+    price / customer profile is the balance check a CV harness runs
+    before trusting fold-wise metrics. Scan-side expression + one
+    5-group aggregate; COUNT(DISTINCT) partial-aggregates per fold."""
+    orders = t(spark, sf_dir, "orders")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 5
+    ).alias("fold")
+    return (
+        orders.select(fold, "o_totalprice", "o_custkey")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "customer_km_survival",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+    ),
+    as_of AS (SELECT MAX(d) AS mx FROM o),
+    gaps AS (
+      SELECT o_custkey,
+             datediff('day', d,
+               lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_custkey)
+             ) AS dur,
+             1 AS is_event
+      FROM o
+      QUALIFY lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_custkey)
+              IS NOT NULL
+      UNION ALL
+      SELECT o.o_custkey, datediff('day', MAX(o.d), as_of.mx) AS dur,
+             0 AS is_event
+      FROM o, as_of GROUP BY o.o_custkey, as_of.mx
+    ),
+    tbl AS (
+      SELECT dur, SUM(is_event) AS d_t, COUNT(*) AS c_t
+      FROM gaps GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d_t,
+        SUM(c_t) OVER (ORDER BY dur DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS n_at_risk
+      FROM tbl
+    ),
+    terms AS (
+      SELECT dur, d_t, n_at_risk,
+        CASE WHEN d_t < n_at_risk
+             THEN ln(1 - CAST(d_t AS DOUBLE) / n_at_risk) ELSE 0 END AS lt,
+        CASE WHEN d_t >= n_at_risk THEN 1 ELSE 0 END AS dies_out
+      FROM risk
+    ),
+    km AS (
+      SELECT dur, d_t, n_at_risk,
+        CASE WHEN MAX(dies_out) OVER (ORDER BY dur ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+             ELSE exp(SUM(lt) OVER (ORDER BY dur ASC ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW)) END AS surv
+      FROM terms
+    )
+    SELECT CAST(dur AS BIGINT) AS gap_days, CAST(d_t AS BIGINT) AS n_events,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           round(surv, 6) AS survival
+    FROM km WHERE d_t > 0
+    """,
+)
+def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer inter-order gaps WITH
+    right-censoring: consecutive-order gaps are events ("the customer
+    came back after d days"); the tail gap from each customer's last
+    order to the corpus as-of date is censored (they had not come back
+    YET) — dropping it would bias churn-time estimates low, which is
+    exactly what KM corrects. S(t) = Π_{s≤t} (1 − d_s/n_s) with n_s
+    counted over event AND censored gaps still at risk.
+
+    Spark shape: one lead() window per customer (single shuffle of
+    (custkey, date) pairs), a per-customer max for the censored tail
+    riding the same shuffle, then the life table is |distinct gap|
+    rows — the KM product is a cumulative window over that tiny table
+    via exp(sum(ln)), sequential in both engines so the doubles agree
+    bit-for-bit before the 1e-6 round."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    as_of = o.agg(F.max("d").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_custkey")
+    ev = (
+        o.withColumn("nxt", F.lead("d").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.datediff("nxt", "d").alias("dur"), F.lit(1).alias("is_event")
+        )
+    )
+    cens = (
+        o.groupBy("o_custkey")
+        .agg(F.max("d").alias("last_d"))
+        .crossJoin(F.broadcast(as_of))
+        .select(
+            F.datediff("mx", "last_d").alias("dur"), F.lit(0).alias("is_event")
+        )
+    )
+    tbl = (
+        ev.unionByName(cens)
+        .groupBy("dur")
+        .agg(
+            F.sum("is_event").alias("d_t"),
+            F.count(F.lit(1)).alias("c_t"),
+        )
+    )
+    w_desc = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy(F.asc("dur")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # At the largest observed gap every at-risk subject can die
+    # (d_t = n_at_risk): the survival product hits exactly 0 there, and
+    # ln(0) is an error in DuckDB / null in Spark — so the zero is
+    # carried as an explicit dies-out flag instead of a log term.
+    km = (
+        tbl.withColumn("n_at_risk", F.sum("c_t").over(w_desc))
+        .withColumn(
+            "lt",
+            F.when(
+                F.col("d_t") < F.col("n_at_risk"),
+                F.log(F.lit(1) - F.col("d_t").cast("double") / F.col("n_at_risk")),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "dies_out", (F.col("d_t") >= F.col("n_at_risk")).cast("int")
+        )
+        .withColumn(
+            "surv",
+            F.when(F.max("dies_out").over(w_asc) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("lt").over(w_asc))
+            ),
+        )
+    )
+    return km.filter(F.col("d_t") > 0).select(
+        F.col("dur").cast("long").alias("gap_days"),
+        F.col("d_t").cast("long").alias("n_events"),
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.round("surv", 6).alias("survival"),
+    )

@@ -1951,6 +1951,37 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_jaro_winkler_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw_sim
+    FROM customer a
+    JOIN customer b ON a.c_nationkey = b.c_nationkey
+    WHERE a.c_custkey % 25 = 0 AND b.c_custkey % 25 = 13
+      AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.9
+    """,
+)
+def dedup_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler record-linkage scoring over blocked customer-name
+    pairs (nation blocking; two hash-carved probe sets stand in for the
+    dirty/clean sides of a linkage job). Spark lacks a jaro builtin, so
+    the scorer is the Arrow pandas_udf kernel in
+    operators.dedup.blocked_jaro_winkler_pairs — fuzz-pinned
+    bit-for-bit against DuckDB's jaro_winkler_similarity (35k random
+    pairs in pytest), which is what lets this lossy-looking similarity
+    carry an EXACT value-hash oracle."""
+    cust = t(spark, sf_dir, "customer")
+    return D.blocked_jaro_winkler_pairs(
+        cust.filter(F.col("c_custkey") % 25 == 0),
+        cust.filter(F.col("c_custkey") % 25 == 13),
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=("c_nationkey",),
+        min_sim=0.9,
+    )
+
+
+@query(
     "events_debounce",
     oracle="""
     WITH e AS (

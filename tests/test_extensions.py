@@ -557,6 +557,60 @@ class TestRealImageDecode:
             C.decode_jpeg(bytes(sub))
 
 
+class TestJaroWinkler:
+    def test_kernel_matches_duckdb_bit_for_bit(self):
+        """The Python kernel must agree with DuckDB's
+        jaro_winkler_similarity EXACTLY (not within epsilon) — that
+        equality is what lets dedup_jaro_winkler_pairs carry a
+        value-hash oracle."""
+        import random
+
+        import duckdb
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            _jaro_winkler_py,
+        )
+
+        con = duckdb.connect()
+        rng = random.Random(11)
+        cases = [
+            ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("DWAYNE", "DUANE"),
+            ("", ""), ("a", ""), ("abc", "abc"), ("CRATE", "TRACE"),
+        ]
+        for _ in range(3000):
+            a = "".join(rng.choice("abcde# ,1") for _ in range(rng.randint(0, 14)))
+            b = "".join(rng.choice("abcde# ,1") for _ in range(rng.randint(0, 14)))
+            cases.append((a, b))
+        for a, b in cases:
+            exp = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert _jaro_winkler_py(a, b) == exp, (a, b)
+
+    def test_blocked_pairs_no_cross_block_leak(self, spark):
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            blocked_jaro_winkler_pairs,
+        )
+
+        rows = [
+            Row(id=1, name="jonathan smith", blk=1),
+            Row(id=2, name="jonathon smith", blk=1),
+            Row(id=3, name="jonathan smith", blk=2),  # same name, other block
+            Row(id=4, name="zzzzzz", blk=1),
+        ]
+        df = spark.createDataFrame(rows)
+        got = blocked_jaro_winkler_pairs(
+            df, df, text_col="name", id_col="id", block_cols=("blk",),
+            min_sim=0.9,
+        ).collect()
+        pairs = {(r["id_a"], r["id_b"]) for r in got}
+        assert (1, 2) in pairs and (2, 1) in pairs
+        assert all(not ({a, b} & {3}) or a == b == 3 for a, b in pairs)
+        assert (1, 4) not in pairs  # below threshold
+
+
 class TestConnectedComponents:
     def test_chain_closure_and_singleton(self, spark):
         from pyspark.sql import Row
@@ -1071,6 +1125,44 @@ class TestBpeTrain:
         ).collect()[0][0]
         chars = sum(len(w) * f for w, f in wf.items())
         assert total < chars
+
+    def test_encode_reproduces_training_symbol_table(self, spark):
+        """bpe_encode over the training corpus must tokenize every word
+        exactly as bpe_train's final symbol table does (same merge
+        semantics, distributed apply), and character mass must be
+        conserved (merges only concatenate)."""
+        from employee_analytics_etl_spark.operators import bpe as B
+
+        rows = [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new newer"),
+            (3, "wider wide wide widest lower"),
+            (4, ""),  # empty doc: 0 words, 0 tokens
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        merges, symbols = B.bpe_train(B.word_freqs(docs), n_merges=6)
+        enc = {
+            r["doc_id"]: r
+            for r in B.bpe_encode(docs, merges).collect()
+        }
+        table = {r["word"]: list(r["syms"]) for r in symbols.collect()}
+        for did, text in rows:
+            words = text.lower().split()
+            want = [s for w in words for s in table[w]] if words else []
+            assert list(enc[did]["tokens"]) == want, did
+            assert enc[did]["n_words"] == len(words)
+            assert enc[did]["n_tokens"] == len(want)
+            assert enc[did]["n_chars"] == sum(len(w) for w in words)
+
+    def test_encode_zero_merges_is_character_split(self, spark):
+        from employee_analytics_etl_spark.operators import bpe as B
+
+        docs = spark.createDataFrame(
+            [(1, "ab cde")], "doc_id long, text string"
+        )
+        r = B.bpe_encode(docs, []).collect()[0]
+        assert list(r["tokens"]) == ["a", "b", "c", "d", "e"]
+        assert r["n_tokens"] == 5 and r["n_words"] == 2
 
 
 class TestBigramLM:

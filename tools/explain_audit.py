@@ -121,6 +121,9 @@ SCALAR_BNLJ_OK = {
     "orders_pareto_revenue",
     # 1-row basket count broadcast onto the scored pair table
     "part_pair_lift",
+    # 1-row as-of (max order date) broadcast onto the per-customer
+    # last-order row for the censored tail gap
+    "customer_km_survival",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -1633,3 +1633,107 @@ def customer_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_at_risk").cast("long").alias("n_at_risk"),
         F.round("surv", 6).alias("survival"),
     )
+
+
+@query(
+    "orders_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+      round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS obs_share,
+      round(log10(1 + 1.0 / digit), 6) AS benford_share,
+      round(POWER(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                  - log10(1 + 1.0 / digit), 2)
+            / log10(1 + 1.0 / digit), 6) AS chi2_contrib
+    FROM c
+    """,
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of order amounts —
+    the classic fraud / synthetic-data screen: organic multiplicative
+    amounts follow P(d) = log10(1+1/d); fabricated or clipped data
+    shows up as per-digit deviations, reported here as share-scaled
+    chi-square contributions. One 9-group aggregate over a scan-side
+    digit expression + a 9-row window for the share normalization —
+    nothing here grows with data size except the single count
+    aggregate."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w)
+    ben = F.log10(F.lit(1) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 6).alias("obs_share"),
+        F.round(ben, 6).alias("benford_share"),
+        F.round(F.pow(obs - ben, F.lit(2)) / ben, 6).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "orders_priority_status_chi2",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    tot AS (
+      SELECT pri, st, CAST(n AS DOUBLE) AS n,
+        SUM(n) OVER (PARTITION BY pri) AS row_tot,
+        SUM(n) OVER (PARTITION BY st) AS col_tot,
+        SUM(n) OVER () AS grand
+      FROM c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST((COUNT(DISTINCT pri) - 1) * (COUNT(DISTINCT st) - 1) AS BIGINT)
+        AS dof,
+      round(SUM(POWER(n - row_tot * col_tot / grand, 2)
+                / (row_tot * col_tot / grand)), 6) AS chi2
+    FROM tot
+    """,
+)
+def orders_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status — the categorical-association companion to the
+    mutual-information query (events_mi_type_hour): MI measures the
+    dependence in bits, chi-square gives the classical test statistic
+    whose null distribution (χ² with (r−1)(c−1) dof) a monitoring
+    pipeline thresholds on. Shape: one (r×c)-group aggregate over the
+    fact scan, then windows over the TINY contingency table for the
+    marginals — cell count is bounded by the category domains, never
+    by data size."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).alias("n0"))
+        .select("pri", "st", F.col("n0").cast("double").alias("n"))
+    )
+    tot = (
+        c.withColumn("row_tot", F.sum("n").over(Window.partitionBy("pri")))
+        .withColumn("col_tot", F.sum("n").over(Window.partitionBy("st")))
+        .withColumn("grand", F.sum("n").over(Window.partitionBy()))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            (F.countDistinct("pri") - 1) * (F.countDistinct("st") - 1)
+        ).cast("long").alias("dof"),
+        F.round(F.sum(F.pow(F.col("n") - e, F.lit(2)) / e), 6).alias("chi2"),
+    )

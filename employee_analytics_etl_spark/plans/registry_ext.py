@@ -642,6 +642,92 @@ def doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_zipf_fit",
+    oracle=f"""
+    WITH tk AS (
+      SELECT u.tok FROM (SELECT {{toks}} AS toks FROM documents) t,
+                        UNNEST(t.toks) AS u(tok)
+    ),
+    f AS (SELECT tok, COUNT(*) AS freq FROM tk GROUP BY tok),
+    r AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM f QUALIFY rank <= 200
+    ),
+    lg AS (
+      SELECT CAST(log10(CAST(rank AS DOUBLE)) AS DECIMAL(15,10)) AS lx,
+             CAST(log10(CAST(freq AS DOUBLE)) AS DECIMAL(15,10)) AS ly
+      FROM r
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+             CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+             CAST(SUM(ly * ly) AS DOUBLE) AS syy,
+             CAST(SUM(lx * ly) AS DOUBLE) AS sxy
+      FROM lg
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranks,
+      round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+      round(POWER(n * sxy - sx * sy, 2)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM st
+    """.replace("{toks}", _TOKS),
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the vocabulary: OLS slope of log10(freq)
+    on log10(rank) over the top-200 tokens (natural text ≈ −1; a
+    far-off slope flags synthetic, templated, or heavily-deduplicated
+    corpora — a standard corpus-card diagnostic next to token entropy).
+
+    Scale shape: ONE token-count aggregate (map-side combine) →
+    TakeOrdered 200 under a total order (freq desc, tok asc) → the
+    regression runs on 200 rows. Cross-engine determinism follows the
+    bigram-LM pattern: each log10 snaps to DECIMAL(15,10) BEFORE the
+    moment sums, so Σx/Σy/Σxx/Σyy/Σxy are exact decimal arithmetic in
+    both engines and only the final closed-form division is IEEE."""
+    docs = t(spark, sf_dir, "documents")
+    f = (
+        docs.select(F.explode(TX.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # TakeOrdered 200 first (distributed top-k), THEN the row_number
+    # window runs over 200 rows — never a global sort of the vocab.
+    top = f.orderBy(F.desc("freq"), F.asc("tok")).limit(200)
+    r = (
+        top.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+        )
+        .select(
+            F.log10(F.col("rank").cast("double"))
+            .cast("decimal(15,10)")
+            .alias("lx"),
+            F.log10(F.col("freq").cast("double"))
+            .cast("decimal(15,10)")
+            .alias("ly"),
+        )
+    )
+    st = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("double").alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.select(
+        F.col("n").cast("long").alias("n_ranks"),
+        F.round(num / dx, 6).alias("zipf_slope"),
+        F.round(F.pow(num, F.lit(2)) / (dx * dy), 6).alias("r2"),
+    )
+
+
 def stratified_sample_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sampling primitive: keep 50% of 'en' docs and 10% of
     everything else (seeded ``sampleBy`` — the training-data

@@ -1737,3 +1737,87 @@ def orders_priority_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.round(F.sum(F.pow(F.col("n") - e, F.lit(2)) / e), 6).alias("chi2"),
     )
+
+
+@query(
+    "events_ab_conversion_ztest",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS grp,
+        CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 10 THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp, COUNT(*) AS n, SUM(converted) AS conv
+      FROM u GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n END) AS n0,
+        MAX(CASE WHEN grp = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN grp = 1 THEN n END) AS n1,
+        MAX(CASE WHEN grp = 1 THEN conv END) AS c1
+      FROM g
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(c0 AS BIGINT) AS conv_control,
+      CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+      round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_control,
+      round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treat,
+      round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+            / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                   * (1.0 / n0 + 1.0 / n1)), 0), 6) AS z_score
+    FROM w
+    """,
+)
+def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (≥10 purchases — every
+    user in this corpus buys at least once, so the deeper threshold
+    keeps the pooled rate off the degenerate 0/1 endpoints) between
+    two deterministic assignment buckets (user_id parity standing in
+    for an A/B split) — pooled-variance z statistic, the experiment-
+    analysis primitive next to the KS and chi-square tests. Shape: one
+    per-user reduce (boolean-OR rides the map-side combine), one
+    2-group rollup, then fixed scalar arithmetic on four exact integer
+    counts — identical IEEE op sequence in both engines, so the 1e-6
+    round is cosmetic."""
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= 10
+        )
+        .cast("int")
+        .alias("converted")
+    )
+    g = (
+        u.withColumn("grp", F.col("user_id") % 2)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("grp") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    se = F.sqrt(
+        pp * (F.lit(1) - pp)
+        * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("c0").cast("long").alias("conv_control"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        F.round(p0, 6).alias("rate_control"),
+        F.round(p1, 6).alias("rate_treat"),
+        F.round((p1 - p0) / F.nullif(se, F.lit(0.0)), 6).alias("z_score"),
+    )

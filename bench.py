@@ -84,6 +84,10 @@ HEADLINE = [
     "events_debounce_kept",
     "events_robust_outliers",
     "source_overlap_matrix",
+    # r3 additions: Arrow pandas_udf scorer on a blocked join; window-
+    # heavy survival life table
+    "dedup_jaro_winkler_pairs",
+    "customer_km_survival",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -92,6 +92,69 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_lang_fertility",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_lang_count_sql('en')} AS sw_en,
+             {_lang_count_sql('es')} AS sw_es,
+             {_lang_count_sql('de')} AS sw_de,
+             {_lang_count_sql('fr')} AS sw_fr,
+             len({_TOKS}) AS n_tokens,
+             list_sum(list_transform({_TOKS}, x -> len(x))) AS n_tok_chars
+      FROM documents
+    ),
+    lp AS (
+      SELECT CASE WHEN greatest(sw_en, sw_es, sw_de, sw_fr) <= 0 THEN 'und'
+               WHEN sw_en = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'en'
+               WHEN sw_es = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'es'
+               WHEN sw_de = greatest(sw_en, sw_es, sw_de, sw_fr) THEN 'de'
+               ELSE 'fr' END AS lang_pred,
+             n_tokens, COALESCE(n_tok_chars, 0) AS n_tok_chars
+      FROM scored
+    )
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc,
+      round(CAST(SUM(n_tok_chars) AS DOUBLE) / nullif(SUM(n_tokens), 0), 6)
+        AS chars_per_token
+    FROM lp GROUP BY lang_pred
+    """,
+)
+def doc_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility profile by predicted language: docs, token
+    mass, tokens/doc and chars/token per language — the fit signal a
+    multilingual pipeline watches (a language whose chars-per-token
+    balloons is being shredded by the tokenizer and will eat context
+    budget). All counts are exact integers aggregated per language
+    (map-side combine); the two ratios are single IEEE divisions."""
+    docs = TX.with_lang_id(t(spark, sf_dir, "documents"), "text")
+    per_doc = docs.select(
+        "lang_pred",
+        F.size(TX.tokens_col("text")).alias("n_tokens"),
+        F.coalesce(
+            F.expr(
+                "aggregate(transform(regexp_extract_all(lower(text),"
+                " '[a-z0-9]+', 0), x -> length(x)), 0, (a, x) -> a + x)"
+            ),
+            F.lit(0),
+        ).alias("n_tok_chars"),
+    )
+    return per_doc.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+        ).alias("tokens_per_doc"),
+        F.round(
+            F.sum("n_tok_chars").cast("double")
+            / F.nullif(F.sum("n_tokens"), F.lit(0)),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+@query(
     "doc_quality_score",
     oracle=f"""
     WITH s AS (
@@ -302,6 +365,82 @@ def knn_ivf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.ivf_topk(queries, emb, k=5, ivf_bits=4)
+
+
+@query(
+    "knn_ivf_recall_eval",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v, cell FROM cells WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v, cell FROM cells),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c ON q.query_id <> c.neighbor_id
+      ) WHERE rn <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+      ) WHERE rn <= 5
+    )
+    SELECT bf.query_id, CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_overlap,
+           round(COUNT(ivf.neighbor_id) / 5.0, 6) AS recall5
+    FROM bf LEFT JOIN ivf
+      ON bf.query_id = ivf.query_id AND bf.neighbor_id = ivf.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def knn_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF index against brute-force ground
+    truth — the evaluation harness an ANN deployment runs before
+    trusting the approximate path (the similarity-tier analogue of
+    dedup_screen_precision_recall). Both sides share the exact cosine
+    + total-order tie-break (sim desc, neighbor asc), so the set
+    intersection — and therefore the recall — is deterministic and
+    carries an EXACT oracle.
+
+    Scale shape: ground truth is the bounded query subset ONLY
+    (|q| = |corpus|/50) — a recall evaluation never brute-forces the
+    full corpus; the overlap join is per-(query, neighbor) over ≤ 5·|q|
+    rows a side."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    bf = S.brute_force_topk_vectorized(queries, emb, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = S.ivf_topk(queries, emb, k=5, ivf_bits=4).select(
+        F.col("query_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        bf.join(
+            ivf,
+            (F.col("query_id") == F.col("iq"))
+            & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("inb").cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(5.0), 6).alias("recall5"),
+        )
+    )
 
 
 @query(

@@ -1821,3 +1821,72 @@ def events_ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p1, 6).alias("rate_treat"),
         F.round((p1 - p0) / F.nullif(se, F.lit(0.0)), 6).alias("z_score"),
     )
+
+
+@query(
+    "orders_lorenz_deciles",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+      SELECT rev, NTILE(10) OVER (ORDER BY rev ASC, o_custkey ASC) AS decile
+      FROM cust
+    ),
+    g AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(rev) AS rev
+      FROM deciled GROUP BY decile
+    )
+    SELECT decile, CAST(n_customers AS BIGINT) AS n_customers,
+      CAST(rev AS DOUBLE) AS revenue,
+      round(CAST(SUM(rev) OVER (ORDER BY decile ASC ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW) AS DOUBLE)
+            / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS cum_revenue_share
+    FROM g
+    """,
+)
+def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve at customer-decile resolution: cumulative revenue
+    share of the poorest k/10 of customers — the curve whose area gap
+    IS the Gini coefficient (orders_revenue_gini) and whose top-end
+    complement is the Pareto 80/20 check (orders_pareto_revenue); this
+    gives the full inequality PROFILE rather than either scalar.
+
+    Shape: per-customer DECIMAL-exact revenue reduce, one NTILE window
+    over the customer DIMENSION under a total order (rev asc, custkey
+    asc tiebreak — deterministic decile edges), then cumulative windows
+    over the 10-row decile table. The fact table shuffles once."""
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("rev"))
+    )
+    deciled = cust.select(
+        "rev",
+        F.ntile(10)
+        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
+        .alias("decile"),
+    )
+    # re-enter DECIMAL for the decile rollup: dsum returns DOUBLE, and a
+    # double-sum of 15 per-customer revenues is accumulation-order-
+    # dependent; the 2dp decimal re-cast is exact (each rev IS a 2dp
+    # quantity) and keeps every window sum below order-independent.
+    g = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("rev").cast("decimal(18,2)")).alias("rev"),
+    )
+    w_cum = Window.orderBy(F.asc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "decile",
+        "n_customers",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev").over(w_cum).cast("double")
+            / F.sum("rev").over(w_all).cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    )

@@ -2176,6 +2176,36 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_damerau_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(damerau_levenshtein(a.c_name, b.c_name) AS BIGINT) AS dl_dist
+    FROM customer a
+    JOIN customer b ON a.c_nationkey = b.c_nationkey
+    WHERE a.c_custkey % 25 = 5 AND b.c_custkey % 25 = 18
+      AND damerau_levenshtein(a.c_name, b.c_name) <= 3
+    """,
+)
+def dedup_damerau_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transposition-aware (FULL Damerau-Levenshtein) fuzzy customer-
+    name pairs under nation blocking — typo-shaped linkage where a
+    swapped adjacent character pair costs one edit. Kernel semantics
+    pinned to DuckDB's damerau_levenshtein (Lowrance-Wagner, not OSA:
+    dl('ca','abc')=2) by a 20k-pair fuzz test, making the exact
+    value-hash oracle possible. See
+    operators.dedup.blocked_damerau_pairs."""
+    cust = t(spark, sf_dir, "customer")
+    return D.blocked_damerau_pairs(
+        cust.filter(F.col("c_custkey") % 25 == 5),
+        cust.filter(F.col("c_custkey") % 25 == 18),
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=("c_nationkey",),
+        max_dist=3,
+    )
+
+
+@query(
     "dedup_jaro_winkler_pairs",
     oracle="""
     SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

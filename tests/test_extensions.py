@@ -587,6 +587,33 @@ class TestJaroWinkler:
             ).fetchone()[0]
             assert _jaro_winkler_py(a, b) == exp, (a, b)
 
+    def test_damerau_kernel_matches_duckdb(self):
+        """Full Damerau-Levenshtein (NOT the cheaper OSA): transposed
+        characters may be edited afterwards. Must equal DuckDB's
+        builtin exactly for the oracle to hold."""
+        import random
+
+        import duckdb
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            _damerau_levenshtein_py,
+        )
+
+        con = duckdb.connect()
+        rng = random.Random(13)
+        cases = [("ca", "abc"), ("abc", "acb"), ("ab", "ba"),
+                 ("aabb", "bbaa"), ("kitten", "sitting"), ("", ""), ("a", "")]
+        for _ in range(2000):
+            a = "".join(rng.choice("abcd#1") for _ in range(rng.randint(0, 12)))
+            b = "".join(rng.choice("abcd#1") for _ in range(rng.randint(0, 12)))
+            cases.append((a, b))
+        assert _damerau_levenshtein_py("ca", "abc") == 2  # OSA would say 3
+        for a, b in cases:
+            exp = con.execute(
+                "SELECT damerau_levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert _damerau_levenshtein_py(a, b) == exp, (a, b)
+
     def test_blocked_pairs_no_cross_block_leak(self, spark):
         from pyspark.sql import Row
 

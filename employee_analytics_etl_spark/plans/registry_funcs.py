@@ -1890,3 +1890,68 @@ def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_revenue_share"),
     )
+
+
+@query(
+    "nation_premium_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS cust_bal
+      FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp,
+             SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS supp_bal
+      FROM supplier WHERE s_acctbal > 2000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+      CAST(COALESCE(c.n_cust, 0) AS BIGINT) AS n_premium_customers,
+      CAST(COALESCE(c.cust_bal, 0) AS DOUBLE) AS premium_cust_bal,
+      CAST(COALESCE(s.n_supp, 0) AS BIGINT) AS n_premium_suppliers,
+      CAST(COALESCE(s.supp_bal, 0) AS DOUBLE) AS premium_supp_bal,
+      (c.nk IS NOT NULL AND s.nk IS NOT NULL) AS both_sides
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def nation_premium_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of premium customers vs premium
+    suppliers per nation — the one join type the registry didn't yet
+    exercise. Both inputs are pre-aggregated to nation grain BEFORE
+    the join (the aggregate-then-join discipline: the outer join runs
+    on ≤25-row sides, never on the facts), the thresholds make each
+    side sparse so both null-padding directions are real rows, and
+    COALESCE(0) fills follow the reference's Ghost-Department
+    convention (SURVEY C12). DECIMAL sums keep balances exact."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("cust_bal"),
+        )
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 2000)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("supp_bal"),
+        )
+    )
+    return c.join(s, c["nk_c"] == s["nk_s"], "full_outer").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_premium_customers"),
+        F.coalesce(F.col("cust_bal").cast("double"), F.lit(0.0)).alias(
+            "premium_cust_bal"
+        ),
+        F.coalesce("n_supp", F.lit(0)).cast("long").alias("n_premium_suppliers"),
+        F.coalesce(F.col("supp_bal").cast("double"), F.lit(0.0)).alias(
+            "premium_supp_bal"
+        ),
+        (F.col("nk_c").isNotNull() & F.col("nk_s").isNotNull()).alias(
+            "both_sides"
+        ),
+    )

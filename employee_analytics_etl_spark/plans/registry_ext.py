@@ -2873,3 +2873,95 @@ def graph_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"), F.round("rank", 12).alias("rank")
     )
 
+
+
+@query(
+    "doc_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS dl FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl,
+        len(list_filter(tk, x -> x = 'hash')) AS tf_hash,
+        len(list_filter(tk, x -> x = 'join')) AS tf_join,
+        len(list_filter(tk, x -> x = 'stream')) AS tf_stream
+      FROM d
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+        SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id,
+        round(
+          ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1)
+            * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_join + 0.5) / (df_join + 0.5) + 1)
+            * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1)
+            * tf_stream * 2.2 / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        6) AS bm25
+      FROM tf, st
+    )
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75, Lucene idf variant) of
+    the corpus against a fixed 3-term query — the lexical-search
+    primitive a curation pipeline uses to pull topical slices, next to
+    the embedding kNN family for hybrid retrieval.
+
+    Scale shape: term frequencies are THREE scan-side
+    size(filter(tokens)) expressions — for a fixed query there is no
+    explode and no shuffle; corpus stats (N, avgdl, per-term df) are
+    ONE 1-row aggregate broadcast back (scalar-BNLJ shape), and the
+    3-term score is a single fixed-order arithmetic expression, so no
+    summation-order nondeterminism exists to snap away. Top-20 is
+    TakeOrdered under (rounded score desc, doc_id asc)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.tokens_col("text").alias("tk"),
+        F.size(TX.tokens_col("text")).alias("dl"),
+    )
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.expr(f"filter(tk, x -> x = '{term}')")).alias(f"tf_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+    st = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+
+    def contrib(term: str):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1
+        )
+        norm = F.col(f"tf_{term}") + 1.2 * (
+            0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf_{term}") * 2.2 / norm
+
+    scored = tf.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        F.round(
+            contrib("hash") + contrib("join") + contrib("stream"), 6
+        ).alias("bm25"),
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)

@@ -124,6 +124,9 @@ SCALAR_BNLJ_OK = {
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",
+    # 1-row corpus stats (N, avgdl, per-term df) broadcast onto the
+    # per-doc tf row for the BM25 score
+    "doc_bm25_topk",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

@@ -2965,3 +2965,152 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bm25"),
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "doc_rrf_hybrid_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS dl FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl,
+        len(list_filter(tk, x -> x = 'hash')) AS tf_hash,
+        len(list_filter(tk, x -> x = 'join')) AS tf_join,
+        len(list_filter(tk, x -> x = 'stream')) AS tf_stream
+      FROM d
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+        SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+      FROM tf
+    ),
+    bm AS (
+      SELECT doc_id,
+        round(
+          ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1)
+            * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_join + 0.5) / (df_join + 0.5) + 1)
+            * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1)
+            * tf_stream * 2.2 / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        6) AS bm25
+      FROM tf, st
+    ),
+    bm20 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rb
+      FROM bm QUALIFY rb <= 20
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+    es AS (
+      SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v) AS sim
+      FROM embeddings e, qv WHERE e.vec_id <> 0
+    ),
+    em20 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS re
+      FROM es QUALIFY re <= 20
+    )
+    SELECT COALESCE(bm20.doc_id, em20.doc_id) AS doc_id,
+      CAST(bm20.rb AS BIGINT) AS bm25_rank,
+      CAST(em20.re AS BIGINT) AS embed_rank,
+      round(COALESCE(1.0 / (60 + bm20.rb), 0)
+            + COALESCE(1.0 / (60 + em20.re), 0), 6) AS rrf
+    FROM bm20 FULL OUTER JOIN em20 ON bm20.doc_id = em20.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def doc_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of the two retrieval modalities:
+    the BM25 lexical top-20 and the embedding-cosine top-20 against a
+    fixed query vector — hybrid search exactly as a curation/retrieval
+    stack runs it (fuse bounded top-k LISTS, never full rankings, so
+    the fusion cost is O(k) regardless of corpus size). Both ranks are
+    total-ordered (score desc, doc_id asc) and the RRF sum is a fixed
+    two-term expression — deterministic end-to-end, exact oracle.
+    Nullable ranks in the output show WHICH modality surfaced each
+    hit."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.tokens_col("text").alias("tk"),
+        F.size(TX.tokens_col("text")).alias("dl"),
+    )
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.expr(f"filter(tk, x -> x = '{term}')")).alias(f"tf_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+    st = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+
+    def contrib(term: str):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1
+        )
+        norm = F.col(f"tf_{term}") + 1.2 * (
+            0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf_{term}") * 2.2 / norm
+
+    bm = tf.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        F.round(
+            contrib("hash") + contrib("join") + contrib("stream"), 6
+        ).alias("bm25"),
+    )
+    bm20 = (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rb",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rb")
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    es = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    em20 = (
+        es.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "re",
+            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
+        )
+        .select(F.col("doc_id").alias("edoc"), "re")
+    )
+    fused = bm20.join(em20, bm20["doc_id"] == em20["edoc"], "full_outer").select(
+        F.coalesce("doc_id", "edoc").alias("doc_id"),
+        F.col("rb").cast("long").alias("bm25_rank"),
+        F.col("re").cast("long").alias("embed_rank"),
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("re")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

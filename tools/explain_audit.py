@@ -127,6 +127,8 @@ SCALAR_BNLJ_OK = {
     # 1-row corpus stats (N, avgdl, per-term df) broadcast onto the
     # per-doc tf row for the BM25 score
     "doc_bm25_topk",
+    # two 1-row broadcasts: BM25 corpus stats + the fixed query vector
+    "doc_rrf_hybrid_topk",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact

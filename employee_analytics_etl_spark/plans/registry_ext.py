@@ -3114,3 +3114,98 @@ def doc_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+@query(
+    "knn_ivf_ndcg_eval",
+    oracle="""
+    WITH cells AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v, cell FROM cells WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS neighbor_id, v, cell FROM cells),
+    bf AS (
+      SELECT query_id, rn, sim FROM (
+        SELECT q.query_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c ON q.query_id <> c.neighbor_id
+      ) WHERE rn <= 5
+    ),
+    ivf AS (
+      SELECT query_id, rn, sim FROM (
+        SELECT q.query_id,
+               round(list_cosine_similarity(q.v, c.v), 4) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                          c.neighbor_id) AS rn
+        FROM q JOIN c ON q.cell = c.cell AND q.query_id <> c.neighbor_id
+      ) WHERE rn <= 5
+    ),
+    idcg AS (
+      SELECT query_id,
+        SUM(CAST(sim / log2(rn + 1) AS DECIMAL(28,12))) AS idcg
+      FROM bf GROUP BY query_id
+    ),
+    dcg AS (
+      SELECT query_id,
+        SUM(CAST(sim / log2(rn + 1) AS DECIMAL(28,12))) AS dcg
+      FROM ivf GROUP BY query_id
+    )
+    SELECT idcg.query_id,
+      round(CAST(COALESCE(dcg.dcg, 0) AS DOUBLE), 6) AS dcg5,
+      round(CAST(idcg.idcg AS DOUBLE), 6) AS idcg5,
+      round(CAST(COALESCE(dcg.dcg, 0) AS DOUBLE)
+            / CAST(idcg.idcg AS DOUBLE), 6) AS ndcg5
+    FROM idcg LEFT JOIN dcg ON idcg.query_id = dcg.query_id
+    """,
+)
+def knn_ivf_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the IVF ranking against brute-force ground truth —
+    the graded companion to knn_ivf_recall_eval: recall counts set
+    overlap, NDCG weighs each returned neighbor by its TRUE cosine
+    gain under the 1/log2(rank+1) discount, so returning the 6th-best
+    instead of the best is penalized proportionally, not binarily.
+    Gains are the 4-decimal cosine sims shared with the knn queries;
+    each gain/discount term snaps to DECIMAL(28,12) before the per-
+    query sum (the bigram-LM idiom), so the 5-term reduction is
+    order-independent in both engines and the metric carries an EXACT
+    oracle. Ground truth stays restricted to the bounded query subset
+    — same scale discipline as the recall eval."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+
+    def dcg_of(df, out_col):
+        ranked = df.withColumn("rn", F.row_number().over(w))
+        return ranked.groupBy("query_id").agg(
+            F.sum(
+                (F.col("sim") / F.log2(F.col("rn") + 1)).cast("decimal(28,12)")
+            ).alias(out_col)
+        )
+
+    bf = S.brute_force_topk_vectorized(queries, emb, k=5)
+    ivf = S.ivf_topk(queries, emb, k=5, ivf_bits=4)
+    idcg = dcg_of(bf, "idcg")
+    dcg = dcg_of(ivf, "dcg").withColumnRenamed("query_id", "qi")
+    return idcg.join(dcg, idcg["query_id"] == dcg["qi"], "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), F.lit(0)).cast("double"), 6).alias(
+            "dcg5"
+        ),
+        F.round(F.col("idcg").cast("double"), 6).alias("idcg5"),
+        F.round(
+            F.coalesce(F.col("dcg"), F.lit(0)).cast("double")
+            / F.col("idcg").cast("double"),
+            6,
+        ).alias("ndcg5"),
+    )

@@ -3209,3 +3209,59 @@ def knn_ivf_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg5"),
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+    l0 AS (SELECT CAST(1 AS BIGINT) AS node),
+    l1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l0 ON l0.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+    ),
+    l2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l1 ON l1.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+    ),
+    l3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN l2 ON l2.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM l0)
+        AND e.dst NOT IN (SELECT node FROM l1)
+        AND e.dst NOT IN (SELECT node FROM l2)
+    )
+    SELECT node, 0 AS level FROM l0
+    UNION ALL SELECT node, 1 FROM l1
+    UNION ALL SELECT node, 2 FROM l2
+    UNION ALL SELECT node, 3 FROM l3
+    """,
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from customer 1 over the bipartite
+    customer↔supplier trade graph (3 hops: my suppliers → their other
+    customers → those customers' suppliers — supply-chain tier depth /
+    blast-radius). Level-synchronous frontier expansion, one join + one
+    anti-join per hop; exact oracle via unrolled per-level CTEs. See
+    operators.graph.bfs_levels."""
+    from ..operators import graph as G
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return G.bfs_levels(edges, seed=1, max_hops=3)

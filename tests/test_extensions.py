@@ -1744,3 +1744,40 @@ class TestIncrementalAggMerge:
             .collect()
         }
         assert merged == full
+
+
+class TestBfsLevels:
+    def test_known_graph_min_hops(self, spark):
+        """Diamond + chain: min hop count wins when multiple paths
+        exist; unreachable nodes are absent; levels stop at max_hops."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.graph import bfs_levels
+
+        # 1-2, 1-3, 2-4, 3-4 (diamond), 4-5, 5-6 (chain), 9-10 (island)
+        und = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5), (5, 6), (9, 10)]
+        edges = spark.createDataFrame(
+            [Row(src=a, dst=b) for a, b in und]
+            + [Row(src=b, dst=a) for a, b in und]
+        )
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(edges, seed=1, max_hops=3).collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+        # 6 is 4 hops away -> cut by max_hops; island 9/10 unreachable
+        assert 6 not in got and 9 not in got and 10 not in got
+
+    def test_early_termination_on_exhausted_frontier(self, spark):
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.graph import bfs_levels
+
+        edges = spark.createDataFrame(
+            [Row(src=1, dst=2), Row(src=2, dst=1)]
+        )
+        got = {
+            r["node"]: r["level"]
+            for r in bfs_levels(edges, seed=1, max_hops=5).collect()
+        }
+        assert got == {1: 0, 2: 1}

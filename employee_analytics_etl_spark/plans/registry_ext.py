@@ -3265,3 +3265,96 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
     return G.bfs_levels(edges, seed=1, max_hops=3)
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+    pairs AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+        SUM(CAST(x AS DECIMAL(28,0))) AS sx, SUM(CAST(y AS DECIMAL(28,0))) AS sy,
+        SUM(CAST(x * x AS DECIMAL(28,0))) AS sxx,
+        SUM(CAST(y * y AS DECIMAL(28,0))) AS syy,
+        SUM(CAST(x * y AS DECIMAL(28,0))) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_directed_edges,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        AS assortativity
+    FROM st
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph: Pearson correlation of
+    endpoint degrees over the (symmetric) edge list — do hubs trade
+    with hubs (r>0, social-network-like) or with the periphery (r<0,
+    bipartite hub-and-spoke, the expected shape here)? The one-number
+    topology fingerprint next to the degree histogram and triangle
+    stats. All moment sums are exact integer DECIMALs (the corr-matrix
+    recipe) from ONE edge scan + two broadcast-sized degree joins, so
+    the statistic is engine-identical before the 1e-6 round."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        edges.join(
+            deg.select(F.col("node").alias("sn"), F.col("d").alias("x")),
+            F.col("src") == F.col("sn"),
+        )
+        .join(
+            deg.select(F.col("node").alias("dn"), F.col("d").alias("y")),
+            F.col("dst") == F.col("dn"),
+        )
+        .select("x", "y")
+    )
+    st = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(28,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,0)")).alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,0)")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return st.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

@@ -162,3 +162,50 @@ class TestOrcRoundtrip:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "o_orderkey" in plan
         assert q.count() > 0
+
+
+class TestSchemaEvolution:
+    def test_parquet_merge_schema_appends_column(self, spark, tmp_path):
+        """Appended datasets gain columns over time; the reader must
+        unify v1 (no column) and v2 (new column) under mergeSchema with
+        null fill for the old files — the evolution path any long-lived
+        100 TB dataset goes through."""
+        path = str(tmp_path / "evolving")
+        v1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "id long, name string"
+        )
+        v1.write.mode("overwrite").parquet(path + "/batch=1")
+        v2 = spark.createDataFrame(
+            [(3, "c", 9.5), (4, "d", 7.0)],
+            "id long, name string, score double",
+        )
+        v2.write.mode("overwrite").parquet(path + "/batch=2")
+
+        merged = spark.read.option("mergeSchema", "true").parquet(path)
+        assert set(merged.columns) == {"id", "name", "score", "batch"}
+        rows = {r["id"]: r for r in merged.collect()}
+        assert len(rows) == 4
+        assert rows[1]["score"] is None and rows[3]["score"] == 9.5
+        # pruning still reaches the scan on the unified schema
+        q = merged.filter(merged.id > 2).select("id", "score")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan
+
+    def test_mismatched_type_evolution_fails_loud(self, spark, tmp_path):
+        """A column whose TYPE changes between batches must fail the
+        merged read, not silently coerce — silent int->string
+        unification is how corrupt lakes happen."""
+        import pytest as _pytest
+
+        path = str(tmp_path / "conflict")
+        spark.createDataFrame([(1, 10)], "id long, v long").write.parquet(
+            path + "/batch=1"
+        )
+        spark.createDataFrame([(2, "x")], "id long, v string").write.parquet(
+            path + "/batch=2"
+        )
+        with _pytest.raises(Exception) as ei:
+            spark.read.option("mergeSchema", "true").parquet(path).collect()
+        assert "merge" in str(ei.value).lower() or "incompatible" in str(
+            ei.value
+        ).lower() or "Failed" in str(ei.value)

@@ -158,7 +158,15 @@ def bpe_encode(
     Not SQL-expressible (iterative in-row merge application), so this
     op is pytest-pinned against a pure-Python sequential reference
     instead of a DuckDB oracle — the same evidence tier as bpe_train's
-    merge-sequence pin."""
+    merge-sequence pin.
+
+    ASCII assumption: tokenization here uses Python ``re`` +
+    ``str.lower`` while ``bpe_train`` uses JVM ``regexp_extract_all`` +
+    ``lower()``. For the ASCII ``TOKEN_RE`` vocabulary ([a-z0-9]+)
+    these agree exactly; full-Unicode case folding does NOT (e.g.
+    Python lowers 'İ' to 'i' + combining dot, the JVM to a single
+    char), so a Unicode-token extension must normalize through the SAME
+    Spark expression (``lower()`` in a select) before this kernel."""
     import re
 
     pairs = [(a, b) for a, b, *_ in merges]

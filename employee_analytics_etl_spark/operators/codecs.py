@@ -507,15 +507,28 @@ class _JpegBitReader:
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.at_eoi = False
 
     def _fill(self) -> None:
+        # Once EOI is reached the T.81 convention is to pad the tail of
+        # the entropy stream with 1-bits; latch the state WITHOUT
+        # advancing pos so every subsequent fill pads too (advancing
+        # would re-read the 0xD9 as entropy data and then run off the
+        # end of the buffer on truncated streams).
+        if self.at_eoi:
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+            return
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
         b = self.data[self.pos]
         self.pos += 1
         if b == 0xFF:
-            nxt = self.data[self.pos]
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
             if nxt == 0x00:
                 self.pos += 1  # stuffed byte
             elif nxt == 0xD9:  # EOI reached mid-fill: pad with 1s
+                self.at_eoi = True
                 b = 0xFF
             else:
                 raise NotImplementedError(
@@ -568,10 +581,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     scan_comps: list[tuple[int, int, int]] = []  # (comp index, dc tab, ac tab)
     pos = 2
     scan_start = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # any number of 0xFF fill bytes may pad before a marker
+        # (T.81 B.1.1.2) — skip them instead of reading one as a
+        # marker id with a garbage length
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn: standalone markers, no length field
+            continue
+        if marker == 0xD9:  # EOI before SOS → "missing SOF/SOS" below
+            break
+        if pos + 4 > len(data):
+            break
         (ln,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + ln]
         if marker == 0xDB:  # DQT

@@ -652,6 +652,44 @@ def connected_components(
     return labels
 
 
+def assert_blocked_pair_budget(
+    left: DataFrame,
+    right: DataFrame,
+    block_cols: list,
+    max_pairs: int,
+    op_name: str,
+) -> int:
+    """Fail LOUD before a bad blocking key silently goes quadratic:
+    computes the exact scored-pair budget Σ_b |left_b|·|right_b| with
+    one tiny count-aggregate per side (map-side combined — block-key
+    cardinality rows, never the texts) and raises naming the worst
+    blocks when it exceeds ``max_pairs``. The Python pair scorers
+    (Jaro-Winkler ~0.5M pairs/s/core, Damerau ~50k pairs/s/core at
+    ~40-char strings — PERF.md) are only safe because blocking bounds
+    the pairs; this makes that bound an enforced contract instead of a
+    docstring promise. Cost: one extra lightweight aggregate job at
+    operator-construction time (bounded collect: 1 total + 3 rows)."""
+    la = left.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_nl"))
+    rb = right.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_nr"))
+    per = la.join(rb, [str(c) for c in block_cols]).select(
+        *block_cols, (F.col("_nl") * F.col("_nr")).alias("n_pairs")
+    )
+    row = per.agg(F.sum("n_pairs").alias("t")).first()
+    total = int(row["t"] or 0)
+    if total > max_pairs:
+        worst = per.orderBy(F.desc("n_pairs")).limit(3).collect()
+        detail = ", ".join(
+            f"{tuple(r[c] for c in block_cols)}={r['n_pairs']:,}" for r in worst
+        )
+        raise ValueError(
+            f"{op_name}: blocked-pair budget exceeded: "
+            f"sum(|l_b|*|r_b|) = {total:,} > max_pairs = {max_pairs:,}; "
+            f"worst blocks: {detail}. Refine the blocking key (add a "
+            "length band, split hot blocks) or raise max_pairs explicitly."
+        )
+    return total
+
+
 def blocked_levenshtein_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -659,6 +697,7 @@ def blocked_levenshtein_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     band_chars: int = 64,
     max_rel_dist_pct: int = 10,
+    max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Entity-resolution-style fuzzy pair finder: blocked edit-distance
     join. Candidate pairs come only from the SAME block — the categorical
@@ -680,6 +719,11 @@ def blocked_levenshtein_pairs(
     the standard multi-pass blocking tradeoff, documented rather than
     hidden. Both engines implement identical classic single-character
     edit distance (insert/delete/substitute).
+
+    ``max_pairs`` guards the quadratic term: the self-join budget
+    Σ_b |b|² (a conservative 2× bound on the id<id pairs actually
+    scored) is checked up front and the operator fails loud naming the
+    hot blocks instead of silently launching a quadratic job.
     """
     keys = [F.col(c) for c in block_cols] + [
         F.expr(f"length({text_col}) DIV {band_chars}").alias("band")
@@ -687,6 +731,11 @@ def blocked_levenshtein_pairs(
     d = docs.select(
         F.col(id_col), F.col(text_col), *keys
     )
+    if max_pairs is not None:
+        assert_blocked_pair_budget(
+            d, d, [*block_cols, "band"], max_pairs,
+            "blocked_levenshtein_pairs",
+        )
     a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
     b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
     on = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in (*block_cols, "band")]
@@ -799,14 +848,17 @@ def blocked_damerau_pairs(
     id_col: str,
     block_cols: tuple[str, ...],
     max_dist: int = 3,
+    max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Transposition-aware fuzzy pair finder — completes the string-
     similarity family (Levenshtein for raw edits, Jaro-Winkler for
     prefix-weighted short identifiers, Damerau for typo-shaped data
     where swapped adjacent characters are ONE error, not two). Spark
     has no damerau builtin, so the scorer is an Arrow pandas_udf over
-    block-key equi-join candidates; same Σ_b |l_b|·|r_b| cost bound as
-    the other blocked verifiers."""
+    block-key equi-join candidates; the Σ_b |l_b|·|r_b| cost bound is
+    ENFORCED up front via ``assert_blocked_pair_budget`` (the Damerau
+    DP is the slowest scorer in the family — PERF.md — so a silent hot
+    block hurts most here)."""
     import pandas as pd
 
     # NB: no type annotations on the kernel (see jw below).
@@ -832,6 +884,11 @@ def blocked_damerau_pairs(
         F.col(text_col).alias("text_b"),
         *[F.col(c).alias(f"k_{c}") for c in block_cols],
     )
+    if max_pairs is not None:
+        assert_blocked_pair_budget(
+            a, b, [f"k_{c}" for c in block_cols], max_pairs,
+            "blocked_damerau_pairs",
+        )
     return (
         a.join(b, [f"k_{c}" for c in block_cols])
         .withColumn("dl_dist", dl(F.col("text_a"), F.col("text_b")))
@@ -847,6 +904,7 @@ def blocked_jaro_winkler_pairs(
     id_col: str,
     block_cols: tuple[str, ...],
     min_sim: float = 0.9,
+    max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Record-linkage scoring with Jaro-Winkler similarity — the
     companion to ``blocked_levenshtein_pairs`` for SHORT identifier
@@ -883,6 +941,11 @@ def blocked_jaro_winkler_pairs(
         F.col(text_col).alias("text_b"),
         *[F.col(c).alias(f"k_{c}") for c in block_cols],
     )
+    if max_pairs is not None:
+        assert_blocked_pair_budget(
+            a, b, [f"k_{c}" for c in block_cols], max_pairs,
+            "blocked_jaro_winkler_pairs",
+        )
     return (
         a.join(b, [f"k_{c}" for c in block_cols])
         .withColumn("jw_sim", jw(F.col("text_a"), F.col("text_b")))

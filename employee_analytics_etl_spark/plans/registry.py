@@ -1506,18 +1506,25 @@ def salted_join_priority_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution-profile windows (percent_rank / cume_dist / ntile)
-    over one global total order. A single unpartitioned window is the
-    one sort this engine allows itself; at 100 TB you'd switch to
-    approx_percentile buckets (see approx_quantile_price) — kept here
-    because the exact form is the oracle-checkable ground truth."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    """Distribution-profile ranks (percent_rank / cume_dist / ntile)
+    over one global total order — EXACT, but with no single-partition
+    sort: the global row_number comes from the range-partitioned
+    two-pass primitive (operators/ranking.py), and percent_rank /
+    cume_dist / ntile are closed-form expressions of (rn, n) under a
+    total order (ties impossible by the unique-custkey tiebreak), so
+    they stay bit-identical to the SQL window forms the oracle runs."""
+    from ..operators import ranking as R
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rdf, n = R.ranked(
+        c, [F.asc("c_acctbal"), F.asc("c_custkey")], rn_col="_rn"
+    )
+    rn = F.col("_rn")
+    return rdf.select(
         "c_custkey",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
-        F.ntile(10).over(w).alias("bal_decile"),
+        R.percent_rank_from_rn(rn, n).alias("bal_pct_rank"),
+        R.cume_dist_from_rn(rn, n).alias("bal_cume_dist"),
+        R.ntile_from_rn(rn, n, 10).alias("bal_decile"),
     )
 
 

@@ -875,11 +875,11 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_price_drift_psi",
     oracle="""
     WITH a AS (
-      SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket
+      SELECT greatest(least(CAST(floor(o_totalprice / 50000) AS INT), 9), 0) AS bucket
       FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
     ),
     b AS (
-      SELECT least(CAST(floor(o_totalprice / 50000) AS INT), 9) AS bucket
+      SELECT greatest(least(CAST(floor(o_totalprice / 50000) AS INT), 9), 0) AS bucket
       FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
     ),
     ca AS (SELECT bucket, COUNT(*) AS n FROM a GROUP BY bucket),
@@ -907,7 +907,10 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population-stability-index drift between two order-price
     snapshots (pre/post 1998) — the standard production monitor for
     'did this column's distribution move between ingests'. Fixed
-    equi-width buckets (floor(price/50k), capped at 10) keep the
+    equi-width buckets (floor(price/50k), clamped into [0, 9] from
+    BOTH ends — the lower clamp keeps a hypothetical negative value
+    from silently vanishing below bucket 0, mirroring the streaming
+    twin psi_drift_stream) keep the
     binning deterministic and snapshot-independent; counts ride ONE
     scan each (partition-prunable by the date predicate); the bucket
     grid is a 10-row literal so zero-count buckets still appear with
@@ -918,8 +921,9 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Consumers sum psi_term; the per-bucket rows localize WHICH band
     drifted (PSI > 0.2 of any single bucket = actionable drift)."""
     o = t(spark, sf_dir, "orders")
-    bucket = F.least(
-        F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+    bucket = F.greatest(
+        F.least(F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)),
+        F.lit(0),
     ).alias("bucket")
     pre = F.col("o_orderdate").cast("date") < "1998-01-01"
     ca = (
@@ -1853,20 +1857,26 @@ def orders_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement is the Pareto 80/20 check (orders_pareto_revenue); this
     gives the full inequality PROFILE rather than either scalar.
 
-    Shape: per-customer DECIMAL-exact revenue reduce, one NTILE window
-    over the customer DIMENSION under a total order (rev asc, custkey
-    asc tiebreak — deterministic decile edges), then cumulative windows
-    over the 10-row decile table. The fact table shuffles once."""
+    Shape: per-customer DECIMAL-exact revenue reduce, then NTILE(10)
+    as a closed-form expression of the exact global row_number from
+    the range-partitioned two-pass primitive (operators/ranking.py)
+    under a total order (rev asc, custkey asc tiebreak —
+    deterministic decile edges), then cumulative windows over the
+    10-row decile table (constant cardinality — audited allowlist).
+    The fact table shuffles once; the customer dimension never enters
+    a single-partition sort."""
+    from ..operators import ranking as R
+
     cust = (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(dsum(F.col("o_totalprice")).alias("rev"))
     )
-    deciled = cust.select(
-        "rev",
-        F.ntile(10)
-        .over(Window.orderBy(F.asc("rev"), F.asc("o_custkey")))
-        .alias("decile"),
+    rdf, n = R.ranked(
+        cust, [F.asc("rev"), F.asc("o_custkey")], rn_col="_rn"
+    )
+    deciled = rdf.select(
+        "rev", R.ntile_from_rn(F.col("_rn"), n, 10).alias("decile")
     )
     # re-enter DECIMAL for the decile rollup: dsum returns DOUBLE, and a
     # double-sum of 15 per-customer revenues is accumulation-order-

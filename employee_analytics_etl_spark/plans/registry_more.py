@@ -557,12 +557,14 @@ def events_ks_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     are integer cumulative counts (exact in any engine); each CDF
     value is ONE division, so sup|F1 - F2| is deterministic.
 
-    The cumulative window runs unpartitioned over DISTINCT values —
-    already reduced by the groupBy, so the sort input is the value
-    cardinality, not the event count. At 100 TB cardinality can still
-    be large: the scale path pre-bins values to a fixed grid (the
-    PSI query's shape), trading exactness of sup for a bounded-error
-    grid sup; kept exact here because the gate is exactness."""
+    The CDFs cumulate over DISTINCT values — already reduced by the
+    groupBy, so the input is the value cardinality, not the event
+    count — via the range-partitioned two-pass prefix-sum primitive
+    (operators/ranking.py): exact integer offsets, no
+    single-partition WindowExec even at billion-distinct-value
+    cardinality."""
+    from ..operators import ranking as R
+
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
@@ -572,10 +574,13 @@ def events_ks_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_a).alias("na"), F.sum(is_b).alias("nb")
     )
     g = ev.groupBy("value").agg(F.sum(is_a).alias("ca"), F.sum(is_b).alias("cb"))
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cdf = g.select(
-        F.sum("ca").over(w).alias("cum_a"), F.sum("cb").over(w).alias("cum_b")
+    rdf, _n = R.ranked(
+        g,
+        [F.asc("value")],
+        rn_col=None,
+        cumsum_cols={"ca": "cum_a", "cb": "cum_b"},
     )
+    cdf = rdf.select("cum_a", "cum_b")
     return (
         cdf.crossJoin(F.broadcast(n))
         .groupBy("na", "nb")
@@ -1268,33 +1273,44 @@ def events_mi_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency / frequency / monetary) quintile segmentation —
     the canonical customer-value grid. Per-customer aggregates come
-    from ONE scan; the three NTILE(5) windows share an unpartitioned
-    sort over the CUSTOMER table (dimension-scale — at 100 TB facts
-    never enter a global sort; if the customer dimension itself
-    outgrows one sort, swap NTILE for percentile_approx edge
-    bucketing, the decile-bins pattern). Total orders
-    (metric desc, custkey) make every score deterministic. Output is
-    the segment grid with population and value."""
+    from ONE scan (pinned with a lazy localCheckpoint so the three
+    rank passes share it); each NTILE(5) is an exact closed-form
+    expression of the global row_number from the range-partitioned
+    two-pass primitive (operators/ranking.py) — three balanced range
+    shuffles of the customer DIMENSION, no single-partition sort
+    anywhere. Total orders (metric desc, custkey) make every score
+    deterministic. Output is the segment grid with population and
+    value."""
+    from ..operators import ranking as R
+
     o = t(spark, sf_dir, "orders")
-    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
-            "monetary"
-        ),
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
     )
-    scored = rfm.select(
-        "custkey",
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("custkey")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("custkey")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-        .alias("m_score"),
+
+    def score(metric: str, out: str) -> DataFrame:
+        rdf, n = R.ranked(
+            rfm.select("custkey", metric),
+            [F.desc(metric), F.asc("custkey")],
+            rn_col="_rn",
+        )
+        return rdf.select(
+            "custkey", R.ntile_from_rn(F.col("_rn"), n, 5).alias(out)
+        )
+
+    scored = (
+        rfm.select("custkey", "monetary")
+        .join(score("last_order", "r_score"), "custkey")
+        .join(score("frequency", "f_score"), "custkey")
+        .join(score("monetary", "m_score"), "custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
@@ -1583,42 +1599,43 @@ def orders_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto/80-20): how many top customers
     cover 80% of revenue, and what share the top decile holds — the
     skew diagnostic that decides whether a customer-keyed pipeline
-    needs salting at all. The cumulative runs over the CUSTOMER
-    aggregate (dimension-scale) under a total order; the 80% and
-    decile thresholds compare in EXACT integer/decimal arithmetic
-    (cum·5 ≥ total·4, rank·10 ≤ n) so no float boundary can flip
-    membership between engines."""
+    needs salting at all. The cumulative sum and rank come from the
+    two-pass range-partitioned primitive (operators/ranking.py) —
+    exact (decimal offsets), no single-partition WindowExec over the
+    customer dimension; the 80% and decile thresholds compare in
+    EXACT integer/decimal arithmetic (cum·5 ≥ total·4, rank·10 ≤ n)
+    so no float boundary can flip membership between engines. The
+    grand total is max(cum_r) off the ranked table — the fact table
+    is scanned exactly once."""
+    from ..operators import ranking as R
+
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    wsum = Window.orderBy(F.desc("r"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    rdf, n = R.ranked(
+        rev,
+        [F.desc("r"), F.asc("o_custkey")],
+        rn_col="rnk",
+        cumsum_cols={"r": "cum_r"},
     )
-    wrnk = Window.orderBy(F.desc("r"), F.asc("o_custkey"))
-    ranked = rev.select(
-        "r",
-        F.sum("r").over(wsum).alias("cum_r"),
-        F.row_number().over(wrnk).alias("rnk"),
-    ).localCheckpoint(eager=False)  # feeds both threshold scans
-    tot = rev.agg(
-        F.sum("r").alias("total_r"), F.count(F.lit(1)).alias("n")
-    )
+    ranked = rdf.select("rnk", "cum_r").localCheckpoint(
+        eager=False
+    )  # feeds tot + both threshold scans
+    tot = ranked.agg(F.max("cum_r").alias("total_r"))
     top80 = (
         ranked.crossJoin(F.broadcast(tot))
         .filter(F.col("cum_r") * 5 >= F.col("total_r") * 4)
         .agg(F.min("rnk").cast("long").alias("n_top80"))
     )
-    top10 = (
-        ranked.crossJoin(F.broadcast(tot))
-        .filter(F.col("rnk") * 10 <= F.col("n"))
-        .agg(F.max("cum_r").alias("cum10"))
+    top10 = ranked.filter(F.col("rnk") * 10 <= F.lit(n)).agg(
+        F.max("cum_r").alias("cum10")
     )
     return (
         tot.crossJoin(top80)
         .crossJoin(top10)
         .select(
-            F.col("n").cast("long").alias("n_customers"),
+            F.lit(n).cast("long").alias("n_customers"),
             F.col("total_r").cast("double").alias("total_revenue"),
             "n_top80",
             F.round(
@@ -1900,14 +1917,17 @@ def orders_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending TOTAL order; r·i products stay DECIMAL-exact (2-dp
     revenue × integer rank), so both moment sums are
     order-independent and the final expression is a handful of IEEE
-    ops on exact inputs."""
+    ops on exact inputs. The global rank comes from the two-pass
+    range-partitioned primitive (operators/ranking.py) — no
+    single-partition WindowExec over the customer dimension."""
+    from ..operators import ranking as R
+
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("r")
     )
-    ranked = rev.select(
-        "r",
-        F.row_number().over(Window.orderBy("r", "o_custkey")).alias("i"),
+    ranked, _n = R.ranked(
+        rev, [F.asc("r"), F.asc("o_custkey")], rn_col="i"
     )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),

@@ -265,9 +265,17 @@ def psi_drift_stream(
     rows localize WHICH band drifted, and consumers sum terms per
     window — the same reporting shape as the batch monitor, so one
     dashboard serves both. Laplace smoothing keeps empty stream
-    buckets finite; ln is computed on single-division shares."""
-    bucket = F.least(
-        F.floor(F.col("value") / bucket_width).cast("int"), F.lit(n_buckets - 1)
+    buckets finite; ln is computed on single-division shares. Values
+    are clamped into [0, n_buckets-1] from BOTH ends — without the
+    lower clamp a negative value would bucket below 0 and silently
+    vanish from the counts AND the total, making drift in a negative
+    band invisible (mirrored in the batch twin)."""
+    bucket = F.greatest(
+        F.least(
+            F.floor(F.col("value") / bucket_width).cast("int"),
+            F.lit(n_buckets - 1),
+        ),
+        F.lit(0),
     )
     # Streaming forbids a SECOND aggregation (window totals), so all
     # bucket counts come out of ONE windowed agg as conditional sums;

@@ -637,6 +637,48 @@ class TestJaroWinkler:
         assert all(not ({a, b} & {3}) or a == b == 3 for a, b in pairs)
         assert (1, 4) not in pairs  # below threshold
 
+    def test_pair_budget_guard_fails_loud_on_hot_block(self, spark):
+        """A degenerate blocking key (every row in one block) must fail
+        UP FRONT with the budget error naming the hot block — not
+        silently launch the quadratic scoring join."""
+        import pytest
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            blocked_damerau_pairs,
+            blocked_jaro_winkler_pairs,
+            blocked_levenshtein_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [Row(id=i, name=f"name {i}", blk=1) for i in range(40)]
+        )
+        with pytest.raises(ValueError, match="blocked-pair budget exceeded"):
+            blocked_jaro_winkler_pairs(
+                df, df, text_col="name", id_col="id", block_cols=("blk",),
+                max_pairs=100,
+            )
+        with pytest.raises(ValueError, match="worst blocks"):
+            blocked_damerau_pairs(
+                df, df, text_col="name", id_col="id", block_cols=("blk",),
+                max_pairs=100,
+            )
+        docs = spark.createDataFrame(
+            [
+                Row(doc_id=i, text="x" * 30, lang="en", source="s")
+                for i in range(40)
+            ]
+        )
+        with pytest.raises(ValueError, match="blocked_levenshtein_pairs"):
+            blocked_levenshtein_pairs(docs, max_pairs=100)
+        # within budget: unchanged behavior, pairs still produced
+        ok = blocked_jaro_winkler_pairs(
+            df.filter(F.col("id") < 3), df.filter(F.col("id") < 3),
+            text_col="name", id_col="id", block_cols=("blk",),
+            min_sim=0.0, max_pairs=100,
+        )
+        assert ok.count() == 9
+
 
 class TestConnectedComponents:
     def test_chain_closure_and_singleton(self, spark):

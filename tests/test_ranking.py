@@ -1,0 +1,151 @@
+"""The exact distributed ranking/prefix-sum primitive
+(operators/ranking.py): results must be bit-identical to the
+single-window formulation regardless of the range-partition count, and
+the plan must never contain an unpartitioned WindowExec."""
+
+from __future__ import annotations
+
+import os
+import sys
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from employee_analytics_etl_spark.operators.ranking import (  # noqa: E402
+    cume_dist_from_rn,
+    ntile_from_rn,
+    percent_rank_from_rn,
+    ranked,
+)
+
+
+@pytest.fixture(scope="module")
+def src(spark):
+    """97 rows with duplicate sort values (tiebreak required), decimal
+    amounts — enough rows that every partition count under test gets
+    multiple non-empty partitions."""
+    rows = [
+        (i, (i * 37) % 20, Decimal(f"{(i * 13) % 500}.{i % 100:02d}"))
+        for i in range(97)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, grp long, amount decimal(18,2)"
+    )
+
+
+def _reference(src):
+    w = Window.orderBy(F.asc("grp"), F.asc("id"))
+    return {
+        r["id"]: (r["rn"], r["cum"])
+        for r in src.select(
+            "id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("amount")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("cum"),
+        ).collect()
+    }
+
+
+@pytest.mark.parametrize("nparts", [1, 3, 8, 64])
+def test_partition_count_independence(spark, src, nparts):
+    """Same ranks and exact decimal cumsums for any partition count —
+    including more partitions than distinct keys (empty partitions)."""
+    expect = _reference(src)
+    out, n_total = ranked(
+        src,
+        [F.asc("grp"), F.asc("id")],
+        rn_col="rn",
+        cumsum_cols={"amount": "cum"},
+        num_partitions=nparts,
+    )
+    got = {r["id"]: (r["rn"], r["cum"]) for r in out.collect()}
+    assert n_total == 97
+    assert got == expect
+
+
+def test_columns_preserved_and_desc_order(spark, src):
+    out, _ = ranked(src, [F.desc("amount"), F.asc("id")], num_partitions=5)
+    assert set(out.columns) == {"id", "grp", "amount", "rn"}
+    rows = sorted(out.collect(), key=lambda r: r["rn"])
+    amounts = [r["amount"] for r in rows]
+    assert amounts == sorted(amounts, reverse=True)
+    assert [r["rn"] for r in rows] == list(range(1, 98))
+
+
+def test_no_unpartitioned_window_in_plan(spark, src):
+    """Every WindowExec in the primitive's plan must carry a partition
+    spec (the tools/explain_audit.py detector is the registry-wide
+    version of this assertion)."""
+    from tools.explain_audit import unpartitioned_windows
+
+    out, _ = ranked(
+        src, [F.asc("grp"), F.asc("id")], cumsum_cols={"amount": "cum"}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert unpartitioned_windows(plan) == []
+
+
+def test_detector_fires_on_global_sort_window(spark, src):
+    """The audit detector must flag the shape the primitive replaces
+    (global-order window) and the whole-input frame, but NOT a
+    partitioned-no-order window."""
+    from tools.explain_audit import unpartitioned_windows
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    bad = src.select(F.row_number().over(Window.orderBy("id")).alias("rn"))
+    assert len(unpartitioned_windows(plan_of(bad))) == 1
+    bad2 = src.select(F.sum("amount").over(Window.partitionBy()).alias("s"))
+    assert len(unpartitioned_windows(plan_of(bad2))) == 1
+    ok = src.select(
+        F.sum("amount").over(Window.partitionBy("grp")).alias("s")
+    )
+    assert unpartitioned_windows(plan_of(ok)) == []
+
+
+@pytest.mark.parametrize("n,k", [(97, 10), (97, 5), (7, 10), (40, 8), (1, 4)])
+def test_ntile_matches_builtin(spark, n, k):
+    df = spark.range(n).select(F.col("id"))
+    w = Window.orderBy("id")
+    expect = df.select(
+        "id", F.ntile(k).over(w).alias("t")
+    ).collect()
+    got = df.select(
+        "id",
+        ntile_from_rn(F.row_number().over(w), n, k).alias("t"),
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_percent_rank_cume_dist_match_builtin(spark):
+    df = spark.range(23)
+    w = Window.orderBy("id")
+    expect = df.select(
+        "id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    ).collect()
+    rn = F.row_number().over(w)
+    got = df.select(
+        "id",
+        percent_rank_from_rn(rn, 23).alias("pr"),
+        cume_dist_from_rn(rn, 23).alias("cd"),
+    ).collect()
+    # demand bit-identity, same as the oracle gate
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "id long, amount decimal(18,2)")
+    out, n_total = ranked(
+        df, [F.asc("id")], cumsum_cols={"amount": "cum"}, num_partitions=4
+    )
+    assert n_total == 0
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "amount", "rn", "cum"}

@@ -223,8 +223,12 @@ class TestStreamingPsi:
         from employee_analytics_etl_spark.streaming.jobs import psi_drift_stream
 
         n_buckets, bw = 10, 50.0
-        bucket = F.least(
-            F.floor(F.col("value") / bw).cast("int"), F.lit(n_buckets - 1)
+        # mirror of the operator's two-sided clamp (greatest+least)
+        bucket = F.greatest(
+            F.least(
+                F.floor(F.col("value") / bw).cast("int"), F.lit(n_buckets - 1)
+            ),
+            F.lit(0),
         )
         grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
         ref_counts = (
@@ -310,6 +314,54 @@ class TestStreamingPsi:
         import math
 
         assert all(math.isfinite(r["psi_term"]) for r in got)
+
+    def test_negative_values_clamp_to_bucket_zero(self, spark, tmp_path_factory):
+        """Regression (r3 ADVICE): without the lower clamp, events with
+        negative value bucketed below 0 and silently vanished from both
+        the per-bucket counts and n_total — drift in a negative band
+        was invisible. They must land in bucket 0 and be counted."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import psi_drift_stream
+
+        d = str(tmp_path_factory.mktemp("neg_events"))
+        base = 1_700_000_000_000_000  # epoch micros
+        vals = [-125.0, -3.0, 10.0, 75.0, 499.0, 600.0, -0.01, 0.0]
+        n = len(vals)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "ts": pa.array(
+                        [base + i * 60_000_000 for i in range(n)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1] * n, pa.int64()),
+                    "event_type": pa.array(["click"] * n),
+                    "value": pa.array(vals, pa.float64()),
+                    "props": pa.array([""] * n),
+                }
+            ),
+            f"{d}/events.parquet",
+        )
+        reference = spark.range(10).select(
+            F.col("id").cast("int").alias("bucket"),
+            F.lit(0.1).alias("share_ref"),
+        )
+        stream = build_events_stream(spark, d)
+        got = run_to_memory(
+            psi_drift_stream(stream, reference), "t_psi_neg", spark
+        ).collect()
+        # nothing vanished: all events counted across buckets
+        assert sum(r["n_events"] for r in got) == n
+        by_bucket: dict[int, int] = {}
+        for r in got:
+            by_bucket[r["bucket"]] = by_bucket.get(r["bucket"], 0) + r["n_events"]
+        # negatives (-125, -3, -0.01) + [0,50) values (0.0, 10.0) → bucket 0
+        assert by_bucket.get(0, 0) == 5
+        assert by_bucket.get(9, 0) == 2  # 499 and clamped-high 600
 
 
 class TestOuterStreamJoin:

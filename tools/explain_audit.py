@@ -145,9 +145,88 @@ ALLPAIRS_BNLJ_OK = {
     "knn_hard_negatives",
 }
 
+# Queries allowed to plan an UNPARTITIONED WindowExec — only over
+# inputs of CONSTANT cardinality (bounded by a query constant or a
+# calendar/config constant, never by the data volume). Every entry
+# names its bound. Anything else planning a no-partition window is a
+# single-task global sort — the one scale-killer shape this audit
+# exists to catch (the r3 verdict's six distribution queries were
+# exactly this; they now route through operators/ranking.py).
+GLOBAL_WINDOW_OK = {
+    # cumulative windows over the ≤10-row NTILE(10) decile grid
+    "orders_lorenz_deciles": "10-row decile grid",
+    # cumsum + row_number over the HOURLY series (calendar-bounded)
+    "events_cusum_changepoint": "hourly rollup, bounded by time span",
+    # KM life table: |distinct gap days| rows, bounded by max gap
+    "customer_km_survival": "life table over distinct day-gaps",
+    # regression input is LIMIT 200 of the vocab
+    "vocab_zipf_fit": "top-200 tokens post-limit",
+    # rank windows over TakeOrdered top-k (≤20 rows)
+    "doc_bm25_topk": "top-k rows post TakeOrdered",
+    "doc_rrf_hybrid_topk": "top-k rows post TakeOrdered",
+    # grand-total `sum() over ()` windows over constant-size rollups
+    "doc_mixture_resample": "per-source rollup (constant source set)",
+    "source_mixture_weights": "per-source rollup (constant source set)",
+    "orders_benford_digits": "9-row leading-digit grid",
+    "orders_weekday_seasonality": "7-row weekday grid",
+    "orders_priority_status_chi2": "≤15-row contingency cells",
+}
 
-def audit(name: str, plan: str, codegen_plan: str) -> list[str]:
+
+def _top_level_groups(s: str) -> list[str]:
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def unpartitioned_windows(simple_plan: str) -> list[str]:
+    """Window operator lines missing a partition spec. In the simple
+    plan string a window prints as ``Window [exprs], [partSpec],
+    [orderSpec]`` with absent specs omitted, so:
+
+    - 3 groups → partitioned (fine);
+    - 2 groups → partitioned only when the LAST group is a partition
+      spec; if it carries sort directions it is an ORDER spec and the
+      window is a global sort → flag;
+    - 1 group → neither partition nor order (whole-input frame, e.g.
+      ``sum() over ()``) → single partition → flag.
+
+    (``WindowGroupLimit`` lines don't match ``"Window "``.)"""
+    hits = []
+    for line in simple_plan.splitlines():
+        stripped = line.lstrip(" :+-*()0123456789")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_groups(stripped)
+        if len(groups) >= 3:
+            continue
+        is_order = len(groups) == 2 and (
+            " ASC" in groups[1] or " DESC" in groups[1]
+        )
+        if len(groups) <= 1 or is_order:
+            hits.append(stripped[:160])
+    return hits
+
+
+def audit(
+    name: str, plan: str, codegen_plan: str, simple_plan: str = ""
+) -> list[str]:
     problems: list[str] = []
+    if name not in GLOBAL_WINDOW_OK:
+        for w in unpartitioned_windows(simple_plan):
+            problems.append(f"unpartitioned WindowExec (single-task sort): {w}")
     for bad in FORBIDDEN:
         if bad in plan:
             if bad == "BroadcastNestedLoopJoin" and name in (
@@ -306,7 +385,12 @@ def main() -> None:
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
         qe = df._jdf.queryExecution()
-        problems = audit(name, qe.explainString(fmt), qe.explainString(cg))
+        problems = audit(
+            name,
+            qe.explainString(fmt),
+            qe.explainString(cg),
+            qe.executedPlan().toString(),
+        )
         if problems:
             failed += 1
             print(f"FAIL  {name}")

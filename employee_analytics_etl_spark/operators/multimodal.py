@@ -146,11 +146,23 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    decode: str = "fake",
+    out_format: str = "match",
+) -> DataFrame:
     """Resize image payloads.
 
-    decode="real": PPM/BMP decode → nearest-neighbor resample → PPM
-    re-encode (true pixel resize, no dependencies).
+    decode="real": PPM/BMP/PNG/baseline-JPEG decode → nearest-neighbor
+    resample → lossless re-encode (true pixel resize, no dependencies).
+    ``out_format``: "match" (default) keeps the input container where a
+    lossless in-repo encoder exists — PNG stays PNG, BMP stays BMP,
+    everything else (PPM, JPEG — no lossless JPEG re-encode) emits PPM
+    — so a PNG-in/PNG-out pipeline round-trips decode(encode(x)) == x
+    (property-tested in tests/test_properties.py). Explicit
+    "png"/"bmp"/"ppm" force one container.
     decode="fake": truncate/pad bytes to width*height (keeps the
     byte-budget contract a real resize would have).
     decode="strict": marks the real-codec call site."""
@@ -166,9 +178,25 @@ def resize_images(df: DataFrame, width: int, height: int, decode: str = "fake") 
                     raise NotImplementedError("real resize requires PIL")
                 b = bytes(payload) if payload is not None else b""
                 if decode == "real":
-                    from .codecs import decode_image, encode_ppm, resize_nearest
+                    from .codecs import (
+                        decode_image,
+                        encode_bmp,
+                        encode_png,
+                        encode_ppm,
+                        resize_nearest,
+                    )
 
-                    out.append(encode_ppm(resize_nearest(decode_image(b), width, height)))
+                    px = resize_nearest(decode_image(b), width, height)
+                    fmt = out_format
+                    if fmt == "match":
+                        if b[:8] == b"\x89PNG\r\n\x1a\n":
+                            fmt = "png"
+                        elif b[:2] == b"BM":
+                            fmt = "bmp"
+                        else:
+                            fmt = "ppm"
+                    enc = {"png": encode_png, "bmp": encode_bmp, "ppm": encode_ppm}[fmt]
+                    out.append(enc(px))
                 else:
                     out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(

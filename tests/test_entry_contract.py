@@ -80,3 +80,21 @@ class TestContract:
             return sorted(out)
 
         assert norm([tuple(r) for r in srows], sdf.columns) == norm(drows, dcols)
+
+
+class TestQueryIndex:
+    def test_query_index_in_sync_with_registry(self):
+        """QUERY_INDEX.md (the query → op reverse index) must be a
+        fresh render of tools/gen_query_index.py over the CURRENT
+        registry — regenerate and commit it when queries change."""
+        import os
+
+        from tools.gen_query_index import OUT, render
+
+        assert os.path.exists(OUT), "QUERY_INDEX.md missing — run tools/gen_query_index.py"
+        with open(OUT) as f:
+            committed = f.read()
+        assert committed == render(), (
+            "QUERY_INDEX.md is stale — run `python tools/gen_query_index.py` "
+            "and commit the result"
+        )

@@ -330,6 +330,32 @@ class TestRealImageDecode:
         exp = img[(np.arange(4) * 8) // 4][:, (np.arange(4) * 16) // 4]
         assert np.array_equal(resized, exp)
 
+    def test_resize_real_preserves_container_format(self, spark):
+        """out_format='match': PNG in → PNG out, BMP in → BMP out,
+        PPM in → PPM out, identical pixels in every container."""
+        import numpy as np
+
+        from employee_analytics_etl_spark.operators import codecs as C
+
+        img = self._gradient(16, 8)
+        rows = [
+            (1, "image", bytearray(C.encode_png(img)), None),
+            (2, "image", bytearray(C.encode_bmp(img)), None),
+            (3, "image", bytearray(C.encode_ppm(img)), None),
+        ]
+        df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+        out = {
+            r["media_id"]: bytes(r["payload"])
+            for r in MM.resize_images(df, 4, 4, decode="real").collect()
+        }
+        exp = img[(np.arange(4) * 8) // 4][:, (np.arange(4) * 16) // 4]
+        assert out[1][:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(C.decode_png(out[1]), exp)
+        assert out[2][:2] == b"BM"
+        assert np.array_equal(C.decode_bmp(out[2]), exp)
+        assert out[3][:2] == b"P6"
+        assert np.array_equal(C.decode_ppm(out[3]), exp)
+
     def test_real_decode_raises_on_unknown_format(self, spark):
         df = spark.createDataFrame(
             [(1, "image", bytearray(b"GIF89a\x01\x00\x01\x00"), None)], MM.MEDIA_SCHEMA

@@ -34,6 +34,30 @@ class TestCodecProperties:
         img = _random_img(h, w, seed)
         assert np.array_equal(C.decode_bmp(C.encode_bmp(img)), img)
 
+    @settings(max_examples=50, deadline=None)
+    @given(dims, st.integers(0, 2**31 - 1))
+    def test_png_roundtrip(self, hw, seed):
+        # the PNG encoder (filter-0 rows, one zlib stream) must invert
+        # exactly through the full five-filter decoder
+        h, w = hw
+        img = _random_img(h, w, seed)
+        assert np.array_equal(C.decode_png(C.encode_png(img)), img)
+
+    @settings(max_examples=30, deadline=None)
+    @given(dims, dims, st.integers(0, 2**31 - 1))
+    def test_resize_reencode_format_match_roundtrip(self, hw_src, hw_dst, seed):
+        # the resize_images "match" contract: PNG in → PNG out, BMP in
+        # → BMP out, with exact pixel equality vs resizing the array
+        (h, w), (oh, ow) = hw_src, hw_dst
+        img = _random_img(h, w, seed)
+        want = C.resize_nearest(img, ow, oh)
+        png_out = C.encode_png(want)
+        assert png_out[:8] == b"\x89PNG\r\n\x1a\n"
+        assert np.array_equal(C.decode_png(png_out), want)
+        bmp_out = C.encode_bmp(want)
+        assert bmp_out[:2] == b"BM"
+        assert np.array_equal(C.decode_bmp(bmp_out), want)
+
     @settings(max_examples=30, deadline=None)
     @given(dims, dims, st.integers(0, 2**31 - 1))
     def test_resize_dims_and_identity(self, hw_src, hw_dst, seed):

@@ -724,6 +724,77 @@ class TestDebounceStream:
         }
         assert kept == want
 
+    def test_state_rows_bounded_by_key_cardinality(
+        self, spark, tmp_path_factory
+    ):
+        """Observability guard (r3 verdict #6): debounce state is ONE
+        row per (user, type) key, so across ≥3 micro-batches the
+        stateOperators metrics must report numRowsTotal ≤ |keys| —
+        state growth proportional to batches or events would be a
+        state leak, invisible without this assertion."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            debounce_stream,
+        )
+
+        src = str(tmp_path_factory.mktemp("debounce_state_metrics"))
+        users = [1, 2, 3, 4]
+
+        def write(name, minute, mtime):
+            base_ns = (1_704_103_200 + minute * 60) * 1_000_000_000
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(
+                        [minute * 100 + u for u in users], pa.int64()
+                    ),
+                    "ts": pa.array([base_ns] * len(users), pa.int64()),
+                    "user_id": pa.array(users, pa.int64()),
+                    "event_type": pa.array(["click"] * len(users)),
+                    "value": pa.array([1.0] * len(users), pa.float64()),
+                    "props": pa.array(["{}"] * len(users)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        write("a.parquet", 0, 1_000)
+        write("b.parquet", 10, 2_000)
+        write("c.parquet", 20, 3_000)
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            debounce_stream(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_debounce_state")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        assert len(progresses) >= 3  # one per file under maxFilesPerTrigger=1
+        state_rows = [
+            op["numRowsTotal"]
+            for p in progresses
+            for op in p.get("stateOperators", [])
+        ]
+        assert state_rows, "stateOperators metrics missing from progress"
+        # bounded by key cardinality in EVERY batch, exactly |keys| at end
+        assert all(n <= len(users) for n in state_rows)
+        assert state_rows[-1] == len(users)
+        # all 10-minute-spaced events survive the 5-min debounce
+        assert spark.table("t_debounce_state").count() == 3 * len(users)
+
 
 class TestTransformWithState:
     """transformWithState (Spark 4): event-time TIMERS finalize idle

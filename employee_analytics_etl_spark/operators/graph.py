@@ -193,3 +193,58 @@ def bfs_levels(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
     return visited
+
+
+def kcore_degrees(
+    edges_canonical: DataFrame,
+    k: int,
+    rounds: int,
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Synchronous k-core peeling over an undirected canonical edge set
+    (one row per edge, ``u < v``): ``rounds`` iterations of "recompute
+    degrees among survivors, drop nodes with degree < k". Returns the
+    surviving nodes with their within-survivor-set degree
+    (node, core_degree).
+
+    Peeling is MONOTONE (survivor set only shrinks) and IDEMPOTENT at
+    the fixed point, so a fixed round count is both restartable and
+    oracle-checkable (the SQL oracle unrolls the same rounds; extra
+    rounds after convergence are no-ops — the same fixed-iteration
+    discipline as pagerank/label propagation). When converged, the
+    result is exactly the k-core (Seidman 1983; the distributed
+    formulation is Montresor et al.'s message-passing k-core).
+
+    Scale shape: per round ONE semi-join of the directed edge table
+    against the survivor set per endpoint + ONE count aggregate — the
+    edge table is checkpointed once and reused every round; survivor
+    sets are node-dimension-scale and lazily checkpointed to truncate
+    the iterative lineage. No adjacency ever sits on the driver.
+    """
+    ed = (
+        edges_canonical.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
+        .unionAll(
+            edges_canonical.select(
+                F.col(v_col).alias("src"), F.col(u_col).alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = ed.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(rounds):
+        alive = ed.join(
+            nodes.withColumnRenamed("node", "src"), "src", "leftsemi"
+        ).join(nodes.withColumnRenamed("node", "dst"), "dst", "leftsemi")
+        deg = alive.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("core_degree")
+        )
+        nodes = (
+            deg.filter(F.col("core_degree") >= k)
+            .select("node")
+            .localCheckpoint(eager=False)
+        )
+    # survivors of the final round: degrees are w.r.t. the previous
+    # round's survivor set — exactly what the unrolled oracle computes
+    return deg.filter(F.col("core_degree") >= k)

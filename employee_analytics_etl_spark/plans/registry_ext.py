@@ -3358,3 +3358,93 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "dedup_cluster_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    pairs AS (
+      SELECT s1.id AS id_a, s2.id AS id_b, COUNT(*) AS inter
+      FROM (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s1
+      JOIN (SELECT sh.id, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25) r
+            USING (shingle)) s2
+        ON s1.shingle = s2.shingle AND s1.id < s2.id
+      GROUP BY s1.id, s2.id
+    ),
+    edges AS (
+      SELECT p.id_a AS src, p.id_b AS dst
+      FROM pairs p JOIN sizes sa ON sa.id = p.id_a JOIN sizes sb ON sb.id = p.id_b
+      WHERE CAST(p.inter AS DOUBLE) / (sa.set_size + sb.set_size - p.inter) >= 0.2
+    ),
+    sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY id),
+    scored AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS survivor_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN rk = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+           CAST(SUM(CASE WHEN rk > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped
+    FROM scored GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup SURVIVORSHIP: for every transitive near-dup
+    cluster (Jaccard >= 0.2 pair graph, same closure as
+    dedup_clusters), keep the single best document under the quality
+    policy (longest text, min doc_id tiebreak) and account for what
+    the policy keeps vs drops — the canonical "representative per
+    duplicate cluster" step a production corpus dedup runs after
+    candidate generation + verification + clustering (one-hop
+    dedup_survivors deliberately skips the closure; this is the
+    closure-aware variant).
+
+    Scale shape: survivor election is one row_number window
+    PARTITIONED BY cluster (bounded by the largest true near-dup
+    cluster, never global) over (cluster_id, n_chars) rows — the text
+    column never enters the election (n_chars is a stored column), and
+    the output is one row per multi-member cluster. Iterative closure
+    cost notes live on operators/dedup.py:connected_components."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.2, max_shingle_df=25
+    ).select("id_a", "id_b")
+    comp = D.connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    ).select(F.col("id").alias("doc_id"), "cluster_id")
+    scored = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("survivor_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.when(F.col("rk") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.sum(F.when(F.col("rk") > 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -2262,3 +2262,101 @@ def bloom_prune_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_pass_true") == F.col("n_true_match")).alias("superset_ok"),
         )
     )
+
+
+@query(
+    "orders_exact_price_percentiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS price,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM orders),
+    p AS (SELECT UNNEST([50, 90, 99]) AS pct)
+    SELECT CAST(p.pct AS INT) AS pct,
+           CAST((p.pct * n.n + 99) // 100 AS BIGINT) AS at_rank,
+           CAST(r.price AS DOUBLE) AS price
+    FROM p CROSS JOIN n
+    JOIN ranked r ON r.rn = (p.pct * n.n + 99) // 100
+    """,
+)
+def orders_exact_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles (p50/p90/p99 of order price) with no
+    single-partition sort — the exact companion to the
+    approx_percentile sketch (approx_quantile_price): the two-pass
+    range-partitioned ranking primitive (operators/ranking.py)
+    assigns every row its global rank, and each percentile is the row
+    at rank ⌈p·n/100⌉ under the total order (price, orderkey) —
+    the discontinuous (type-1) quantile definition, computed with one
+    integer expression so both engines select the identical row.
+
+    Scale shape: rank filter runs inside the partition-local window
+    (each range bucket holds ~n/P rows); the 3-row rank table
+    broadcast-joins against it — at 100 TB this is the textbook
+    "exact quantiles via distributed sort" plan, linear in data and
+    free of the skewed single reducer the naive SQL window implies."""
+    from ..operators import ranking as R
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rdf, n = R.ranked(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], rn_col="rn"
+    )
+    ranks = [(p, (p * n + 99) // 100) for p in (50, 90, 99)]
+    pcts = spark.createDataFrame(ranks, "pct int, at_rank long")
+    return (
+        rdf.join(F.broadcast(pcts), rdf["rn"] == pcts["at_rank"])
+        .select(
+            "pct",
+            "at_rank",
+            F.col("o_totalprice").cast("double").alias("price"),
+        )
+    )
+
+
+def _kcore_oracle_ctes(k: int, rounds: int) -> str:
+    parts = [
+        "ed AS (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v AS src, u AS dst FROM e)",
+        "n0 AS (SELECT DISTINCT src AS node FROM ed)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT src AS node, COUNT(*) AS d FROM ed "
+            f"WHERE src IN (SELECT node FROM n{r - 1}) "
+            f"AND dst IN (SELECT node FROM n{r - 1}) GROUP BY src)"
+        )
+        parts.append(f"n{r} AS (SELECT node FROM d{r} WHERE d >= {k})")
+    return ",\n    ".join(parts)
+
+
+_KCORE_K, _KCORE_ROUNDS = 3, 4
+
+
+@query(
+    "graph_kcore_histogram",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    {_kcore_oracle_ctes(_KCORE_K, _KCORE_ROUNDS)}
+    SELECT CAST(d AS BIGINT) AS core_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d{_KCORE_ROUNDS} WHERE d >= {_KCORE_K}
+    GROUP BY d
+    """,
+)
+def graph_kcore_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the {k=3}-core of the part co-purchase
+    graph after 4 synchronous peeling rounds — the density-tier
+    summary graph miners read before community detection (nodes
+    outside the k-core are tree-like fringe; the core is where the
+    structure is). Peeling is monotone and idempotent at the fixed
+    point, so the fixed round count is oracle-checkable by unrolled
+    CTEs (operators/graph.py:kcore_degrees has the scale notes: per
+    round one semi-join per endpoint + one count agg over the
+    checkpointed edge table)."""
+    core = G.kcore_degrees(
+        _copurchase_edges(spark, sf_dir), k=_KCORE_K, rounds=_KCORE_ROUNDS
+    )
+    return core.groupBy(
+        F.col("core_degree").cast("long").alias("core_degree")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

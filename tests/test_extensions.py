@@ -1849,3 +1849,40 @@ class TestBfsLevels:
             for r in bfs_levels(edges, seed=1, max_hops=5).collect()
         }
         assert got == {1: 0, 2: 1}
+
+
+class TestKCore:
+    def test_triangle_with_pendants_2core(self, spark):
+        """Triangle 1-2-3 with pendant chain 3-4-5: the 2-core is
+        exactly the triangle (pendants peel in order: 5 first, then 4),
+        and each survivor's core degree is 2. Needs TWO rounds to
+        converge — exercising the monotone shrink, not just one pass."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.graph import kcore_degrees
+
+        edges = spark.createDataFrame(
+            [Row(u=1, v=2), Row(u=1, v=3), Row(u=2, v=3), Row(u=3, v=4), Row(u=4, v=5)]
+        )
+        got = {
+            r["node"]: r["core_degree"]
+            for r in kcore_degrees(edges, k=2, rounds=3).collect()
+        }
+        assert got == {1: 2, 2: 2, 3: 2}
+        # idempotence at the fixed point: extra rounds change nothing
+        got5 = {
+            r["node"]: r["core_degree"]
+            for r in kcore_degrees(edges, k=2, rounds=5).collect()
+        }
+        assert got5 == got
+
+    def test_empty_core(self, spark):
+        """A path graph has no 2-core — peeling must empty out cleanly."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.graph import kcore_degrees
+
+        edges = spark.createDataFrame(
+            [Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=4)]
+        )
+        assert kcore_degrees(edges, k=2, rounds=4).count() == 0

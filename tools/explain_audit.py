@@ -359,6 +359,7 @@ def main() -> None:
     # results elsewhere, skipped here to keep the audit static.
     exclude = {
         "dedup_clusters",
+        "dedup_cluster_survivorship",  # connected_components iterates eagerly
         "kmeans_embedding_clusters",
         "kmeans_diversity_sample",
         "knn_brp_euclidean",  # MLlib fit() runs jobs at plan build

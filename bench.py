@@ -88,6 +88,15 @@ HEADLINE = [
     # heavy survival life table
     "dedup_jaro_winkler_pairs",
     "customer_km_survival",
+    # r4 additions: the exact distributed ranking primitive (range
+    # repartition + offset broadcast — replaced every global-sort
+    # window), its grouped/percentile applications, and the typed
+    # JSON-extraction scan
+    "acctbal_rank_profile",
+    "customer_rfm_segments",
+    "orders_exact_price_percentiles",
+    "orders_priority_exact_median",
+    "events_props_json_stats",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is
@@ -136,6 +145,7 @@ def main() -> None:
         registry,
         registry_ext,
         registry_funcs,
+        registry_more,
     )
     from employee_analytics_etl_spark.session import build_session
 

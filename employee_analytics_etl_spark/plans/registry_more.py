@@ -2360,3 +2360,103 @@ def graph_kcore_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return core.groupBy(
         F.col("core_degree").cast("long").alias("core_degree")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+@query(
+    "events_props_json_stats",
+    oracle="""
+    WITH px AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS k_sum,
+           CAST(MIN(k) AS INT) AS k_min,
+           CAST(MAX(k) AS INT) AS k_max,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS k_distinct
+    FROM px GROUP BY event_type
+    """,
+)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column extraction: parse the events.props JSON
+    payload with a TYPED ``from_json`` schema and aggregate the
+    extracted field per event type — the event-properties pattern every
+    product-analytics pipeline starts with (properties bags land as
+    JSON strings; analysis needs typed columns).
+
+    ``from_json`` with an explicit schema is the scale-correct choice:
+    parsing happens scan-side in the JVM (Jackson, codegen'd null-safe
+    field access), malformed rows become NULL instead of failing the
+    job, and only the projected field is retained — no
+    schema-inference pass over 100 TB, no Python. Exact integer
+    aggregates → exact oracle (DuckDB json_extract_string + CAST)."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+            F.countDistinct("k").alias("k_distinct"),
+        )
+    )
+
+
+@query(
+    "orders_priority_exact_median",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS lrn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      FROM orders
+    )
+    SELECT priority, CAST(cnt AS BIGINT) AS n_orders,
+           CAST(price AS DOUBLE) AS median_price
+    FROM ranked WHERE lrn = (cnt + 1) // 2
+    """,
+)
+def orders_priority_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median price per order priority — the few-huge-groups
+    shape: o_orderpriority has 5 values, so a per-group window
+    (PARTITION BY priority) puts ~20% of the fact table on ONE task
+    each — five stragglers instead of one, the same scale-killer as an
+    unpartitioned sort. Instead the global two-pass ranking primitive
+    (operators/ranking.py) ranks on the COMPOSITE order (priority,
+    price, orderkey) — range partitioning splits each priority across
+    many balanced buckets — and the per-group local rank is recovered
+    arithmetically as rn − min(rn per group) + 1 (one 5-row broadcast
+    join). The median is the type-1 lower-median row
+    (local rank = ⌈n/2⌉), selected by exact integer comparison."""
+    from ..operators import ranking as R
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    rdf, _n = R.ranked(
+        o, [F.asc("priority"), F.asc("price"), F.asc("o_orderkey")], rn_col="rn"
+    )
+    rdf = rdf.localCheckpoint(eager=False)  # feeds group stats + filter
+    g = rdf.groupBy("priority").agg(
+        F.min("rn").alias("rn0"), F.count(F.lit(1)).alias("cnt")
+    )
+    lrn = F.col("rn") - F.col("rn0") + 1
+    # floor-of-double is exact integer division here (counts < 2^53)
+    target = F.floor((F.col("cnt") + 1) / 2)
+    return (
+        rdf.join(F.broadcast(g), "priority")
+        .filter(lrn == target)
+        .select(
+            "priority",
+            F.col("cnt").cast("long").alias("n_orders"),
+            F.col("price").cast("double").alias("median_price"),
+        )
+    )

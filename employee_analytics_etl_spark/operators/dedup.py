@@ -1079,3 +1079,44 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """CDC EXTRACT — the inverse of ``merge_upsert``: given two
+    snapshots of the same keyed table, classify every key as
+    insert / delete / update / unchanged. One full-outer join on the
+    key (the only shuffle; both sides pre-projected to key + a row
+    digest), with row equality decided by an md5 digest of the non-key
+    columns (null-safe via a coalesce sentinel; digests only ever
+    compare WITHIN this engine, so string rendering of doubles needs no
+    cross-engine contract). This is the nightly snapshot-to-CDC
+    pattern for sources without a changelog; at 100 TB both sides
+    shuffle once on the key and the digest keeps the join payload at
+    one 32-char column regardless of table width."""
+    non_keys = [c for c in old.columns if c not in keys]
+    assert non_keys, "snapshot_diff needs at least one non-key column"
+
+    def digest(df: DataFrame) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in non_keys
+                ],
+            )
+        )
+
+    o = old.select(*keys, digest(old).alias("_h_old"))
+    n = new.select(*keys, digest(new).alias("_h_new"))
+    change = (
+        F.when(F.col("_h_old").isNull(), "insert")
+        .when(F.col("_h_new").isNull(), "delete")
+        .when(F.col("_h_old") != F.col("_h_new"), "update")
+        .otherwise("unchanged")
+    )
+    return o.join(n, keys, "full_outer").select(
+        *keys, change.alias("change_type")
+    )

@@ -3448,3 +3448,68 @@ def dedup_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@query(
+    "orders_cdc_extract",
+    oracle="""
+    WITH upd0 AS (
+      SELECT * REPLACE ('U' AS o_orderstatus,
+                        o_totalprice * 2 AS o_totalprice)
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    upd AS (
+      SELECT * FROM upd0
+      UNION ALL
+      SELECT * REPLACE (o_orderkey + 900000000 AS o_orderkey) FROM upd0
+    ),
+    merged AS (
+      SELECT * FROM upd
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    ),
+    new_snap AS (SELECT * FROM merged WHERE o_orderkey % 101 <> 0),
+    diff AS (
+      SELECT CASE
+        WHEN o.o_orderkey IS NULL THEN 'insert'
+        WHEN n.o_orderkey IS NULL THEN 'delete'
+        WHEN o.o_custkey       IS DISTINCT FROM n.o_custkey
+          OR o.o_orderstatus   IS DISTINCT FROM n.o_orderstatus
+          OR o.o_totalprice    IS DISTINCT FROM n.o_totalprice
+          OR o.o_orderdate     IS DISTINCT FROM n.o_orderdate
+          OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+        THEN 'update' ELSE 'unchanged' END AS change_type
+      FROM orders o FULL OUTER JOIN new_snap n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM diff GROUP BY change_type
+    """,
+)
+def orders_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC EXTRACT end-to-end — the inverse of orders_merge_upsert:
+    build a new snapshot with known updates (keys ≡ 0 mod 97: status
+    'U', doubled price), inserts (the same rows at key+9e8) and
+    deletes (keys ≡ 0 mod 101 dropped), then recover the change set
+    with operators.dedup.snapshot_diff (ONE full-outer join on the key
+    over (key, row-digest) projections) and count keys per change
+    type. The oracle replays the snapshot construction and classifies
+    by direct column comparison (IS DISTINCT FROM) — a fundamentally
+    different equality mechanism than the Spark side's md5 row digest,
+    so agreement pins the diff semantics, not the hash."""
+    o = t(spark, sf_dir, "orders")
+    mod = o.filter(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderstatus": F.lit("U"),
+            # *2 not *1.1: doubling a 2dp double is exact in binary
+            "o_totalprice": F.col("o_totalprice") * 2,
+        }
+    )
+    ins = mod.withColumn("o_orderkey", F.col("o_orderkey") + 900000000)
+    new_snap = D.merge_upsert(o, mod.unionByName(ins), ["o_orderkey"]).filter(
+        F.col("o_orderkey") % 101 != 0
+    )
+    diff = D.snapshot_diff(o, new_snap, ["o_orderkey"])
+    return diff.groupBy("change_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )

@@ -1886,3 +1886,47 @@ class TestKCore:
             [Row(u=1, v=2), Row(u=2, v=3), Row(u=3, v=4)]
         )
         assert kcore_degrees(edges, k=2, rounds=4).count() == 0
+
+
+class TestSnapshotDiff:
+    def test_all_change_types_and_null_safety(self, spark):
+        """insert/delete/update/unchanged all classified; null→null is
+        unchanged, null→value and value→null are updates (the coalesce
+        sentinel in the digest must distinguish NULL from any string,
+        including empty)."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.dedup import snapshot_diff
+
+        old = spark.createDataFrame(
+            [
+                Row(k=1, a="x", b=None),   # unchanged (null preserved)
+                Row(k=2, a="x", b="v"),    # update: b → null
+                Row(k=3, a=None, b="v"),   # update: a null → value
+                Row(k=4, a="x", b="v"),    # delete
+                Row(k=6, a="", b="v"),     # update: empty string → null
+            ],
+            "k long, a string, b string",
+        )
+        new = spark.createDataFrame(
+            [
+                Row(k=1, a="x", b=None),
+                Row(k=2, a="x", b=None),
+                Row(k=3, a="y", b="v"),
+                Row(k=5, a="n", b="v"),    # insert
+                Row(k=6, a=None, b="v"),
+            ],
+            "k long, a string, b string",
+        )
+        got = {
+            r["k"]: r["change_type"]
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        }
+        assert got == {
+            1: "unchanged",
+            2: "update",
+            3: "update",
+            4: "delete",
+            5: "insert",
+            6: "update",
+        }

@@ -2460,3 +2460,101 @@ def orders_priority_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("price").cast("double").alias("median_price"),
         )
     )
+
+
+@query(
+    "events_mannwhitney_click_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    g AS (
+      SELECT value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             COUNT(*) AS n
+      FROM ev GROUP BY value
+    ),
+    r AS (
+      SELECT ca, n,
+             SUM(n) OVER (ORDER BY value) AS cum_n
+      FROM g
+    ),
+    m AS (
+      SELECT SUM(ca * (2 * (cum_n - n) + n + 1)) AS r2a,
+             SUM(n * n * n - n) AS ties
+      FROM r
+    ),
+    tot AS (
+      SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb
+      FROM ev
+    )
+    SELECT CAST(na AS BIGINT) AS n_click, CAST(nb AS BIGINT) AS n_purchase,
+      CAST((r2a - na * (na + 1)) AS DOUBLE) / 2 AS u_click,
+      ROUND((CAST(r2a AS DOUBLE) - na * (na + 1) - CAST(na AS DOUBLE) * nb)
+            / (2 * sqrt(CAST(na AS DOUBLE) * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0))))), 6) AS z_score
+    FROM m, tot
+    """,
+)
+def events_mannwhitney_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the click and purchase
+    value distributions — the nonparametric two-sample LOCATION test
+    next to the KS sup-distance (events_ks_click_purchase): KS asks
+    "are the distributions different anywhere", U asks "is one
+    stochastically larger". Midranks (tie-averaged ranks) come from
+    the same primitive shape as the KS CDF: one groupBy(value), then
+    the range-partitioned prefix sum (operators/ranking.py) gives each
+    distinct value its cumulative count — midrank·2 = 2·(cum−n)+n+1 is
+    an INTEGER, so the rank sum R_a, the U statistic (kept doubled:
+    U2 = 2R_a − n_a(n_a+1)) and the tie term Σ(t³−t) are all exact
+    64-bit arithmetic in both engines; only the final z normalization
+    (one sqrt + one division of identical doubles, tie-corrected
+    variance) is IEEE, rounded to 6 dp."""
+    from ..operators import ranking as R
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    is_a = (F.col("event_type") == "click").cast("long")
+    g = ev.groupBy("value").agg(
+        F.sum(is_a).alias("ca"), F.count(F.lit(1)).alias("n")
+    )
+    rdf, _n = R.ranked(
+        g, [F.asc("value")], rn_col=None, cumsum_cols={"n": "cum_n"}
+    )
+    m = rdf.agg(
+        F.sum(
+            F.col("ca")
+            * (2 * (F.col("cum_n") - F.col("n")) + F.col("n") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("n") * F.col("n") * F.col("n") - F.col("n")
+        ).alias("ties"),
+    )
+    tot = ev.agg(
+        F.sum(is_a).alias("na"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("nb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    r2a, ties = F.col("r2a"), F.col("ties")
+    nn = na + nb
+    var = (
+        na.cast("double") * nb / 12.0
+        * ((nn + 1) - ties.cast("double") / (nn * (nn - 1.0)))
+    )
+    return m.crossJoin(F.broadcast(tot)).select(
+        na.cast("long").alias("n_click"),
+        nb.cast("long").alias("n_purchase"),
+        ((r2a - na * (na + 1)).cast("double") / 2).alias("u_click"),
+        F.round(
+            (r2a.cast("double") - na * (na + 1) - na.cast("double") * nb)
+            / (2 * F.sqrt(var)),
+            6,
+        ).alias("z_score"),
+    )

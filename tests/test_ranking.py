@@ -149,3 +149,44 @@ def test_empty_input(spark):
     assert n_total == 0
     assert out.count() == 0
     assert set(out.columns) == {"id", "amount", "rn", "cum"}
+
+
+def test_hot_key_splits_across_range_partitions(spark):
+    """The grouped-median claim: with a composite total order, range
+    partitioning splits a dominant first-key value across MANY
+    partitions (the tiebreak carries the boundaries), so no task holds
+    the whole hot group — unlike Window.partitionBy(hot_key)."""
+    n = 20_000
+    df = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, "HOT").otherwise(
+            F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+        ).alias("grp"),
+        F.col("id"),
+    )
+    nparts = 16
+    out, n_total = ranked(
+        df, [F.asc("grp"), F.asc("id")], rn_col="rn", num_partitions=nparts
+    )
+    assert n_total == n
+    # inspect the materialized range partitioning via the same pid
+    # mechanism the primitive uses internally
+    rp = df.repartitionByRange(nparts, F.asc("grp"), F.asc("id")).select(
+        F.spark_partition_id().alias("pid"), "grp"
+    )
+    sizes = {r["pid"]: r["n"] for r in rp.groupBy("pid").count().withColumnRenamed("count", "n").collect()}
+    hot_parts = {
+        r["pid"]
+        for r in rp.filter(F.col("grp") == "HOT").select("pid").distinct().collect()
+    }
+    # 95% of rows are HOT: they must spread over most partitions, and
+    # no partition may hold more than ~2x the ideal share
+    assert len(hot_parts) >= nparts // 2
+    assert max(sizes.values()) <= 2 * (n // nparts)
+    # and the ranks are still the exact global ranks
+    w = Window.orderBy(F.asc("grp"), F.asc("id"))
+    expect = {
+        r["id"]: r["r"]
+        for r in df.select("id", F.row_number().over(w).alias("r")).collect()
+    }
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    assert got == expect

@@ -546,3 +546,38 @@ def near_dup_flag_stream(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
             F.col("id").alias("doc_id"), "band", "bucket", "base_id"
         )
     )
+
+
+def json_props_stream(
+    events: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming semi-structured extraction: parse the events.props
+    JSON bag with a typed ``from_json`` schema inside the stream and
+    aggregate the extracted field per (window, event_type) — the
+    streaming twin of the batch events_props_json_stats query
+    (identical parse expression, so a schema change can't silently
+    diverge the two paths). Parsing is scan-side JVM work (malformed
+    rows → NULL, never a failed batch); state is the windowed
+    aggregate only, bounded by the watermark."""
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", k.alias("k"))
+        .groupBy(F.window("ts", width), F.col("event_type"))
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("int").alias("k_min"),
+            F.max("k").cast("int").alias("k_max"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "event_type",
+            "n_with_k",
+            "k_sum",
+            "k_min",
+            "k_max",
+        )
+    )

@@ -957,3 +957,54 @@ class TestTransformWithState:
         assert r["session_end_sec"] == ns(10, 10) // 1_000_000_000
         assert r["n_events"] == 3
         assert abs(r["total_value"] - 3.0) < 1e-9
+
+
+class TestJsonPropsStream:
+    def test_stream_json_extraction_equals_batch_twin(
+        self, spark, batch_events
+    ):
+        """Windowed typed-JSON aggregates from the stream must equal the
+        same computation over the bounded batch input."""
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            json_props_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            json_props_stream(stream), "t_json_props", spark
+        ).collect()
+        assert len(got) > 0
+
+        k = F.from_json(F.col("props"), "k int")["k"]
+        twin = (
+            batch_events.select("ts", "event_type", k.alias("k"))
+            .groupBy(
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 21600000000"
+                ).alias("wb"),
+                "event_type",
+            )
+            .agg(
+                F.count("k").alias("n_with_k"),
+                F.sum("k").cast("long").alias("k_sum"),
+                F.min("k").cast("int").alias("k_min"),
+                F.max("k").cast("int").alias("k_max"),
+            )
+            .select(
+                (F.col("wb") * 21600).alias("window_start_sec"),
+                "event_type",
+                "n_with_k",
+                "k_sum",
+                "k_min",
+                "k_max",
+            )
+            .collect()
+        )
+
+        def key(rows):
+            return sorted(tuple(r) for r in rows)
+
+        assert key(got) == key(twin)

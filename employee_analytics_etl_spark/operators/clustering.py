@@ -100,12 +100,23 @@ def kmeans_fit(
     that iteration (pre-update), so the list is non-increasing by
     Lloyd's argument: the update step can only lower the summed
     squared distance for the fixed assignment, and the next assignment
-    can only lower it further."""
+    can only lower it further.
+
+    One corpus scan per iteration (r4): inertia is recovered
+    ALGEBRAICALLY from the same partial sums the centroid update needs
+    — Σ|x−c_a(x)|² = Σ|x|² − 2·Σ_k c_k·S_k + Σ_k n_k·|c_k|², where
+    S_k/n_k are the per-cluster vector sums/counts and Σ|x|² is an
+    iteration-independent constant computed once up front. Previously
+    each iteration ran a SECOND full assignment pass just to sum
+    per-row min-distances; same quantity, half the scans. The parsed
+    (id, vector) projection is pinned with a lazy localCheckpoint so
+    the parquet read + array cast also happen once, not per scan (the
+    100 TB analogue is persisting the projected vectors)."""
     import numpy as np
 
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     # k-means++ seeding on a deterministic sample: hash-order by id and
     # take the first `sample_n` (TakeOrdered — a top-k, not a full
     # sort), then D²-sample seeds in numpy with a fixed generator.
@@ -130,15 +141,18 @@ def kmeans_fit(
         seeds.append(sample[rng.choice(len(sample), p=d2 / total)])
     centroids = np.stack(seeds)
     dim = centroids.shape[1]
+    # Σ|x|² — iteration-independent, one scan, DECIMAL-snapped sum
+    sq_total = float(
+        vecs.select(
+            F.expr(
+                "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"
+            ).alias("sq")
+        )
+        .agg(F.sum(F.col("sq").cast("decimal(28,10)")).cast("double"))
+        .collect()[0][0]
+    )
     inertia: list[float] = []
     for _ in range(iters):
-        assigned = vecs.mapInPandas(
-            _assign_kernel(centroids), "id long, cluster int, min_d double"
-        )
-        it_inertia = assigned.agg(
-            F.sum(F.col("min_d").cast("decimal(28,10)")).cast("double")
-        ).collect()[0][0]
-        inertia.append(float(it_inertia))
         partial = vecs.mapInPandas(
             _partial_sums_kernel(centroids, dim),
             "cluster int, dim_idx int, psum double, pcount long",
@@ -151,16 +165,26 @@ def kmeans_fit(
             )
             .collect()
         )
-        new_c = centroids.copy()
+        sums = np.zeros((k, dim), dtype="float64")
         counts = np.zeros(k, dtype="int64")
         for r in totals:
-            if r["n"] > 0:
-                # n is the cluster's total row count (repeated per dim)
-                new_c[r["cluster"], r["dim_idx"]] = r["s"] / r["n"]
-                counts[r["cluster"]] = r["n"]
-        # empty clusters keep their previous centroid
-        nz = counts > 0
-        centroids = np.where(nz[:, None], new_c, centroids)
+            sums[r["cluster"], r["dim_idx"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        # inertia against the PRE-update centroids, from the identity
+        inertia.append(
+            float(
+                sq_total
+                - 2.0 * (centroids * sums).sum()
+                + (counts * (centroids * centroids).sum(axis=1)).sum()
+            )
+        )
+        new_c = np.divide(
+            sums,
+            counts[:, None],
+            out=centroids.copy(),
+            where=counts[:, None] > 0,  # empty clusters keep their centroid
+        )
+        centroids = new_c
     return centroids, inertia
 
 

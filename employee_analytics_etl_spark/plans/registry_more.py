@@ -2558,3 +2558,100 @@ def events_mannwhitney_click_purchase(
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "events_max_concurrent_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx,
+             MIN(us) // 1000000 AS start_sec,
+             MAX(us) // 1000000 AS end_sec
+      FROM numbered GROUP BY user_id, session_idx
+    ),
+    bounds AS (
+      SELECT start_sec AS t, 1 AS delta, user_id, session_idx FROM sessions
+      UNION ALL
+      SELECT end_sec AS t, -1 AS delta, user_id, session_idx FROM sessions
+    ),
+    swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM bounds
+    ),
+    mx AS (SELECT MAX(conc) AS max_conc FROM swept)
+    SELECT CAST((SELECT COUNT(*) FROM sessions) AS BIGINT) AS n_sessions,
+           CAST(mx.max_conc AS BIGINT) AS max_concurrent,
+           CAST((SELECT MIN(t) FROM swept, mx WHERE conc = mx.max_conc)
+                AS BIGINT) AS first_peak_epoch_sec
+    FROM mx
+    """,
+)
+def events_max_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sweep-line interval concurrency: the peak number of
+    simultaneously-active sessions and when it first occurs — the
+    capacity-planning question (licenses, connection pools, autoscale
+    ceilings) that interval data exists to answer, and an operator
+    class (interval algebra) the registry didn't cover yet.
+
+    Classic sweep: every session contributes (+1 at start, −1 at end,
+    inclusive ends so a start ties BEFORE an end at the same second),
+    and concurrency is the running sum of deltas under the total order
+    (t, delta desc, user, session). That global cumulative runs
+    through the range-partitioned prefix-sum primitive
+    (operators/ranking.py) — boundary rows are 2×sessions
+    (dimension-scale), and no single task ever holds the sweep. The
+    peak and its first timestamp are exact integer aggregates."""
+    from ..operators import ranking as R
+    from ..operators import windows as W
+
+    sessions = W.sessionize(
+        t(spark, sf_dir, "events"), "ts", "user_id", "event_id", 1800, "value"
+    ).select("user_id", "session_idx", "session_start_sec", "session_end_sec")
+    bounds = sessions.select(
+        F.col("session_start_sec").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    ).unionByName(
+        sessions.select(
+            F.col("session_end_sec").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    swept, n_bounds = R.ranked(
+        bounds,
+        [F.asc("t"), F.desc("delta"), F.asc("user_id"), F.asc("session_idx")],
+        rn_col=None,
+        cumsum_cols={"delta": "conc"},
+    )
+    swept = swept.localCheckpoint(eager=False)  # feeds max + first-peak
+    mx = swept.agg(F.max("conc").alias("max_conc"))
+    peak = (
+        swept.join(F.broadcast(mx), F.col("conc") == F.col("max_conc"))
+        .agg(F.min("t").alias("first_peak"))
+    )
+    return (
+        mx.crossJoin(peak)
+        .select(
+            F.lit(n_bounds // 2).cast("long").alias("n_sessions"),
+            F.col("max_conc").cast("long").alias("max_concurrent"),
+            F.col("first_peak").cast("long").alias("first_peak_epoch_sec"),
+        )
+    )

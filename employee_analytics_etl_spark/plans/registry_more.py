@@ -2655,3 +2655,168 @@ def events_max_concurrent_sessions(
             F.col("first_peak").cast("long").alias("first_peak_epoch_sec"),
         )
     )
+
+
+@query(
+    "lineitem_weighted_median_price",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS price,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM lineitem
+    ),
+    tot AS (SELECT SUM(CAST(l_quantity AS BIGINT)) AS tw FROM lineitem)
+    SELECT CAST(tot.tw AS BIGINT) AS total_weight,
+           (SELECT CAST(MIN(price) AS DOUBLE) FROM ranked, tot
+             WHERE 2 * cw >= tot.tw) AS weighted_median_price
+    FROM tot
+    """,
+)
+def lineitem_weighted_median_price(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT weighted median (price weighted by quantity) — the
+    inventory-style "half the unit volume sits below this price"
+    statistic, which no percentile sketch answers exactly and a naive
+    SQL window computes with a single-task sort. The weight cumsum
+    rides the range-partitioned prefix-sum primitive under the total
+    order (price, orderkey, linenumber); the median is the least value
+    whose cumulative weight reaches half the total, selected by the
+    exact integer comparison 2·cw ≥ W (quantities are integral)."""
+    from ..operators import ranking as R
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    rdf, _n = R.ranked(
+        li,
+        [F.asc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        rn_col=None,
+        cumsum_cols={"w": "cw"},
+    )
+    tot = li.agg(F.sum("w").alias("tw"))
+    med = (
+        rdf.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .agg(F.min("price").alias("m"))
+    )
+    return tot.crossJoin(med).select(
+        F.col("tw").cast("long").alias("total_weight"),
+        F.col("m").cast("double").alias("weighted_median_price"),
+    )
+
+
+@query(
+    "events_system_active_time",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx,
+             MIN(us) // 1000000 AS start_sec,
+             MAX(us) // 1000000 AS end_sec
+      FROM numbered GROUP BY user_id, session_idx
+    ),
+    bounds AS (
+      SELECT start_sec AS t, 1 AS delta, user_id, session_idx FROM sessions
+      UNION ALL
+      SELECT end_sec AS t, -1 AS delta, user_id, session_idx FROM sessions
+    ),
+    swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc,
+             ROW_NUMBER() OVER (ORDER BY t, delta DESC, user_id, session_idx)
+               AS rn
+      FROM bounds
+    ),
+    segs AS (
+      SELECT a.t AS t0, b.t AS t1, a.conc
+      FROM swept a JOIN swept b ON b.rn = a.rn + 1
+    )
+    SELECT
+      CAST(SUM(CASE WHEN conc > 0 THEN t1 - t0 ELSE 0 END) AS BIGINT)
+        AS busy_seconds,
+      CAST(SUM(CASE WHEN conc = 0 AND t1 > t0 THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        AS n_busy_periods
+    FROM segs
+    """,
+)
+def events_system_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval UNION length: total seconds during which at least one
+    session is active anywhere in the system, plus the number of
+    merged busy periods — the utilization/coverage complement of the
+    peak-concurrency sweep (events_max_concurrent_sessions): the same
+    +1/−1 boundary stream, but integrating 1{conc > 0} over time
+    instead of taking max(conc).
+
+    The global "next boundary" lookahead that SQL writes as
+    LEAD()/rn+1 over an unpartitioned window is expressed at scale as
+    the ranking primitive's exact row_number + ONE equi-join of rn on
+    rn+1 (hash-balanced — consecutive ranks land in arbitrary
+    partitions) — the general recipe for global lag/lead without a
+    single-task sort. Busy-period count = gaps at conc 0 with positive
+    width, + 1 (boundary rows are closed intervals; zero-width gaps
+    merge their neighbors)."""
+    from ..operators import ranking as R
+    from ..operators import windows as W
+
+    sessions = W.sessionize(
+        t(spark, sf_dir, "events"), "ts", "user_id", "event_id", 1800, "value"
+    ).select("user_id", "session_idx", "session_start_sec", "session_end_sec")
+    bounds = sessions.select(
+        F.col("session_start_sec").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_idx",
+    ).unionByName(
+        sessions.select(
+            F.col("session_end_sec").alias("t"),
+            F.lit(-1).alias("delta"),
+            "user_id",
+            "session_idx",
+        )
+    )
+    swept, _n = R.ranked(
+        bounds,
+        [F.asc("t"), F.desc("delta"), F.asc("user_id"), F.asc("session_idx")],
+        rn_col="rn",
+        cumsum_cols={"delta": "conc"},
+    )
+    swept = swept.select("t", "conc", "rn").localCheckpoint(eager=False)
+    nxt = swept.select(
+        (F.col("rn") - 1).alias("rn"), F.col("t").alias("t1")
+    )
+    segs = swept.join(nxt, "rn")
+    return segs.agg(
+        F.sum(
+            F.when(F.col("conc") > 0, F.col("t1") - F.col("t")).otherwise(0)
+        )
+        .cast("long")
+        .alias("busy_seconds"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("conc") == 0) & (F.col("t1") > F.col("t")), 1
+                ).otherwise(0)
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("n_busy_periods"),
+    )

@@ -2820,3 +2820,267 @@ def events_system_active_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_busy_periods"),
     )
+
+
+@query(
+    "orders_fd_profile",
+    oracle="""
+    WITH fd1 AS (
+      SELECT COUNT(*) AS n_viol FROM (
+        SELECT o_custkey FROM orders
+        GROUP BY o_custkey HAVING COUNT(DISTINCT o_orderpriority) > 1
+      )
+    ),
+    fd2 AS (
+      SELECT COUNT(*) AS n_viol FROM (
+        SELECT o_orderdate FROM orders
+        GROUP BY o_orderdate HAVING COUNT(DISTINCT o_orderstatus) > 1
+      )
+    ),
+    fd3 AS (
+      SELECT COUNT(*) AS n_viol FROM (
+        SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(DISTINCT o_orderdate) > 1
+      )
+    )
+    SELECT fd AS candidate_fd, CAST(n_viol AS BIGINT) AS n_violating_lhs,
+           n_viol = 0 AS holds
+    FROM (
+      SELECT 'o_custkey->o_orderpriority' AS fd, n_viol FROM fd1
+      UNION ALL SELECT 'o_orderdate->o_orderstatus', n_viol FROM fd2
+      UNION ALL SELECT 'o_orderkey->o_orderdate', n_viol FROM fd3
+    )
+    """,
+)
+def orders_fd_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery probe: for candidate FDs A → B,
+    count left-hand-side values that map to MORE than one B — the
+    schema-profiling primitive behind normalization advice and silent
+    denormalization-drift alarms (an FD that held yesterday and broke
+    today means an upstream join or backfill went wrong). Each check
+    is one groupBy(A) with a distinct-count HAVING — map-side
+    combinable, one shuffle per FD on dimension-sized keys; the three
+    candidates exercise holds-trivially (the key), holds-or-not
+    (date→status), and definitely-fails (custkey→priority)."""
+    o = t(spark, sf_dir, "orders")
+
+    def check(lhs: str, rhs: str) -> DataFrame:
+        return (
+            o.groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("_nd"))
+            .filter(F.col("_nd") > 1)
+            .agg(F.count(F.lit(1)).alias("n_viol"))
+            .select(
+                F.lit(f"{lhs}->{rhs}").alias("candidate_fd"),
+                F.col("n_viol").cast("long").alias("n_violating_lhs"),
+                (F.col("n_viol") == 0).alias("holds"),
+            )
+        )
+
+    return (
+        check("o_custkey", "o_orderpriority")
+        .unionByName(check("o_orderdate", "o_orderstatus"))
+        .unionByName(check("o_orderkey", "o_orderdate"))
+    )
+
+
+@query(
+    "orders_key_candidate_profile",
+    oracle="""
+    SELECT col AS column_name, CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_rows AS BIGINT) AS n_rows, n_distinct = n_rows AS is_unique_key
+    FROM (
+      SELECT 'o_orderkey' AS col, COUNT(DISTINCT o_orderkey) AS n_distinct,
+             COUNT(*) AS n_rows FROM orders
+      UNION ALL
+      SELECT 'o_custkey', COUNT(DISTINCT o_custkey), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', COUNT(DISTINCT o_orderdate), COUNT(*) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus), COUNT(*) FROM orders
+    )
+    """,
+)
+def orders_key_candidate_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Key-candidate discovery: per-column distinct count vs row count
+    — the uniqueness face of table profiling (which columns COULD be a
+    primary key; how far from unique are the rest). All four columns
+    profile in ONE scan: count + four count_distincts in a single
+    aggregate (Spark expands multiple exact distinct aggregates; at
+    100 TB you'd swap approx_count_distinct per column — the HLL
+    rollup pattern — and keep this exact form for the final
+    verification pass on candidates)."""
+    o = t(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("d_key"),
+        F.countDistinct("o_custkey").alias("d_cust"),
+        F.countDistinct("o_orderdate").alias("d_date"),
+        F.countDistinct("o_orderstatus").alias("d_status"),
+    )
+    rows = [
+        ("o_orderkey", "d_key"),
+        ("o_custkey", "d_cust"),
+        ("o_orderdate", "d_date"),
+        ("o_orderstatus", "d_status"),
+    ]
+    out = None
+    for name, col in rows:
+        piece = agg.select(
+            F.lit(name).alias("column_name"),
+            F.col(col).cast("long").alias("n_distinct"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            (F.col(col) == F.col("n_rows")).alias("is_unique_key"),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out
+
+
+@query(
+    "lineitem_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sq,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS spp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sqq,
+        CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sdd,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS spq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS spd,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sqd
+      FROM lineitem
+    )
+    SELECT pair, round((n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS pearson_r
+    FROM (
+      SELECT 'price~quantity' AS pair, n, spq AS sxy, sp AS sx, sq AS sy,
+             spp AS sxx, sqq AS syy FROM m
+      UNION ALL
+      SELECT 'price~discount', n, spd, sp, sd, spp, sdd FROM m
+      UNION ALL
+      SELECT 'quantity~discount', n, sqd, sq, sd, sqq, sdd FROM m
+    )
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the numeric lineitem
+    measures — the one-pass profiling companion to the per-pair OLS
+    trend: ALL nine moment sums (Σx, Σx², Σxy for three columns) ride
+    ONE map-side-combined aggregate over one scan, and each r is a
+    closed form of exact inputs. Determinism recipe: every moment is a
+    DECIMAL product of width-matched casts (2dp price × integer qty ×
+    2dp discount — exact, accumulation-order independent), so the only
+    IEEE work is the final normalization, rounded to 9 dp."""
+    li = t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(4,0)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(p * q).cast("double").alias("spq"),
+        F.sum(p * d).cast("double").alias("spd"),
+        F.sum(q * d).cast("double").alias("sqd"),
+    )
+
+    def r(pair, sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx)) * F.sqrt(
+            n * F.col(syy) - F.col(sy) * F.col(sy)
+        )
+        return m.select(
+            F.lit(pair).alias("pair"),
+            F.round(num / den, 9).alias("pearson_r"),
+        )
+
+    return (
+        r("price~quantity", "spq", "sp", "sq", "spp", "sqq")
+        .unionByName(r("price~discount", "spd", "sp", "sd", "spp", "sdd"))
+        .unionByName(r("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd"))
+    )
+
+
+@query(
+    "orders_quantile_sketch_eval",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_totalprice AS price,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    n AS (SELECT COUNT(*) AS n FROM orders),
+    p AS (SELECT UNNEST([50, 90, 99]) AS pct)
+    SELECT CAST(p.pct AS INT) AS pct,
+           CAST(r.price AS DOUBLE) AS exact_price,
+           TRUE AS sketch_rank_ok
+    FROM p CROSS JOIN n
+    JOIN ranked r ON r.rn = (p.pct * n.n + 99) // 100
+    """,
+)
+def orders_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation loop for approx_percentile: the
+    EXACT percentiles (hash-checked, from the ranking primitive) side
+    by side with a boolean asserting the sketch's documented rank
+    guarantee — the returned value's rank lies within n/accuracy of
+    the target rank (Greenwald-Khanna bound, accuracy=1000). Closes
+    the same eval loop as knn_ivf_recall_eval: the engine measures its
+    own approximation against exact ground truth it computed at scale
+    (the exact side costs two balanced passes, no single-task sort).
+    Rank bracketing uses strict/inclusive counts vs the sketch values
+    (one conditional aggregate; sketch values are a bounded 1-row
+    collect), so ties cannot produce a false failure."""
+    from ..operators import ranking as R
+
+    accuracy = 1000
+    pcts = (50, 90, 99)
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rdf, n = R.ranked(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], rn_col="rn"
+    )
+    rdf = rdf.localCheckpoint(eager=False)  # feeds exact rows + rank counts
+    approx = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [p / 100 for p in pcts], accuracy
+        ).alias("ap")
+    ).collect()[0]["ap"]
+    tol = n / accuracy + 1
+    pieces = []
+    for pct, av in zip(pcts, approx):
+        target = (pct * n + 99) // 100
+        brackets = rdf.agg(
+            F.sum((F.col("o_totalprice") < float(av)).cast("long")).alias("r_lo"),
+            F.sum((F.col("o_totalprice") <= float(av)).cast("long")).alias("r_hi"),
+        )
+        exact = rdf.filter(F.col("rn") == target).select(
+            F.col("o_totalprice").cast("double").alias("exact_price")
+        )
+        pieces.append(
+            exact.crossJoin(F.broadcast(brackets)).select(
+                F.lit(pct).cast("int").alias("pct"),
+                "exact_price",
+                (
+                    (F.col("r_hi") >= F.lit(target - tol))
+                    & (F.col("r_lo") <= F.lit(target + tol))
+                ).alias("sketch_rank_ok"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out

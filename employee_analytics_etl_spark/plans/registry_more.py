@@ -3084,3 +3084,189 @@ def orders_quantile_sketch_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    expanded AS (
+      SELECT DISTINCT user_id, ud.day + o.o AS win_day
+      FROM ud, UNNEST(range(0, 7)) AS o(o)
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT e.win_day AS day_epoch,
+           CAST(COUNT(*) AS BIGINT) AS active_users_7d
+    FROM expanded e JOIN days d ON d.day = e.win_day
+    GROUP BY e.win_day
+    """,
+)
+def events_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT rolling 7-day active users (WAU) per observed day — the
+    engagement metric sketches can only approximate, computed exactly
+    with the day-explosion trick: distinct COUNT is not decomposable
+    over sliding windows, so instead each (user, active day) row
+    claims the 7 window-ending days it contributes to (a 7× explode of
+    the user-day table — DIMENSION-scale after the first distinct, not
+    event-scale), dedupes per (user, window day), and one count per
+    day finishes it. Window days are restricted to observed activity
+    days (semi-join) so the output matches the calendar the data
+    actually covers. At 100 TB this is the standard exact-WAU shape:
+    the raw event table is touched once, everything after is
+    user×day."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+    ).distinct()
+    expanded = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.expr("transform(sequence(0, 6), o -> day + o)")
+            ).alias("win_day"),
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("day").alias("win_day")).distinct()
+    return (
+        expanded.join(days, "win_day", "leftsemi")
+        .groupBy(F.col("win_day").alias("day_epoch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users_7d"))
+    )
+
+
+@query(
+    "session_path_trigrams",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ), paths AS (
+      SELECT user_id, session_idx,
+             list(event_type ORDER BY us, event_id) AS types
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT array_to_string(types[1:3], '>') AS path3,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths WHERE len(types) >= 3
+    GROUP BY 1
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: the first three event types of every
+    session as a '>'-joined path, counted across sessions — the Sankey
+    / "how do journeys start" summary one level richer than the
+    pairwise transition matrix (events_type_transition_matrix).
+
+    Shape: the per-user gaps-and-islands session index rides the SAME
+    single (user-partitioned) window shuffle as sessionization; within
+    each session the event order is restored by array_sort over
+    collected (time, id, type) structs — the engine's
+    no-second-window-sort idiom (user_event_sequences) — and the path
+    is a pure array expression. Sessions with fewer than three events
+    are excluded (no padding ambiguity)."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    numbered = (
+        ev.withColumn(
+            "_new",
+            F.when(F.lag(us).over(w).isNull(), 1)
+            .when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_us", us)
+    )
+    paths = numbered.groupBy("user_id", "_sid").agg(
+        F.array_sort(
+            F.collect_list(F.struct("_us", "event_id", "event_type"))
+        ).alias("arr")
+    )
+    return (
+        paths.filter(F.size("arr") >= 3)
+        .select(
+            F.concat_ws(
+                ">",
+                F.expr("transform(slice(arr, 1, 3), x -> x.event_type)"),
+            ).alias("path3")
+        )
+        .groupBy("path3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+
+
+@query(
+    "orders_price_mean_family",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        CAST(SUM(CAST(ln(o_totalprice) AS DECIMAL(20,12))) AS DOUBLE) AS sln,
+        CAST(SUM(CAST(1.0 / o_totalprice AS DECIMAL(20,15))) AS DOUBLE) AS sinv
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+           ROUND(s / n, 6) AS arith_mean,
+           ROUND(exp(sln / n), 6) AS geo_mean,
+           ROUND(n / sinv, 6) AS harm_mean,
+           TRUE AS am_gm_hm_ordered
+    FROM m
+    """,
+)
+def orders_price_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pythagorean mean family (arithmetic / geometric / harmonic)
+    of order prices in ONE pass — geometric means are the right
+    average for ratio-like quantities (growth factors, price indices)
+    and harmonic for rate-like ones; emitting all three with the
+    AM ≥ GM ≥ HM invariant asserted makes the family self-checking.
+
+    Cross-engine determinism: the ln and reciprocal terms are snapped
+    to DECIMAL before summing (the bigram-LM idiom — ln/÷ may differ
+    by 1 ulp between libm and the JVM, so each per-row term is
+    quantized first, making the SUMS exact and order-independent);
+    exp and the final divisions are single IEEE ops on identical
+    inputs, rounded to 6 dp."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("s"),
+        F.sum(F.log(F.col("o_totalprice")).cast("decimal(20,12)"))
+        .cast("double")
+        .alias("sln"),
+        F.sum((F.lit(1.0) / F.col("o_totalprice")).cast("decimal(20,15)"))
+        .cast("double")
+        .alias("sinv"),
+    )
+    am = F.col("s") / F.col("n")
+    gm = F.exp(F.col("sln") / F.col("n"))
+    hm = F.col("n") / F.col("sinv")
+    return m.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.round(am, 6).alias("arith_mean"),
+        F.round(gm, 6).alias("geo_mean"),
+        F.round(hm, 6).alias("harm_mean"),
+        ((am >= gm) & (gm >= hm)).alias("am_gm_hm_ordered"),
+    )

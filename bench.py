@@ -109,6 +109,10 @@ MULTIFILE_SUBSET = [
     "order_fulfillment_workload",
     "tpch_q18_large_orders",
     "top_customers_by_spend",
+    # r4: the heaviest ranking-primitive application — range-shuffles
+    # the full lineitem fact; the scan-parallel layout is exactly what
+    # its first pass benefits from
+    "lineitem_weighted_median_price",
 ]
 
 

@@ -3270,3 +3270,135 @@ def orders_price_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hm, 6).alias("harm_mean"),
         ((am >= gm) & (gm >= hm)).alias("am_gm_hm_ordered"),
     )
+
+
+@query(
+    "source_exact_dup_matrix",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT source, md5(text) AS content_md5 FROM documents
+    ),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    grid AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n
+      FROM h a JOIN h b
+        ON a.content_md5 = b.content_md5 AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT g.source_a, g.source_b,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_shared_contents
+    FROM grid g LEFT JOIN shared s
+      ON s.source_a = g.source_a AND s.source_b = g.source_b
+    """,
+)
+def source_exact_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source EXACT-duplicate matrix: how many distinct document
+    contents appear in both sources of each pair — the byte-identical
+    complement of the shingle-overlap matrix (source_overlap_matrix):
+    that one measures textual similarity, this one measures literal
+    mirroring (syndication, scraped copies), which drives "dedup
+    across sources before mixing" decisions.
+
+    Shape: distinct (source, content-hash) rows — 16-byte digests
+    shuffle, never bodies (the exact-dedup discipline) — then ONE
+    groupBy(hash) with a sorted pair-explode bounded by C(sources, 2)
+    per content; the full source-pair grid (sources number in the tens
+    at any corpus scale) is zero-filled so a clean corpus reports an
+    explicit all-zeros matrix rather than an empty result."""
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select(
+        "source", F.md5("text").alias("content_md5")
+    ).distinct()
+    pair_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"
+    )
+    shared = (
+        h.groupBy("content_md5")
+        .agg(F.array_sort(F.collect_list("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # pair grid via the same sorted pair-explode (zero joins): one
+    # array of the distinct sources → C(n_sources, 2) rows
+    grid = (
+        docs.select("source")
+        .distinct()
+        .agg(F.array_sort(F.collect_list("source")).alias("ss"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+    )
+    return grid.join(
+        F.broadcast(shared), ["source_a", "source_b"], "left"
+    ).select(
+        "source_a",
+        "source_b",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias(
+            "n_shared_contents"
+        ),
+    )
+
+
+@query(
+    "customer_balance_frame_profile",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+      first_value(c_acctbal) OVER w AS nation_min_bal,
+      last_value(c_acctbal) OVER
+        (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS nation_max_bal,
+      nth_value(c_acctbal, 2) OVER
+        (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS nation_2nd_bal,
+      CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,2))) OVER
+        (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS DOUBLE)
+        AS trailing3_avg
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def customer_balance_frame_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window-FRAME API surface: first_value / last_value / nth_value
+    with explicit ROWS frames plus a bounded trailing average — the
+    frame semantics every BI tool generates and the registry's window
+    family hadn't pinned yet (last_value is the classic trap: its
+    DEFAULT frame ends at CURRENT ROW, so the unbounded-following
+    frame must be explicit or it silently returns the current row).
+    All windows are PARTITIONED by nation (≤25 balanced groups of the
+    customer dimension); the trailing average re-enters DECIMAL so the
+    3-term mean is exact before the final round."""
+    c = t(spark, sf_dir, "customer")
+    order = [F.asc("c_acctbal"), F.asc("c_custkey")]
+    w = Window.partitionBy("c_nationkey").orderBy(*order)
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_trail = w.rowsBetween(-2, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.first("c_acctbal").over(w).alias("nation_min_bal"),
+        F.last("c_acctbal").over(w_full).alias("nation_max_bal"),
+        F.nth_value("c_acctbal", 2).over(w_full).alias("nation_2nd_bal"),
+        F.round(
+            F.avg(F.col("c_acctbal").cast("decimal(18,2)")).over(w_trail), 6
+        )
+        .cast("double")
+        .alias("trailing3_avg"),
+    )

@@ -3402,3 +3402,138 @@ def customer_balance_frame_profile(
         .cast("double")
         .alias("trailing3_avg"),
     )
+
+
+@query(
+    "nation_balance_unpivot",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        CAST(MIN(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS min_bal,
+        CAST(MAX(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal
+      FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, measure, value FROM g
+    UNPIVOT (value FOR measure IN (total_bal, min_bal, max_bal))
+    """,
+)
+def nation_balance_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt) — the inverse of the pivot surface
+    (pivot_status_qty): per-nation balance aggregates melted into
+    (measure, value) rows, the shape metric stores and charting
+    layers ingest. Spark-side this is ``stack()`` over the ≤25-row
+    aggregate (a pure projection — the melt itself is free at any
+    scale; only the upstream aggregate touches data)."""
+    c = t(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey").agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_bal"),
+        F.min(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("min_bal"),
+        F.max(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("max_bal"),
+    )
+    return g.select(
+        "c_nationkey",
+        F.expr(
+            "stack(3, 'total_bal', total_bal, 'min_bal', min_bal, "
+            "'max_bal', max_bal) AS (measure, value)"
+        ),
+    )
+
+
+@query(
+    "priority_bag_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderpriority AS p FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    ),
+    b AS (
+      SELECT o_orderpriority AS p FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1998-01-01'
+    ),
+    i AS (SELECT p FROM a INTERSECT ALL SELECT p FROM b),
+    e AS (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+    SELECT p AS priority, op, CAST(n AS BIGINT) AS n_rows FROM (
+      SELECT p, 'intersect_all' AS op, COUNT(*) AS n FROM i GROUP BY p
+      UNION ALL
+      SELECT p, 'except_all', COUNT(*) FROM e GROUP BY p
+    )
+    """,
+)
+def priority_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET semantics of INTERSECT ALL / EXCEPT ALL — the
+    duplicate-preserving set operators (min(m_a, m_b) and
+    max(m_a − m_b, 0) per value) that the distinct-only D-family
+    queries (EXCEPT, semi/anti joins) don't exercise; SQL engines
+    implement them with dedicated multiplicity logic, so pinning the
+    per-value row counts against the oracle guards the engine's
+    ``intersectAll``/``exceptAll`` paths. Both inputs are the
+    priority column of a date-split fact scan (5 distinct values,
+    huge multiplicities — the worst case for multiplicity
+    bookkeeping)."""
+    o = t(spark, sf_dir, "orders")
+    pre = F.col("o_orderdate").cast("date") < "1998-01-01"
+    a = o.filter(pre).select(F.col("o_orderpriority").alias("priority"))
+    b = o.filter(~pre).select(F.col("o_orderpriority").alias("priority"))
+    i = (
+        a.intersectAll(b)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("priority", F.lit("intersect_all").alias("op"), "n")
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("priority", F.lit("except_all").alias("op"), "n")
+    )
+    return i.unionByName(e).select(
+        "priority", "op", F.col("n").cast("long").alias("n_rows")
+    )
+
+
+@query(
+    "events_props_map_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT j.key AS prop_key,
+             CAST(j.value AS BIGINT) AS prop_value
+      FROM (
+        SELECT UNNEST(json_keys(props)) AS k, props FROM events
+      ) t,
+      LATERAL (SELECT t.k AS key, json_extract_string(t.props, '$.' || t.k)
+               AS value) j
+    )
+    SELECT prop_key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(prop_value) AS BIGINT) AS value_sum,
+           CAST(COUNT(DISTINCT prop_value) AS BIGINT) AS n_distinct_values
+    FROM kv GROUP BY prop_key
+    """,
+)
+def events_props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON property bag as an UNTYPED
+    ``map<string,string>`` (the schema-free alternative to the typed
+    struct in events_props_json_stats — right when producers add keys
+    without coordination) and profile every key that occurs:
+    occurrence count, value sum, distinct values. ``from_json`` to a
+    map + ``explode`` of the entries keeps parsing scan-side and
+    null-safe; the profile is ONE aggregate per observed key, so new
+    upstream keys appear in monitoring automatically instead of
+    requiring a schema change."""
+    ev = t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json(F.col("props"), "map<string,string>")).alias(
+            "prop_key", "_v"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("_v").cast("long")).cast("long").alias("value_sum"),
+        F.countDistinct(F.col("_v").cast("long")).alias("n_distinct_values"),
+    )

@@ -3537,3 +3537,138 @@ def events_props_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_v").cast("long")).cast("long").alias("value_sum"),
         F.countDistinct(F.col("_v").cast("long")).alias("n_distinct_values"),
     )
+
+
+@query(
+    "user_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2)) * (next_us - us) AS wv,
+             next_us - us AS w
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(SUM(w) // 1000000 AS BIGINT) AS observed_seconds,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 6)
+             AS twap_value
+    FROM seg GROUP BY user_id HAVING SUM(w) > 0
+    """,
+)
+def user_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP — the finance /
+    monitoring standard when samples arrive irregularly: each reading
+    holds until the next one, so it weighs by its holding duration,
+    not by sample count). One lead() window under the total order
+    (ts, event_id) — the same single user-keyed shuffle as
+    sessionization — then exact integral arithmetic: duration is
+    integer epoch-micros, value·duration is DECIMAL×integer (exact,
+    order-independent), and the final TWAP is one IEEE division of
+    identical operands. Users with zero observed span (a single
+    event) are excluded rather than emitting 0/0."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        us.alias("us"),
+        F.lead(us).over(w).alias("next_us"),
+    ).filter(F.col("next_us").isNotNull())
+    seg = seq.select(
+        "user_id",
+        (F.col("v") * (F.col("next_us") - F.col("us"))).alias("wv"),
+        (F.col("next_us") - F.col("us")).alias("w"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(F.sum("wv").alias("swv"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "user_id",
+            F.expr("sw DIV 1000000").cast("long").alias("observed_seconds"),
+            F.round(
+                F.col("swv").cast("double") / F.col("sw").cast("double"), 6
+            ).alias("twap_value"),
+        )
+    )
+
+
+@query(
+    "orders_price_moments",
+    oracle="""
+    WITH x AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 0.00001
+                  AS DECIMAL(8,7)) AS x
+      FROM orders
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s1,
+             CAST(SUM(x * x) AS DOUBLE) AS s2,
+             CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+      FROM x
+    )
+    SELECT CAST(n AS BIGINT) AS n_orders,
+      ROUND(100000 * s1 / n, 6) AS mean_price,
+      ROUND(100000 * sqrt((s2 - s1 * s1 / n) / n), 6) AS pop_stddev,
+      ROUND((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n
+            / pow((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness,
+      ROUND((s4 - 4 * s1 * s3 / n + 6 * s1 * s1 * s2 / (n * n)
+             - 3 * s1 * s1 * s1 * s1 / (n * n * n)) / n
+            / pow((s2 - s1 * s1 / n) / n, 2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profile (mean / population stddev /
+    skewness / excess kurtosis) of order prices in ONE pass — the
+    moments that tell a cost model whether a column is symmetric,
+    heavy-tailed, or outlier-dominated before it picks a histogram or
+    sketch. Scale-invariance trick for exactness: prices are shifted
+    by an exact decimal power-of-ten factor (×10⁻⁵, a pure scale
+    change) so x⁴ stays inside DECIMAL(38) — all four power sums are
+    then exact and order-independent in BOTH engines, skewness and
+    kurtosis are scale-free (the factor cancels), and mean/stddev are
+    rescaled back by the same constant. Only the closed-form
+    normalization is IEEE, rounded to 6 dp."""
+    o = t(spark, sf_dir, "orders")
+    x = (
+        F.col("o_totalprice").cast("decimal(12,2)")
+        * F.lit("0.00001").cast("decimal(6,5)")
+    ).cast("decimal(8,7)")
+    src = o.select(x.alias("x"))
+    m = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).cast("double").alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    var = (s2 - s1 * s1 / n) / n
+    skew = (s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (n * n)) / n / F.pow(
+        var, 1.5
+    )
+    kurt = (
+        s4
+        - 4 * s1 * s3 / n
+        + 6 * s1 * s1 * s2 / (n * n)
+        - 3 * s1 * s1 * s1 * s1 / (n * n * n)
+    ) / n / F.pow(var, 2) - 3
+    return m.select(
+        n.cast("long").alias("n_orders"),
+        F.round(100000 * s1 / n, 6).alias("mean_price"),
+        F.round(100000 * F.sqrt(var), 6).alias("pop_stddev"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )

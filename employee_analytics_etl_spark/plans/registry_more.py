@@ -3672,3 +3672,118 @@ def orders_price_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     )
+
+
+_WEDGES_SQL = """
+    we AS (
+      SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+             CAST(MIN(l1.l_quantity + l2.l_quantity) AS BIGINT) AS w
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      WHERE l1.l_orderkey % 4 = 0
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT u AS src, v AS dst, w FROM we
+      UNION ALL SELECT v AS src, u AS dst, w FROM we
+    ),
+    s AS (SELECT MIN(u) AS src FROM we)
+"""
+
+
+def _sssp_oracle_ctes(rounds: int) -> str:
+    parts = ["d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS d FROM s)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT node, MIN(d) AS d FROM ("
+            f"SELECT node, d FROM d{r - 1} "
+            f"UNION ALL "
+            f"SELECT sym.dst AS node, p.d + sym.w AS d "
+            f"FROM d{r - 1} p JOIN sym ON sym.src = p.node"
+            f") GROUP BY node)"
+        )
+    return ",\n    ".join(parts)
+
+
+_SSSP_ROUNDS = 4
+
+
+@query(
+    "graph_sssp_weighted_histogram",
+    oracle=f"""
+    WITH {_WEDGES_SQL},
+    {_sssp_oracle_ctes(_SSSP_ROUNDS)}
+    SELECT d AS distance, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM d{_SSSP_ROUNDS} GROUP BY d
+    """,
+)
+def graph_sssp_weighted_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted single-source shortest paths (bounded Bellman-Ford):
+    distances from the lowest co-purchased part over the WEIGHTED
+    co-purchase graph (edge weight = minimum combined quantity of any
+    order containing both parts — integer, data-derived, exact), after
+    4 synchronous relaxation rounds. "Distance after R rounds" =
+    cheapest path using ≤R edges — a well-defined quantity whether or
+    not the graph has converged, which is what makes the unrolled-CTE
+    oracle exact (the fixed-iteration discipline shared by pagerank /
+    LPA / k-core; BFS is the unweighted special case, this adds the
+    min-plus semiring).
+
+    Per round: ONE equi-join of the frontier against the checkpointed
+    symmetric edge table + ONE min-aggregate — no driver adjacency;
+    integer distances make every min exact in both engines. Output is
+    the distance histogram (compact, deterministic)."""
+    from ..operators import graph as G  # noqa: F401 — family anchor
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)  # q4-filtered graph, as BFS
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+    l1, l2 = li.alias("l1"), li.alias("l2")
+    we = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .groupBy(
+            F.col("l1.l_partkey").alias("u"), F.col("l2.l_partkey").alias("v")
+        )
+        .agg(
+            F.min(F.col("l1.l_quantity") + F.col("l2.l_quantity"))
+            .cast("long")
+            .alias("w")
+        )
+    )
+    sym = (
+        we.select(F.col("u").alias("src"), F.col("v").alias("dst"), "w")
+        .unionAll(we.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+        .localCheckpoint(eager=False)
+    )
+    # lazy 1-row source frame — no construction-time job
+    dist = sym.agg(F.min(F.least("src", "dst")).cast("long").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.withColumnRenamed("node", "src")
+            .join(sym, "src")
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("w")).alias("d"))
+        )
+        # no per-round checkpoint: rounds are FIXED and the query is
+        # ONE action, so the 4-round lineage executes once as a single
+        # pipelined plan (convergence-checked loops like
+        # connected_components need per-iteration checkpoints because
+        # every iteration runs its own action; this one doesn't) —
+        # only the 4x-referenced edge table is pinned
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return dist.groupBy(F.col("d").alias("distance")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

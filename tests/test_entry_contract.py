@@ -98,3 +98,25 @@ class TestQueryIndex:
             "QUERY_INDEX.md is stale — run `python tools/gen_query_index.py` "
             "and commit the result"
         )
+
+
+class TestUdfPolicy:
+    def test_no_row_at_a_time_python_udfs(self):
+        """§2.10 policy lock: the hot path never uses row-at-a-time
+        Python UDFs — every Python kernel must be an Arrow-batched
+        pandas_udf / mapInPandas / applyInPandas*. A plain F.udf( or
+        @udf anywhere in the package is a regression, not a style
+        choice (10-100x slower, breaks codegen)."""
+        import pathlib
+        import re
+
+        pkg = pathlib.Path(__file__).resolve().parent.parent / (
+            "employee_analytics_etl_spark"
+        )
+        offenders = []
+        pat = re.compile(r"(?<![A-Za-z_.])(F\.udf\(|udf\(lambda|@udf\b)")
+        for py in pkg.rglob("*.py"):
+            for i, line in enumerate(py.read_text().splitlines(), 1):
+                if pat.search(line):
+                    offenders.append(f"{py.name}:{i}: {line.strip()[:80]}")
+        assert not offenders, offenders

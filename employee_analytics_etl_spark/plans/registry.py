@@ -1383,14 +1383,34 @@ def approx_quantile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope (±n/accuracy ranks, widened by 1 rank for boundary
     conventions). DuckDB verifies the exact quantiles and expects the
     bounds checks to be TRUE — a hash mismatch means either the exact
-    values diverged or the sketch violated its error contract."""
+    values diverged or the sketch violated its error contract.
+
+    Scale shape (r4): the exact ranks come from the global ranking
+    primitive on the COMPOSITE order (status, price, orderkey) with
+    3-row per-group offsets — PARTITION BY a 3-value status column
+    would put a third of the fact on one task each (the
+    few-huge-groups trap). The rank values are unchanged: ranking is
+    by price within status, and the value AT a rank is well-defined
+    under ties regardless of tiebreak. The sketch side is a hash
+    AGGREGATE (map-side partials), never a window."""
     acc = 10_000
     eps = 1.0 / acc
-    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    wn = Window.partitionBy("o_orderstatus")
-    ranked = o.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    from ..operators import ranking as R
+
+    rdf, _nt = R.ranked(
+        o,
+        [F.asc("o_orderstatus"), F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rn_col="_rn",
+    )
+    rdf = rdf.localCheckpoint(eager=False)  # feeds group stats + rank picks
+    g = rdf.groupBy("o_orderstatus").agg(
+        F.min("_rn").alias("_rn0"), F.count(F.lit(1)).alias("n")
+    )
+    ranked = rdf.join(F.broadcast(g), "o_orderstatus").withColumn(
+        "rn", F.col("_rn") - F.col("_rn0") + 1
     )
 
     def pick(rank_expr):

@@ -1306,20 +1306,33 @@ def doc_pack_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     context-window pack (4096 chars here) by running size within its
     source shard — the deterministic streaming-concat approximation of
     bin packing that training pipelines actually use (greedy global
-    bin packing is order-dependent and unparallelizable). Partitioning
-    the running sum BY SOURCE is the scale decision: one window sort
-    per shard instead of a single global ORDER BY (which would funnel
-    100 TB through one task). Integer arithmetic throughout, exact in
-    both engines."""
-    docs = t(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bin packing is order-dependent and unparallelizable).
+
+    Scale shape (r4): a PARTITION BY source window is still one task
+    per source shard — a handful of corpus-scale sorts. Instead the
+    GLOBAL prefix sum over the composite order (source, doc_id) runs
+    through the range-partitioned ranking primitive (balanced at any
+    source skew), and each source's local running size is recovered
+    arithmetically: base(source) = min(global_cum − n_chars) over the
+    source (the global cum just before its first row), local cum =
+    global cum − base — exact integers, one tiny broadcast join. The
+    projection to (doc_id, source, n_chars) happens BEFORE the
+    primitive, so the underlying scan still never reads text."""
+    from ..operators import ranking as R
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rdf, _n = R.ranked(
+        docs,
+        [F.asc("source"), F.asc("doc_id")],
+        rn_col=None,
+        cumsum_cols={"n_chars": "gcum"},
     )
-    with_cum = docs.select(
-        "doc_id", "source", "n_chars",
-        F.sum("n_chars").over(w).alias("cum"),
+    rdf = rdf.localCheckpoint(eager=False)  # feeds per-source base + output
+    base = rdf.groupBy("source").agg(
+        F.min(F.col("gcum") - F.col("n_chars")).alias("_base")
+    )
+    with_cum = rdf.join(F.broadcast(base), "source").withColumn(
+        "cum", F.col("gcum") - F.col("_base")
     )
     start = F.col("cum") - F.col("n_chars")
     pack = F.floor(start / 4096.0)

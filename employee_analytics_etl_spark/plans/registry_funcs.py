@@ -731,16 +731,39 @@ def orders_price_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed over an identical TOTAL order in both engines — the exact
     integer-ratio formulas then match bit-for-bit (single IEEE
     division). Completes the ranking-family surface next to
-    rank/dense_rank/ntile (acctbal queries)."""
-    o = t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy(
-        "o_totalprice", "o_orderkey"
+    rank/dense_rank/ntile (acctbal queries).
+
+    Scale shape (r4): o_orderstatus has 3 values, so PARTITION BY
+    status puts a third of the fact table on ONE task each — the
+    few-huge-groups trap (orders_priority_exact_median). Instead the
+    global ranking primitive ranks the COMPOSITE order (status, price,
+    orderkey) across balanced range partitions, and the per-group rank
+    is recovered as rn − min(rn per group) + 1 via a 3-row broadcast
+    join; the ratios are then identical to the window forms because
+    the total order makes rank ≡ row_number."""
+    from ..operators import ranking as R
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    return o.select(
+    rdf, _n = R.ranked(
+        o,
+        [F.asc("o_orderstatus"), F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rn_col="_rn",
+    )
+    rdf = rdf.localCheckpoint(eager=False)  # feeds group stats + output
+    g = rdf.groupBy("o_orderstatus").agg(
+        F.min("_rn").alias("_rn0"), F.count(F.lit(1)).alias("_cnt")
+    )
+    lrn = (F.col("_rn") - F.col("_rn0") + 1).cast("double")
+    n = F.col("_cnt").cast("double")
+    return rdf.join(F.broadcast(g), "o_orderstatus").select(
         "o_orderkey",
         "o_orderstatus",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        F.when(F.col("_cnt") > 1, (lrn - 1) / (n - 1))
+        .otherwise(F.lit(0.0))
+        .alias("pr"),
+        (lrn / n).alias("cd"),
     )
 
 

@@ -25,16 +25,66 @@ from .registry import query, t
     """,
 )
 def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark ``percentile`` ≡ DuckDB
-    ``quantile_cont``). At 100 TB prefer ``percentile_approx`` — exact
-    percentile needs a per-group sort; the approx variant is the
-    default scale path (see approx_distinct_parts for the pattern)."""
-    orders = t(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
-        F.min("o_totalprice").alias("min_price"),
-        F.max("o_totalprice").alias("max_price"),
+    """Exact INTERPOLATED percentiles per status (≡ DuckDB
+    ``quantile_cont``: 0-based position h = (n−1)·q, value =
+    v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1] − v[⌊h⌋])).
+
+    Scale shape (r4): Spark's ``percentile()`` aggregate buffers every
+    group's value multiset in the agg buffer — a memory bomb for
+    3 huge status groups — and a PARTITION BY window is the
+    few-huge-groups trap. Instead per-group ranks come from the global
+    ranking primitive on (status, price, orderkey), the two bracketing
+    rows per percentile are picked by exact integer rank comparison,
+    and the interpolation is the same closed-form IEEE expression both
+    engines evaluate on identical operands."""
+    from ..operators import ranking as R
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    rdf, _n = R.ranked(
+        orders,
+        [F.asc("o_orderstatus"), F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rn_col="_rn",
+    )
+    rdf = rdf.localCheckpoint(eager=False)
+    g = rdf.groupBy("o_orderstatus").agg(
+        F.min("_rn").alias("_rn0"), F.count(F.lit(1)).alias("cnt")
+    )
+    j = rdf.join(F.broadcast(g), "o_orderstatus").withColumn(
+        "lrn", F.col("_rn") - F.col("_rn0") + 1
+    )
+
+    def interp(q: float, out: str):
+        h = (F.col("cnt") - 1) * F.lit(q)  # 0-based fractional position
+        lo = F.floor(h)  # exact: cnt < 2^53
+        v_lo = F.max(
+            F.when(F.col("lrn") == lo + 1, F.col("o_totalprice"))
+        )
+        v_hi = F.max(
+            F.when(
+                F.col("lrn") == F.least(lo + 2, F.col("cnt")),
+                F.col("o_totalprice"),
+            )
+        )
+        # the exact lerp FORM matters at the ulp level: both DuckDB's
+        # quantile_cont and Spark's percentile() evaluate
+        # a·(1−f) + b·f (verified empirically; a + f·(b−a) differs in
+        # the last ~1e3 ulps and would break the hash gate)
+        frac = h - lo
+        return (
+            v_lo * (F.lit(1.0) - frac) + F.coalesce(v_hi, v_lo) * frac
+        ).alias(out)
+
+    return (
+        j.groupBy("o_orderstatus", "cnt")
+        .agg(
+            interp(0.5, "median_price"),
+            interp(0.9, "p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .drop("cnt")
     )
 
 

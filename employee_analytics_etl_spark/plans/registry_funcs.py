@@ -1461,7 +1461,15 @@ def funnel_hours_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     latch per user (two BIGINTs of state), so the event fact shuffles
     once regardless of stage count; the latency summary then reduces
     user-level rows (|users| ≪ |events|). Exact integer microsecond
-    differences make the double division identical in both engines."""
+    differences make the double division identical in both engines.
+
+    Scale shape (r4): latency hours are CONTINUOUS, so the exact
+    ``percentile()`` aggregate would buffer one entry per distinct
+    value — effectively the whole converted-user dimension in one
+    buffer. The interpolated median/p90 instead come from the ranking
+    primitive over the checkpointed per-user latency table (rank
+    bracket + the a·(1−f)+b·f lerp both engines use — see
+    median_price_by_status)."""
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
@@ -1488,12 +1496,32 @@ def funnel_hours_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.col("f.t2").isNotNull())
     hours = latched.select(
-        ((F.col("f.t2") - F.col("f.t1")) / F.lit(3600e6)).alias("hours")
+        "user_id",
+        ((F.col("f.t2") - F.col("f.t1")) / F.lit(3600e6)).alias("hours"),
     )
-    return hours.agg(
+    from ..operators import ranking as R
+
+    rdf, n = R.ranked(
+        hours, [F.asc("hours"), F.asc("user_id")], rn_col="rn"
+    )
+    rdf = rdf.localCheckpoint(eager=False)  # feeds both quantile picks + stats
+
+    def interp(q: float, out: str):
+        h = (n - 1) * q  # python floats: exact n, same IEEE product
+        lo = int(h)
+        frac = h - lo
+        v_lo = F.max(F.when(F.col("rn") == lo + 1, F.col("hours")))
+        v_hi = F.max(
+            F.when(F.col("rn") == min(lo + 2, max(n, 1)), F.col("hours"))
+        )
+        return F.round(
+            v_lo * F.lit(1.0 - frac) + F.coalesce(v_hi, v_lo) * F.lit(frac), 6
+        ).alias(out)
+
+    return rdf.agg(
         F.count(F.lit(1)).cast("long").alias("n_converted"),
-        F.round(F.expr("percentile(hours, 0.5)"), 6).alias("median_hours"),
-        F.round(F.expr("percentile(hours, 0.9)"), 6).alias("p90_hours"),
+        interp(0.5, "median_hours"),
+        interp(0.9, "p90_hours"),
         F.round(F.avg("hours"), 6).alias("avg_hours"),
     )
 

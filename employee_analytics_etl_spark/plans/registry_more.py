@@ -3787,3 +3787,136 @@ def graph_sssp_weighted_histogram(
     return dist.groupBy(F.col("d").alias("distance")).agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@query(
+    "part_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS UNBOUNDED PRECEDING) AS cum_r
+      FROM rev
+    ),
+    tot AS (SELECT SUM(r) AS tr FROM rev),
+    classed AS (
+      SELECT CASE WHEN (cum_r - r) * 5 < tr * 4 THEN 'A'
+                  WHEN (cum_r - r) * 20 < tr * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class, r
+      FROM ranked, tot
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(r) AS DOUBLE) / (SELECT CAST(tr AS DOUBLE) FROM tot), 9)
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification — the operations-research staple
+    built on the Pareto cumulative: parts whose PRECEDING cumulative
+    revenue is under 80% of total are class A, under 95% class B, the
+    tail is C (using the exclusive prefix cum−r makes the first part
+    over each threshold still belong to the higher class — the
+    standard convention). The revenue cumulative runs over the PART
+    dimension through the range-partitioned prefix-sum primitive
+    (desc revenue, partkey tiebreak); class membership compares in
+    EXACT integer-scaled DECIMAL arithmetic ((cum−r)·5 < total·4,
+    (cum−r)·20 < total·19), so no float boundary can flip a part
+    between classes across engines."""
+    from ..operators import ranking as R
+
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
+    )
+    rdf, _n = R.ranked(
+        rev,
+        [F.desc("r"), F.asc("l_partkey")],
+        rn_col=None,
+        cumsum_cols={"r": "cum_r"},
+    )
+    tot = rev.agg(F.sum("r").alias("tr"))
+    prev = F.col("cum_r") - F.col("r")  # exclusive prefix
+    classed = rdf.crossJoin(F.broadcast(tot)).select(
+        F.when(prev * 5 < F.col("tr") * 4, "A")
+        .when(prev * 20 < F.col("tr") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tr",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("r").cast("double").alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.first("tr").cast("double"), 9
+        ).alias("revenue_share"),
+    )
+
+
+@query(
+    "discount_quantity_ols_by_priority",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority AS priority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(4,2))
+                    * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxy
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority
+    )
+    SELECT priority, CAST(n AS BIGINT) AS n_lines,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+)
+def discount_quantity_ols_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GROUPED least-squares: quantity-on-discount regression fitted
+    independently per order priority — the per-segment elasticity
+    screen ("does discounting move volume differently for urgent
+    orders?"), and the grouped form of the global OLS family
+    (events_value_trend_ols). The closed-form fit needs only the five
+    moment sums, all DECIMAL-exact (2dp discount × integer quantity)
+    and map-side combinable — per-group regression costs ONE
+    fact-to-dimension join + ONE aggregate at any group count, with no
+    per-group iteration anywhere. Slope and intercept are closed-form
+    IEEE on exact inputs, rounded to 6 dp."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_discount", "l_quantity"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    x = F.col("l_discount").cast("decimal(4,2)")
+    y = F.col("l_quantity").cast("decimal(4,0)")
+    m = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "priority",
+        n.cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -117,6 +117,8 @@ SCALAR_BNLJ_OK = {
     "lineitem_weighted_median_price",
     # 1-row exact-percentile row × 1-row rank-bracket aggregate (×3)
     "orders_quantile_sketch_eval",
+    # 1-row total-revenue broadcast onto the ranked part dimension
+    "part_abc_classification",
     # 1-row (sum, count) broadcast onto the hourly cumsum series
     "events_cusum_changepoint",
     # 1-row norm scalar broadcast onto the d-row eigenvector, 3×

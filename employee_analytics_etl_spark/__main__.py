@@ -5,6 +5,11 @@
     python -m employee_analytics_etl_spark transform  --raw-dir D
     python -m employee_analytics_etl_spark validate   --raw-dir D
     python -m employee_analytics_etl_spark report     --raw-dir D --out O
+
+plus the analytics front doors over a testdata directory:
+
+    python -m employee_analytics_etl_spark query --name tpch_q1_pricing_summary [--sf-dir D]
+    python -m employee_analytics_etl_spark sql -e "SELECT COUNT(*) FROM orders" [--sf-dir D]
 """
 
 from __future__ import annotations
@@ -18,12 +23,54 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="employee_analytics_etl_spark")
-    p.add_argument("command", choices=["run", "transform", "validate", "report"])
-    p.add_argument("--raw-dir", required=True, help="directory of <table>.csv inputs")
+    p.add_argument(
+        "command",
+        choices=["run", "transform", "validate", "report", "query", "sql"],
+    )
+    p.add_argument("--raw-dir", default=None, help="directory of <table>.csv inputs")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="parquet testdata dir for query/sql")
+    p.add_argument("--name", default=None, help="registry query name (query)")
+    p.add_argument("-e", "--expr", default=None, help="SQL text (sql)")
+    p.add_argument("--limit", type=int, default=20, help="rows to show (query/sql)")
     p.add_argument("--out", default="out", help="output directory")
     p.add_argument("--as-of", default="2025-12-29", help="pinned as_of date (ISO)")
     p.add_argument("--jdbc-url", default=None)
     args = p.parse_args(argv)
+
+    if args.command in ("query", "sql"):
+        from .plans import (  # noqa: F401 — imports register queries
+            registry,
+            registry_ext,
+            registry_funcs,
+            registry_more,
+        )
+        from .session import build_session
+        from .sources.readers import register_views
+
+        spark = build_session(app_name=f"eae-{args.command}")
+        if args.command == "query":
+            if args.name not in registry.QUERIES:
+                print(
+                    f"unknown query {args.name!r}; available: "
+                    + ", ".join(sorted(registry.QUERIES)),
+                    file=sys.stderr,
+                )
+                return 2
+            registry.QUERIES[args.name](spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
+        else:
+            if not args.expr:
+                print("sql requires -e/--expr", file=sys.stderr)
+                return 2
+            register_views(spark, args.sf_dir)
+            spark.sql(args.expr).show(args.limit, truncate=False)
+        return 0
+
+    if not args.raw_dir:
+        print(f"{args.command} requires --raw-dir", file=sys.stderr)
+        return 2
 
     from .config import PipelineConfig
     from .plans.pipeline import run_pipeline

@@ -144,3 +144,25 @@ def normalize_departments(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.withColumn("department_name", F.lit("Unknown"))
+
+
+TESTDATA_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=None) -> list[str]:
+    """Register the testdata tables as temp views so the engine is
+    usable from plain ``spark.sql`` — the SQL front door next to the
+    Python registry (same normalized readers, so ``events.ts`` is a
+    proper timestamp in SQL too). Missing tables are skipped silently
+    (partial datasets stay usable); returns the registered names."""
+    registered = []
+    for tb in tables or TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{tb}.parquet")
+        if not os.path.exists(path):
+            continue
+        read_parquet_table(spark, sf_dir, tb).createOrReplaceTempView(tb)
+        registered.append(tb)
+    return registered

@@ -120,3 +120,28 @@ class TestUdfPolicy:
                 if pat.search(line):
                     offenders.append(f"{py.name}:{i}: {line.strip()[:80]}")
         assert not offenders, offenders
+
+
+class TestSqlFrontDoor:
+    def test_register_views_and_sql(self, spark):
+        """The SQL front door: temp views over the testdata tables with
+        the same normalized readers (events.ts must be a usable
+        timestamp in SQL, not a raw nanos long)."""
+        from employee_analytics_etl_spark.sources.readers import register_views
+
+        names = register_views(spark, SF_SMOKE)
+        assert set(names) == {
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        }
+        row = spark.sql(
+            """
+            SELECT c_mktsegment, COUNT(*) AS n
+            FROM customer GROUP BY c_mktsegment ORDER BY n DESC, c_mktsegment
+            """
+        ).first()
+        assert row["n"] > 0
+        ts = spark.sql("SELECT MIN(ts) AS t FROM events").first()["t"]
+        import datetime
+
+        assert isinstance(ts, datetime.datetime)  # normalized, not long

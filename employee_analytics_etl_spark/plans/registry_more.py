@@ -3920,3 +3920,85 @@ def discount_quantity_ols_by_priority(
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@query(
+    "events_seasonal_anomaly_hours",
+    oracle="""
+    WITH hourly AS (
+      SELECT epoch_us(ts) // 3600000000 AS hb,
+             SUM(CAST(value AS DECIMAL(18,2))) AS x
+      FROM events GROUP BY 1
+    ),
+    keyed AS (
+      SELECT hb, x,
+             CAST((hb // 24 + 4) % 7 AS INT) AS dow,
+             CAST(hb % 24 AS INT) AS hod
+      FROM hourly
+    ),
+    base AS (
+      SELECT dow, hod, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s,
+             CAST(SUM(x * x) AS DOUBLE) AS ss
+      FROM keyed GROUP BY dow, hod
+    ),
+    scored AS (
+      SELECT k.hb, k.dow, k.hod, CAST(k.x AS DOUBLE) AS x,
+             (CAST(k.x AS DOUBLE) - b.s / b.n)
+               / sqrt((b.ss - b.s * b.s / b.n) / b.n) AS z
+      FROM keyed k JOIN base b ON b.dow = k.dow AND b.hod = k.hod
+      WHERE b.n > 1 AND b.ss - b.s * b.s / b.n > 0
+    )
+    SELECT CAST(hb * 3600 AS BIGINT) AS hour_epoch_sec, dow, hod,
+           x AS hour_value, ROUND(z, 6) AS seasonal_z
+    FROM scored ORDER BY abs(z) DESC, hb LIMIT 10
+    """,
+)
+def events_seasonal_anomaly_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: each hour's total value
+    is z-scored against the baseline of the SAME (day-of-week,
+    hour-of-day) slot — the monitoring de-seasonalizer that stops
+    every Monday 9am from alerting just because weekends are quiet
+    (a plain global z-score conflates seasonality with anomaly; the
+    CUSUM/outlier family here assumes stationarity). Calendar keys are
+    pure integer epoch arithmetic (epoch day 0 = Thursday → +4 mod 7),
+    baselines are one 168-cell exact-moment aggregate broadcast back
+    onto the hourly rollup. Output is the TOP-10 hours by |z| under a
+    total order (a fixed-threshold cut like |z| ≥ 2 is unreachable
+    when each calendar slot holds only a handful of observations —
+    max |z| against an n-sample baseline is (n−1)/√n); degenerate
+    slots (n ≤ 1 or zero variance) are excluded explicitly."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hb")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("x"))
+    keyed = hourly.select(
+        "hb",
+        "x",
+        ((F.expr("hb DIV 24") + 4) % 7).cast("int").alias("dow"),
+        (F.col("hb") % 24).cast("int").alias("hod"),
+    )
+    base = keyed.groupBy("dow", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("ss"),
+    )
+    xd = F.col("x").cast("double")
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    z = (xd - mean) / F.sqrt(var)
+    return (
+        keyed.join(F.broadcast(base), ["dow", "hod"])
+        .filter((F.col("n") > 1) & (var > 0))
+        .select(
+            (F.col("hb") * 3600).cast("long").alias("hour_epoch_sec"),
+            "dow",
+            "hod",
+            xd.alias("hour_value"),
+            F.round(z, 6).alias("seasonal_z"),
+        )
+        .orderBy(F.abs(F.col("seasonal_z")).desc(), F.asc("hour_epoch_sec"))
+        .limit(10)
+    )

@@ -581,3 +581,32 @@ def json_props_stream(
             "k_max",
         )
     )
+
+
+def distinct_users_stream(
+    events: DataFrame,
+    width: str = "6 hours",
+    watermark: str = "2 hours",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Streaming windowed distinct users via approx_count_distinct
+    (HyperLogLog++) — EXACT windowed distinct counting in a stream
+    needs per-key state proportional to the distinct set, while the
+    HLL sketch is constant-size per window and mergeable across
+    micro-batches, which is why it's the streaming standard. Same
+    function and rsd on the batch twin, so stream == batch
+    cell-for-cell on bounded input (the sketch is deterministic for a
+    given value multiset)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "approx_users",
+            "n_events",
+        )
+    )

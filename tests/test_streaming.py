@@ -1008,3 +1008,43 @@ class TestJsonPropsStream:
             return sorted(tuple(r) for r in rows)
 
         assert key(got) == key(twin)
+
+
+class TestDistinctUsersStream:
+    def test_stream_hll_equals_batch_twin_and_bounds(self, spark, batch_events):
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            distinct_users_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            distinct_users_stream(stream), "t_hll_users", spark
+        ).collect()
+        assert len(got) > 0
+
+        twin = (
+            batch_events.groupBy(
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 21600000000"
+                ).alias("wb")
+            )
+            .agg(
+                F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.countDistinct("user_id").alias("exact_users"),
+            )
+            .collect()
+        )
+        twin_map = {
+            r["wb"] * 21600: (r["approx_users"], r["n_events"], r["exact_users"])
+            for r in twin
+        }
+        for r in got:
+            a, n, exact = twin_map[r["window_start_sec"]]
+            assert r["approx_users"] == a  # sketch ≡ batch sketch
+            assert r["n_events"] == n
+            # rsd=2%: generous 10% envelope vs exact at smoke scale
+            assert abs(r["approx_users"] - exact) <= max(2, 0.1 * exact)

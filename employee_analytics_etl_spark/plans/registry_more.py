@@ -4002,3 +4002,112 @@ def events_seasonal_anomaly_hours(
         .orderBy(F.abs(F.col("seasonal_z")).desc(), F.asc("hour_epoch_sec"))
         .limit(10)
     )
+
+
+@query(
+    "sessions_bounce_rate_by_dow",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx, MIN(us) AS start_us, COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT CAST((start_us // 86400000000 + 4) % 7 AS INT) AS dow,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate
+    FROM sessions GROUP BY 1
+    """,
+)
+def sessions_bounce_rate_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by day of week: the share of single-event sessions
+    per session-start weekday — the engagement-quality slice product
+    teams watch next to session counts (a traffic spike that is all
+    bounces is a bot or a broken page, not growth). Rides the single
+    sessionization shuffle; the weekday key is integer epoch-day
+    arithmetic (epoch day 0 = Thursday → +4 mod 7, the seasonal-
+    anomaly convention) and the rate is one rounded division of exact
+    counts."""
+    from ..operators import windows as W
+
+    sessions = W.sessionize(
+        t(spark, sf_dir, "events"), "ts", "user_id", "event_id", 1800, "value"
+    )
+    dow = (
+        (F.expr("session_start_sec DIV 86400") + 4) % 7
+    ).cast("int").alias("dow")
+    bounce = (F.col("n_events") == 1).cast("long")
+    return (
+        sessions.select(dow, bounce.alias("b"))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("b").cast("long").alias("n_bounces"),
+            F.round(
+                F.sum("b").cast("double") / F.count(F.lit(1)), 6
+            ).alias("bounce_rate"),
+        )
+    )
+
+
+@query(
+    "order_to_ship_latency_monthly",
+    oracle="""
+    WITH first_ship AS (
+      SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_d
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lat AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(month(o_orderdate) AS INT) AS mo,
+             date_diff('day', CAST(o_orderdate AS DATE), ship_d) AS days
+      FROM orders JOIN first_ship ON l_orderkey = o_orderkey
+    )
+    SELECT yr, mo, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(days, 0.5) AS p50_days,
+           quantile_cont(days, 0.9) AS p90_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM lat GROUP BY yr, mo
+    """,
+)
+def order_to_ship_latency_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-first-ship latency percentiles per order month — the
+    supply-chain SLA trend (is fulfillment getting slower?). Latency
+    is an INTEGER day count bounded by the shipping horizon, so the
+    exact interpolated percentile aggregate is safe here: its buffer
+    holds one entry per DISTINCT value per group (≤ a few hundred day
+    values, regardless of row count) — the documented bounded-values
+    exception to the percentile-buffer rule that sent the continuous
+    latency queries through the ranking primitive. One fact
+    pre-aggregate (first ship per order), one fact-fact join on the
+    order key, one monthly aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_d")
+    )
+    o = t(spark, sf_dir, "orders")
+    lat = o.join(first_ship, o.o_orderkey == first_ship.l_orderkey).select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.datediff("ship_d", F.col("o_orderdate").cast("date")).alias("days"),
+    )
+    return lat.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr("percentile(days, 0.5)").alias("p50_days"),
+        F.expr("percentile(days, 0.9)").alias("p90_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )

@@ -50,7 +50,17 @@ def main() -> int:
     )
     from employee_analytics_etl_spark.session import build_session
 
-    spark = build_session(shuffle_partitions=8)
+    # SPARK_GRAFT_SELFCHECK_PARTS sweeps shuffle parallelism — results
+    # must be bit-identical at ANY partition count (the determinism
+    # invariant the DECIMAL/total-order/ranking-primitive idioms exist
+    # to guarantee)
+    import os as _os
+
+    spark = build_session(
+        shuffle_partitions=int(
+            _os.environ.get("SPARK_GRAFT_SELFCHECK_PARTS", "8")
+        )
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -4111,3 +4111,92 @@ def order_to_ship_latency_monthly(
         F.expr("percentile(days, 0.9)").alias("p90_days"),
         F.max("days").cast("long").alias("max_days"),
     )
+
+
+@query(
+    "events_new_vs_returning_daily",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events GROUP BY 1, 2
+    ),
+    first_day AS (SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id)
+    SELECT CAST(ud.day AS BIGINT) AS day_epoch,
+           CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS returning_users,
+           ROUND(CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS returning_share
+    FROM ud JOIN first_day f USING (user_id)
+    GROUP BY ud.day
+    """,
+)
+def events_new_vs_returning_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New vs returning daily actives — the growth-accounting split
+    every product dashboard leads with (is today's traffic acquisition
+    or retention?). A user is NEW on their first-ever active day and
+    RETURNING on every later one. Shape: the distinct user-day table
+    reduces the event fact once; first-active-day is a second
+    user-keyed aggregate of that dimension table; one equi-join on
+    user_id classifies every active day. All counts exact integers,
+    the share one rounded division."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000").alias(
+            "day"
+        ),
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    is_new = (F.col("day") == F.col("d0")).cast("long")
+    is_ret = (F.col("day") > F.col("d0")).cast("long")
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy(F.col("day").cast("long").alias("day_epoch"))
+        .agg(
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(is_ret).cast("long").alias("returning_users"),
+            F.round(
+                F.sum(is_ret).cast("double") / F.count(F.lit(1)), 6
+            ).alias("returning_share"),
+        )
+    )
+
+
+@query(
+    "order_basket_size_histogram",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(n_lines AS INT) AS basket_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_parts) AS BIGINT) AS total_distinct_parts
+    FROM per_order GROUP BY n_lines
+    """,
+)
+def order_basket_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Basket-size distribution: orders per line count, with the
+    distinct-part mass per bucket — the order-composition profile that
+    sizes the co-purchase graph (per-order pair fan-out is
+    C(basket, 2), so this histogram IS the graph-cost estimate) and
+    feeds promotion design. Two map-side-combined aggregates, fact
+    touched once."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return per_order.groupBy(
+        F.col("n_lines").cast("int").alias("basket_lines")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("n_parts").cast("long").alias("total_distinct_parts"),
+    )

@@ -35,11 +35,22 @@ so the offsets pass and the output plan see the SAME partitioning
 (range boundaries are sampled; recomputing the exchange in two separate
 jobs could legally draw different bounds).
 
-Replaces (r4): the unpartitioned windows formerly in
-``orders_revenue_gini``, ``orders_pareto_revenue``,
-``customer_rfm_segments``, ``orders_lorenz_deciles``,
-``acctbal_rank_profile`` and ``events_ks_click_purchase`` — see
-VERDICT.md r3 "What's wrong #1". Reference parity: the reference
+Replaces (r4) BOTH single-task window shapes:
+
+- every UNPARTITIONED window (the r3 verdict's six distribution
+  queries: gini, pareto, RFM, lorenz, acctbal rank profile, KS) and
+  the later global-order additions (exact/weighted percentiles,
+  Mann-Whitney midranks, sweep-line concurrency/union, ABC classes);
+- every FEW-HUGE-GROUPS ``PARTITION BY`` over a raw fact (3-value
+  order status, 5-value priority, per-source packing): rank on the
+  COMPOSITE total order (group, key...) — range partitioning splits a
+  hot group across partitions via the tiebreak — and recover the
+  per-group rank/cumulative arithmetically from a tiny broadcast of
+  per-group min-rank / base offsets.
+
+``tools/explain_audit.py`` fails any registry plan that regresses to
+an unpartitioned WindowExec outside the documented
+constant-cardinality allowlist. Reference parity: the reference
 computes ranks/quantiles with pandas ``rank``/``qcut`` on one node
 (reference: transform.py) — same semantics, distributed shape.
 """

@@ -710,14 +710,17 @@ def running_spend_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_nationkey, c_acctbal,
            CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS INT) AS bal_dense_rank,
            CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
                               ORDER BY c_acctbal DESC, c_custkey) AS INT) AS bal_rn
     FROM customer
     """,
 )
 def nation_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ranking window functions (rank with ties + total-ordered
-    row_number)."""
+    """Ranking window functions: gap-leaving rank, gap-free dense_rank
+    (both tie-sharing, so no tiebreak needed — value-determined), and
+    total-ordered row_number, side by side so the three tie semantics
+    are pinned against each other."""
     customer = t(spark, sf_dir, "customer")
     w_rank = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
     w_rn = Window.partitionBy("c_nationkey").orderBy(
@@ -726,6 +729,7 @@ def nation_acctbal_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey", "c_nationkey", "c_acctbal",
         F.rank().over(w_rank).alias("bal_rank"),
+        F.dense_rank().over(w_rank).alias("bal_dense_rank"),
         F.row_number().over(w_rn).alias("bal_rn"),
     )
 

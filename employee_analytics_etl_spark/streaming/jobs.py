@@ -610,3 +610,52 @@ def distinct_users_stream(
             "n_events",
         )
     )
+
+
+def run_foreach_batch_jdbc(
+    stream_df: DataFrame,
+    jdbc_options: dict,
+    checkpoint_dir: str,
+    spark: SparkSession | None = None,
+) -> None:
+    """Exactly-once STREAM → JDBC load via foreachBatch: each
+    micro-batch is stamped with its deterministic ``batch_id``, any
+    prior rows of that batch are DELETEd, then the batch appends —
+    (deterministic id × delete-before-insert) is the idempotence
+    recipe for non-transactional relational sinks, the JDBC analogue
+    of the ``batch_id=N`` overwrite directories in
+    ``run_foreach_batch_parquet``. A batch replayed after a crash
+    deletes its own torn rows first, so the table converges to
+    exactly-once regardless of where the failure landed; the
+    checkpoint decides WHICH batches replay.
+
+    This is the streaming version of the reference's MySQL load
+    (SURVEY S6) — same ``df.write.format("jdbc")`` path, driven by
+    Structured Streaming instead of a one-shot job."""
+    from ..sources.sinks import exec_jdbc_statement
+
+    table = jdbc_options["dbtable"]
+    url = jdbc_options["url"]
+    driver = jdbc_options.get("driver")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = spark or batch_df.sparkSession
+        bdf = batch_df.withColumn(
+            "batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        try:
+            exec_jdbc_statement(
+                s, url, f"DELETE FROM {table} WHERE batch_id = {batch_id}",
+                driver=driver,
+            )
+        except Exception:
+            pass  # first write: table does not exist yet
+        bdf.write.format("jdbc").options(**jdbc_options).mode("append").save()
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

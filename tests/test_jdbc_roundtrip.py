@@ -134,3 +134,40 @@ class TestJdbcRoundTrip:
         got = _read_back(spark, derby_url, "summary_dept_metrics")
         exp = {tuple(r) for r in out.collect()}
         assert {tuple(r) for r in got.collect()} == exp
+
+
+class TestStreamingJdbcSink:
+    def test_stream_to_jdbc_exactly_once(self, spark, derby_url, tmp_path_factory):
+        """Stream → Derby via foreachBatch with the delete-before-insert
+        idempotence recipe: a rerun on the same checkpoint must not
+        duplicate rows, and the table must hold exactly the batch
+        input."""
+        from employee_analytics_etl_spark.sources.readers import (
+            read_parquet_table,
+        )
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            run_foreach_batch_jdbc,
+        )
+        from tests.conftest import SF_SMOKE
+
+        ckpt = str(tmp_path_factory.mktemp("sjdbc_ckpt"))
+        opts = jdbc_write_options(
+            derby_url, "events_stream_load", user="app", password="",
+            truncate=False, driver=DERBY_DRIVER,
+        )
+        stream = build_events_stream(spark, SF_SMOKE).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        run_foreach_batch_jdbc(stream, opts, ckpt, spark=spark)
+        n_expected = read_parquet_table(spark, SF_SMOKE, "events").count()
+        got1 = _read_back(spark, derby_url, "events_stream_load")
+        assert got1.count() == n_expected
+        # rerun on the SAME checkpoint: committed batches don't replay
+        stream2 = build_events_stream(spark, SF_SMOKE).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        run_foreach_batch_jdbc(stream2, opts, ckpt, spark=spark)
+        got2 = _read_back(spark, derby_url, "events_stream_load")
+        assert got2.count() == n_expected
+        assert got2.select("event_id").distinct().count() == n_expected

@@ -4200,3 +4200,126 @@ def order_basket_size_histogram(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum("n_parts").cast("long").alias("total_distinct_parts"),
     )
+
+
+@query(
+    "nation_trade_balance",
+    oracle="""
+    WITH exports AS (
+      SELECT s.s_nationkey AS nk,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS exp_rev
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1
+    ),
+    imports AS (
+      SELECT c.c_nationkey AS nk,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS imp_rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1
+    )
+    SELECT n.n_nationkey, n.n_name AS nation_name,
+           CAST(COALESCE(e.exp_rev, 0) AS DOUBLE) AS supplied_revenue,
+           CAST(COALESCE(i.imp_rev, 0) AS DOUBLE) AS purchased_revenue,
+           CAST(COALESCE(e.exp_rev, 0) - COALESCE(i.imp_rev, 0) AS DOUBLE)
+             AS trade_balance
+    FROM nation n
+    LEFT JOIN exports e ON e.nk = n.n_nationkey
+    LEFT JOIN imports i ON i.nk = n.n_nationkey
+    """,
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue its suppliers SELL vs revenue
+    its customers BUY, and the net — the bilateral-volume companion
+    to TPC-H q7 reframed as each nation's surplus/deficit scalar.
+    Both sides aggregate the lineitem fact to nation grain BEFORE the
+    final join (supply side: one broadcast of the supplier dim;
+    demand side: the fact-fact orders join then a customer broadcast),
+    so the 25-row outer joins never touch facts; zero-filled so every
+    nation reports even with no activity. DECIMAL sums keep the
+    subtraction exact."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    exports = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk_e"))
+        .agg(F.sum(price).alias("exp_rev"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    imports = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk_i"))
+        .agg(F.sum(price).alias("imp_rev"))
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        n.join(exports, n.n_nationkey == F.col("nk_e"), "left")
+        .join(imports, n.n_nationkey == F.col("nk_i"), "left")
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("nation_name"),
+            F.coalesce("exp_rev", zero).cast("double").alias("supplied_revenue"),
+            F.coalesce("imp_rev", zero).cast("double").alias("purchased_revenue"),
+            (F.coalesce("exp_rev", zero) - F.coalesce("imp_rev", zero))
+            .cast("double")
+            .alias("trade_balance"),
+        )
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_suppliers,
+             CAST(SUM(r) AS DOUBLE) AS total,
+             CAST(SUM(r * r) AS DOUBLE) AS sum_sq,
+             CAST(MAX(r) AS DOUBLE) AS top_share_num
+      FROM rev
+    )
+    SELECT CAST(n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(10000 * sum_sq / (total * total), 6) AS hhi,
+           ROUND(CAST(1 AS DOUBLE) / n_suppliers * 10000, 6) AS hhi_uniform,
+           ROUND(top_share_num / total, 9) AS top_supplier_share
+    FROM m
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue —
+    the antitrust/market-structure scalar (Σ share², in the
+    conventional 0-10000 points scale; < 1500 unconcentrated, > 2500
+    highly concentrated), with the uniform-market floor (10000/n) and
+    the top supplier's share for context. One per-supplier DECIMAL
+    reduce; Σr and Σr² are exact (2dp × 2dp products), so HHI is a
+    single IEEE division of exact operands — the same one-pass moment
+    discipline as the Gini/moments family, measuring the SUPPLY side
+    where Gini measured customers."""
+    li = t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("r")
+    )
+    m = rev.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").cast("double").alias("total"),
+        F.sum(F.col("r") * F.col("r")).cast("double").alias("sum_sq"),
+        F.max("r").cast("double").alias("top"),
+    )
+    return m.select(
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.round(
+            10000 * F.col("sum_sq") / (F.col("total") * F.col("total")), 6
+        ).alias("hhi"),
+        F.round(
+            F.lit(1.0) / F.col("n_suppliers") * 10000, 6
+        ).alias("hhi_uniform"),
+        F.round(F.col("top") / F.col("total"), 9).alias("top_supplier_share"),
+    )

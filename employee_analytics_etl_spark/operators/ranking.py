@@ -101,6 +101,8 @@ def ranked(
     byproduct of the offsets pass — callers use it for ntile/percent
     expressions without another scan).
     """
+    if not order_by:
+        raise ValueError("ranked() requires a non-empty total order")
     spark = df.sparkSession
     cumsum_cols = cumsum_cols or {}
     nparts = num_partitions or int(

@@ -4323,3 +4323,110 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hhi_uniform"),
         F.round(F.col("top") / F.col("total"), 9).alias("top_supplier_share"),
     )
+
+
+@query(
+    "returned_revenue_monthly",
+    oracle="""
+    SELECT CAST(year(l_shipdate) AS INT) AS yr,
+           CAST(month(l_shipdate) AS INT) AS mo,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_revenue,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS returned_revenue,
+           ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+                 6) AS return_rate
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def returned_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly return-rate trend: share of shipped revenue flagged as
+    returned — the quality/ops health series a spike in which
+    triggers root-cause work (q10 finds WHO returns; this tracks
+    WHEN). One scan, one conditional DECIMAL aggregate per month, one
+    rounded division."""
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    zero = F.lit(0).cast("decimal(12,2)")
+    ret = F.when(F.col("l_returnflag") == "R", price).otherwise(zero)
+    return (
+        li.groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.sum(price).cast("double").alias("total_revenue"),
+            F.sum(ret).cast("double").alias("returned_revenue"),
+            F.round(
+                F.sum(ret).cast("double") / F.sum(price).cast("double"), 6
+            ).alias("return_rate"),
+        )
+    )
+
+
+@query(
+    "part_price_dispersion_topk",
+    oracle="""
+    WITH u AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+               AS unit
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    m AS (
+      SELECT l_partkey, COUNT(*) AS n,
+             CAST(SUM(CAST(unit AS DECIMAL(20,9))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(unit AS DECIMAL(20,9))
+                    * CAST(unit AS DECIMAL(20,9))) AS DOUBLE) AS ss
+      FROM u GROUP BY l_partkey HAVING COUNT(*) >= 3
+    )
+    SELECT l_partkey, CAST(n AS BIGINT) AS n_sales,
+           ROUND(s / n, 6) AS mean_unit_price,
+           ROUND(sqrt((ss - s * s / n) / n) / (s / n), 9) AS price_cv
+    FROM m
+    ORDER BY ROUND(sqrt((ss - s * s / n) / n) / (s / n), 9) DESC, l_partkey
+    LIMIT 15
+    """,
+)
+def part_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part price dispersion screen: the 15 parts whose unit price
+    varies most across sales (coefficient of variation = σ/μ) — the
+    pricing-anomaly shortlist (inconsistent discounting, data-entry
+    errors, grey-market resale). Unit price is an IEEE division of
+    identical operands in both engines, then snapped to DECIMAL(20,9)
+    BEFORE the per-part moment sums (the snap idiom) so σ/μ is a
+    closed form of exact inputs; parts with fewer than 3 sales are
+    excluded (a 1-2 sample σ is noise); top-15 under a total order
+    compiles to TakeOrdered — no global sort."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    unit = (
+        F.col("l_extendedprice").cast("double")
+        / F.col("l_quantity").cast("double")
+    ).cast("decimal(20,9)")
+    m = (
+        li.select("l_partkey", unit.alias("u"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").cast("double").alias("s"),
+            F.sum(F.col("u") * F.col("u")).cast("double").alias("ss"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    cv = F.sqrt((ss - s * s / n) / n) / (s / n)
+    return (
+        m.select(
+            "l_partkey",
+            n.cast("long").alias("n_sales"),
+            F.round(s / n, 6).alias("mean_unit_price"),
+            F.round(cv, 9).alias("price_cv"),
+        )
+        .orderBy(F.desc(F.round(cv, 9)), F.asc("l_partkey"))
+        .limit(15)
+    )

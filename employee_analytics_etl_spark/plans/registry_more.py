@@ -4430,3 +4430,92 @@ def part_price_dispersion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(cv, 9)), F.asc("l_partkey"))
         .limit(15)
     )
+
+
+@query(
+    "embedding_norm_profile",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             CAST(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  AS DECIMAL(20,12)) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+           CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+           ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 9) AS mean_norm,
+           CAST(SUM(CASE WHEN nrm BETWEEN 0.99 AND 1.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_unit,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM n
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-hygiene profile: the L2-norm distribution of the
+    embedding column (min/max/mean, near-unit count, zero-vector
+    count) — the pre-flight every cosine-similarity pipeline needs
+    (unnormalized or zero vectors silently corrupt cosine top-k and
+    k-means seeding). Per-row Σx² folds scan-side in array order
+    (identical left-to-right float sequence in both engines), the
+    norm snaps to DECIMAL(20,12) so the SUM of norms is exact and
+    order-independent, and the thresholds compare on the snapped
+    value — one scan, one aggregate, zero shuffles of vectors."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    ).cast("decimal(20,12)")
+    n = emb.select(nrm.alias("nrm"))
+    return n.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("nrm").cast("double").alias("min_norm"),
+        F.max("nrm").cast("double").alias("max_norm"),
+        F.round(F.sum("nrm").cast("double") / F.count(F.lit(1)), 9).alias(
+            "mean_norm"
+        ),
+        F.sum(F.col("nrm").between(0.99, 1.01).cast("long"))
+        .cast("long")
+        .alias("n_near_unit"),
+        F.sum((F.col("nrm") == 0).cast("long")).cast("long").alias("n_zero"),
+    )
+
+
+@query(
+    "events_dow_hod_heatmap",
+    oracle="""
+    SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+           CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the traffic-shape
+    dashboard staple and the BASELINE TABLE the seasonal anomaly
+    detector normalizes against (events_seasonal_anomaly_hours),
+    exposed as its own 168-cell output. Pure integer epoch arithmetic
+    for the calendar keys, one map-side-combined aggregate."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            ((F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000") + 4) % 7)
+            .cast("int")
+            .alias("dow"),
+            (F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000") % 24)
+            .cast("int")
+            .alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -4519,3 +4519,139 @@ def events_dow_hod_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "embedding_label_balance",
+    oracle="""
+    WITH c AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT SUM(n) AS total, MAX(n) AS mx, MIN(n) AS mn FROM c)
+    SELECT c.label, CAST(c.n AS BIGINT) AS n_vectors,
+           ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+           ROUND(CAST(t.mx AS DOUBLE) / t.mn, 6) AS imbalance_ratio
+    FROM c CROSS JOIN t
+    """,
+)
+def embedding_label_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance profile of the labeled embeddings: per-label
+    counts and shares plus the global max/min imbalance ratio repeated
+    on every row — the first thing to check before training or
+    stratified sampling on a labeled corpus (a 10:1 imbalance silently
+    dominates both). One aggregate + a 1-row broadcast; exact counts,
+    two rounded divisions."""
+    emb = t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    tt = c.agg(
+        F.sum("n").alias("total"), F.max("n").alias("mx"), F.min("n").alias("mn")
+    )
+    return c.crossJoin(F.broadcast(tt)).select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        F.round(F.col("mx").cast("double") / F.col("mn"), 6).alias(
+            "imbalance_ratio"
+        ),
+    )
+
+
+@query(
+    "token_pmi_collocations",
+    oracle="""
+    WITH tk AS (
+      SELECT DISTINCT doc_id, u.tok
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+            FROM documents) t, UNNEST(t.toks) AS u(tok)
+      WHERE length(u.tok) >= 3
+    ),
+    top20 AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok
+        ORDER BY df DESC, tok LIMIT 20
+      )
+    ),
+    pres AS (SELECT doc_id, tok FROM tk WHERE tok IN (SELECT tok FROM top20)),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    df AS (SELECT tok, COUNT(*) AS d FROM pres GROUP BY tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS nab
+      FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    )
+    SELECT p.tok_a, p.tok_b, CAST(p.nab AS BIGINT) AS n_docs_both,
+           CAST(CAST(ln(CAST(p.nab AS DOUBLE) * nd.n
+                        / (da.d * CAST(db.d AS DOUBLE)))
+                AS DECIMAL(28,6)) AS DOUBLE) AS pmi
+    FROM pairs p
+    JOIN df da ON da.tok = p.tok_a
+    JOIN df db ON db.tok = p.tok_b
+    CROSS JOIN nd
+    WHERE p.nab >= 5
+    """,
+)
+def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information between the
+    top-20 document-frequency tokens — PMI = ln(P(a,b)/(P(a)P(b)))
+    over document co-occurrence, the classic "which words travel
+    together" statistic behind phrase detection and topic seeds
+    (positive = attract, negative = repel).
+
+    Scale shape: the candidate vocabulary is TakeOrdered-top-20 FIRST
+    (deterministic df desc, tok asc), the presence table is a
+    broadcast semi-join of the distinct (doc, token) pairs against
+    those 20 tokens (≤ 20 rows/doc), and the pair join runs per doc_id
+    with fan-out ≤ C(20,2) — never a vocabulary-scale self-join. The
+    PMI argument is a ratio of exact integer counts (one IEEE double
+    in both engines); the log output snaps to DECIMAL(28,6) (the PSI
+    idiom, ln may differ 1 ulp between libm and the JVM). Pairs
+    co-occurring in fewer than 5 docs are dropped (PMI of rare pairs
+    is noise)."""
+    from ..operators import text as TX
+
+    docs = t(spark, sf_dir, "documents")
+    tk = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens_col("text")).alias("tok")
+        )
+        .filter(F.length("tok") >= 3)
+        .distinct()
+    )
+    top20 = (
+        tk.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(20)
+        .select("tok")
+    )
+    pres = tk.join(F.broadcast(top20), "tok", "leftsemi")
+    nd = docs.agg(F.countDistinct("doc_id").alias("n"))
+    df = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    a = pres.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = pres.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("doc_id") == F.col("doc_b")) & (F.col("tok_a") < F.col("tok_b")))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    da = df.select(F.col("tok").alias("tok_a"), F.col("d").alias("da"))
+    db = df.select(F.col("tok").alias("tok_b"), F.col("d").alias("db"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("nab").cast("long").alias("n_docs_both"),
+            F.log(
+                F.col("nab").cast("double")
+                * F.col("n")
+                / (F.col("da") * F.col("db").cast("double"))
+            )
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("pmi"),
+        )
+    )

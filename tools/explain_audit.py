@@ -119,6 +119,10 @@ SCALAR_BNLJ_OK = {
     "orders_quantile_sketch_eval",
     # 1-row total-revenue broadcast onto the ranked part dimension
     "part_abc_classification",
+    # 1-row (total, max, min) broadcast onto the label counts
+    "embedding_label_balance",
+    # 1-row distinct-doc count broadcast onto the ≤C(20,2) pair table
+    "token_pmi_collocations",
     # 1-row (sum, count) broadcast onto the hourly cumsum series
     "events_cusum_changepoint",
     # 1-row norm scalar broadcast onto the d-row eigenvector, 3×

@@ -4655,3 +4655,46 @@ def token_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pmi"),
         )
     )
+
+
+@query(
+    "orders_inverse_percentiles",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n FROM orders),
+    probes AS (SELECT UNNEST([50000.0, 150000.0, 300000.0]) AS probe)
+    SELECT CAST(probe AS DOUBLE) AS probe_price,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= probe)
+                AS BIGINT) AS n_at_or_below,
+           ROUND(CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= probe)
+                 AS DOUBLE) / n.n, 6) AS fraction_at_or_below
+    FROM probes CROSS JOIN n
+    """,
+)
+def orders_inverse_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVERSE percentiles (the CDF at given probe values): for each
+    reference price, what fraction of orders fall at or below it —
+    the quantile question asked backwards ("is $150k a big order?"),
+    which needs NO sort at all: one scan with one conditional count
+    per probe (map-side combinable), then three divisions. The exact
+    complement of the rank-based quantile family — quantiles map
+    fraction → value, this maps value → fraction."""
+    o = t(spark, sf_dir, "orders")
+    probes = [50000.0, 150000.0, 300000.0]
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("o_totalprice") <= p).cast("long")).alias(f"c{i}")
+            for i, p in enumerate(probes)
+        ],
+    )
+    out = None
+    for i, p in enumerate(probes):
+        piece = agg.select(
+            F.lit(p).cast("double").alias("probe_price"),
+            F.col(f"c{i}").cast("long").alias("n_at_or_below"),
+            F.round(F.col(f"c{i}").cast("double") / F.col("n"), 6).alias(
+                "fraction_at_or_below"
+            ),
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out

@@ -4698,3 +4698,66 @@ def orders_inverse_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out
+
+
+@query(
+    "supplier_scorecard_topk",
+    oracle="""
+    WITH per_supp AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS revenue,
+             COUNT(*) AS n_lines,
+             COUNT(DISTINCT l_partkey) AS n_parts,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name AS supplier_name, n.n_name AS nation_name,
+           CAST(p.revenue AS DOUBLE) AS revenue,
+           CAST(p.n_lines AS BIGINT) AS n_lines,
+           CAST(p.n_parts AS BIGINT) AS n_distinct_parts,
+           ROUND(CAST(p.n_returned AS DOUBLE) / p.n_lines, 6) AS return_rate,
+           CAST(s.s_acctbal AS DOUBLE) AS acctbal
+    FROM per_supp p
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ORDER BY p.revenue DESC, s.s_suppkey LIMIT 20
+    """,
+)
+def supplier_scorecard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier 360 scorecard: the top-20 suppliers by revenue with
+    their volume, assortment breadth, return rate, nation, and
+    balance in one row — the entity-level reporting shape
+    (vendor-management reviews) that composes one fact reduce with two
+    broadcast dimension joins. The fact aggregates FIRST (supplier
+    grain), so the joins and the TakeOrdered top-20 run on the
+    supplier dimension; DECIMAL revenue makes the ranking and the
+    tie-broken cut engine-identical."""
+    li = t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_parts").cast("long").alias("n_distinct_parts"),
+            F.round(
+                F.col("n_returned").cast("double") / F.col("n_lines"), 6
+            ).alias("return_rate"),
+            F.col("s_acctbal").cast("double").alias("acctbal"),
+            F.col("revenue").alias("_r"),
+        )
+        .orderBy(F.desc("_r"), F.asc("s_suppkey"))
+        .limit(20)
+        .drop("_r")
+    )

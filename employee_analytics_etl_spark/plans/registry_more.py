@@ -4761,3 +4761,71 @@ def supplier_scorecard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("_r")
     )
+
+
+@query(
+    "session_entry_conversion",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_idx,
+             (list(event_type ORDER BY us, event_id))[1] AS entry_type,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM numbered GROUP BY user_id, session_idx
+    )
+    SELECT entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate
+    FROM sessions GROUP BY entry_type
+    """,
+)
+def session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session ENTRY event: do sessions that open
+    with a view convert to a purchase more often than ones opening
+    with a click/search? — the landing-experience question funnels
+    can't answer without session attribution. The entry event is
+    min_by under the (time, id) total order riding the single
+    sessionization shuffle; conversion is a boolean max per session;
+    rates are one rounded division of exact counts per entry type."""
+    ev = t(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    numbered = (
+        ev.withColumn(
+            "_new",
+            F.when(F.lag(us).over(w).isNull(), 1)
+            .when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "_sid",
+            F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_us", us)
+    )
+    sessions = numbered.groupBy("user_id", "_sid").agg(
+        F.min_by(
+            "event_type", F.struct(F.col("_us"), F.col("event_id"))
+        ).alias("entry_type"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias(
+            "converted"
+        ),
+    )
+    return sessions.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        F.round(
+            F.sum("converted").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+    )

@@ -222,6 +222,12 @@ def kcore_degrees(
     sets are node-dimension-scale and lazily checkpointed to truncate
     the iterative lineage. No adjacency ever sits on the driver.
     """
+    if rounds < 1:
+        raise ValueError(
+            f"kcore_degrees needs rounds >= 1, got {rounds}: the result "
+            "is the survivor degrees of the final peeling round, which "
+            "does not exist before the first round has run"
+        )
     ed = (
         edges_canonical.select(F.col(u_col).alias("src"), F.col(v_col).alias("dst"))
         .unionAll(

@@ -138,6 +138,34 @@ def exec_jdbc_statement(
         conn.close()
 
 
+def jdbc_table_exists(
+    spark, url: str, table: str, driver: str | None = None
+) -> bool:
+    """True iff ``table`` is queryable over a direct JDBC connection
+    (``SELECT 1 ... WHERE 1=0`` probe — touches metadata only, reads no
+    rows). Lets callers distinguish "table not created yet" from every
+    other JDBC failure (connection drop, lock timeout, permissions),
+    which must NOT be conflated: an idempotent delete-before-append
+    sink that swallows a failed DELETE as if the table were merely
+    absent would append on top of torn rows and break exactly-once."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(f"SELECT 1 FROM {table} WHERE 1 = 0")
+            rs.close()
+            return True
+        except Exception:
+            return False
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
 def write_text_report(text: str, path: str) -> None:
     """Driver-side text report sink (reference scripts/reporting.py:120-123)."""
     import os

@@ -632,24 +632,31 @@ def run_foreach_batch_jdbc(
     This is the streaming version of the reference's MySQL load
     (SURVEY S6) — same ``df.write.format("jdbc")`` path, driven by
     Structured Streaming instead of a one-shot job."""
-    from ..sources.sinks import exec_jdbc_statement
+    from ..sources.sinks import exec_jdbc_statement, jdbc_table_exists
 
     table = jdbc_options["dbtable"]
     url = jdbc_options["url"]
     driver = jdbc_options.get("driver")
+    # Memoized existence probe: once the table is seen, the pre-append
+    # DELETE runs UNGUARDED — a delete that fails for any real reason
+    # (connection drop, lock timeout, permissions) must fail the
+    # micro-batch so the checkpoint replays it, NOT be swallowed as if
+    # the table were merely absent (appending after a swallowed DELETE
+    # failure duplicates rows and silently breaks exactly-once).
+    table_seen = [False]
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = spark or batch_df.sparkSession
         bdf = batch_df.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("long")
         )
-        try:
+        if not table_seen[0]:
+            table_seen[0] = jdbc_table_exists(s, url, table, driver=driver)
+        if table_seen[0]:
             exec_jdbc_statement(
                 s, url, f"DELETE FROM {table} WHERE batch_id = {batch_id}",
                 driver=driver,
             )
-        except Exception:
-            pass  # first write: table does not exist yet
         bdf.write.format("jdbc").options(**jdbc_options).mode("append").save()
 
     q = (

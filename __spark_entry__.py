@@ -25,6 +25,7 @@ def _registry():
         registry_ext,
         registry_funcs,
         registry_more,
+        registry_r5,
     )
 
     return registry.QUERIES, registry.ORACLE

@@ -150,6 +150,7 @@ def main() -> None:
         registry_ext,
         registry_funcs,
         registry_more,
+        registry_r5,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -150,6 +150,74 @@ def pagerank(
     return rank.select(F.col("src").alias("node"), "rank")
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """HITS hubs & authorities (Kleinberg, JACM 1999) over a directed
+    edge table. Returns ``(hubs, authorities)``: (node, hub) for every
+    source node and (node, authority) for every destination node,
+    L1-normalized after each half-step.
+
+    Mutual reinforcement on a bipartite trade graph reads naturally:
+    a customer is a strong HUB if it buys from strong suppliers; a
+    supplier is a strong AUTHORITY if strong customers buy from it —
+    the two-sided importance prior PageRank's single score collapses.
+
+    Scale shape mirrors ``pagerank``: per half-step ONE equi-join
+    (edges ⋈ current scores, edge table checkpointed once) + ONE
+    aggregate by the opposite endpoint + ONE 1-row total broadcast
+    back for the L1 normalization (scalar-broadcast shape). Fixed
+    ``iters`` for the same restartable-artifact argument as pagerank.
+
+    Cross-engine determinism: per-node sums and the normalization
+    totals run over DECIMAL(28,15)-cast terms (accumulation-order
+    independent); the normalizing division is one IEEE op. The SQL
+    oracle unrolls the half-steps as chained CTEs."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _l1(df: DataFrame, key: str, raw: str, out: str) -> DataFrame:
+        tot = df.agg(
+            F.sum(F.col(raw).cast("decimal(28,15)")).cast("double").alias("_t")
+        )
+        return df.crossJoin(F.broadcast(tot)).select(
+            key, (F.col(raw) / F.col("_t")).alias(out)
+        )
+
+    h = e.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(h, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("h").cast("decimal(28,15)"))
+                .cast("double")
+                .alias("a_raw")
+            )
+        )
+        a = _l1(a_raw, "dst", "a_raw", "a").localCheckpoint(eager=False)
+        h_raw = (
+            e.join(a, "dst")
+            .groupBy("src")
+            .agg(
+                F.sum(F.col("a").cast("decimal(28,15)"))
+                .cast("double")
+                .alias("h_raw")
+            )
+        )
+        h = _l1(h_raw, "src", "h_raw", "h").localCheckpoint(eager=False)
+    hubs = h.select(F.col("src").alias("node"), F.col("h").alias("hub"))
+    auths = a.select(F.col("dst").alias("node"), F.col("a").alias("authority"))
+    return hubs, auths
+
+
 def bfs_levels(
     edges: DataFrame,
     seed: int,

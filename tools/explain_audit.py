@@ -103,6 +103,9 @@ SCALAR_BNLJ_OK = {
     "orders_price_decile_bins",
     # three 1-row count aggregates crossJoined into the stats row
     "graph_triangle_stats",
+    # three 1-row aggregates (boot mean, CI pair, sample mean)
+    # crossJoined into the single report row
+    "orders_bootstrap_mean_ci",
     # 1-row global-mean prior broadcast onto the category table
     "orders_target_encode_priority",
     # five 1-row audit counts crossJoined into the report row
@@ -184,6 +187,8 @@ GLOBAL_WINDOW_OK = {
     "orders_benford_digits": "9-row leading-digit grid",
     "orders_weekday_seasonality": "7-row weekday grid",
     "orders_priority_status_chi2": "≤15-row contingency cells",
+    # rank window over exactly 24 bootstrap replicate means
+    "orders_bootstrap_mean_ci": "24 replicate means (constant B)",
 }
 
 
@@ -329,6 +334,7 @@ def main() -> None:
         registry_ext,
         registry_funcs,
         registry_more,
+        registry_r5,
     )
     from employee_analytics_etl_spark.session import build_session
 

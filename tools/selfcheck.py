@@ -47,6 +47,7 @@ def main() -> int:
         registry_ext,
         registry_funcs,
         registry_more,
+        registry_r5,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..operators import dedup as D
 from ..operators import graph as G
+from ..operators import text as TX
 from ..operators.ranking import ranked
 from .registry import query, t
 
@@ -509,5 +510,399 @@ def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_low",
             "ci_high",
             "sample_mean",
+        )
+    )
+
+
+@query(
+    "events_cuped_adjusted_effect",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+        CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+             THEN 'A' ELSE 'B' END AS arm,
+        CAST(COALESCE(SUM(CASE WHEN day(ts) <= 15
+                          THEN CAST(value AS DECIMAL(18,2)) END), 0)
+             AS DOUBLE) AS x,
+        CAST(COALESCE(SUM(CASE WHEN day(ts) > 15
+                          THEN CAST(value AS DECIMAL(18,2)) END), 0)
+             AS DOUBLE) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(28,4))) AS DOUBLE) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx,
+        (sxy - sx * sy / n) / (sxx - sx * sx / n) AS theta,
+        (sxy - sx * sy / n)
+          / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr
+      FROM pooled
+    )
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+      round(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+        AS mean_y,
+      round(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+            - MAX(th.theta)
+              * (CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                 - MAX(th.sx) / MAX(th.n)), 6) AS adj_mean_y,
+      round(MAX(th.theta), 6) AS theta,
+      round(MAX(th.corr), 6) AS corr_xy
+    FROM per_user, th
+    GROUP BY arm
+    """,
+)
+def events_cuped_adjusted_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B readout (Deng, Xu, Kohavi &
+    Walker, WSDM'13): users split into arms by a content-free md5 hash,
+    the experiment metric y (second-half-of-month spend) is adjusted by
+    the pre-period covariate x (first-half spend) with the pooled
+    regression coefficient theta = Cov(x,y)/Var(x) — the industry-
+    standard way to shrink experiment confidence intervals without
+    changing the point estimate's expectation. Reports per-arm raw and
+    adjusted means, theta, and the x-y correlation (whose square is the
+    variance-reduction fraction).
+
+    Determinism: per-user x/y are exact DECIMAL sums; all pooled
+    moments are DECIMAL-snapped (x·y and x² are exact 4-decimal values
+    < 2^53, so the double products are exact before snapping); theta/
+    corr/adjustment are fixed-shape IEEE chains mirrored operand-for-
+    operand in the oracle, and outputs snap to 6 decimals.
+
+    Scale: one groupBy(user) over the fact table, ONE 1-row pooled-
+    moment aggregate broadcast back (scalar shape), one 2-group arm
+    aggregate. The fact table shuffles once."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") <= 15,
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") > 15,
+                    F.col("value").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "8",
+            "A",
+        ).otherwise("B"),
+    ).localCheckpoint(eager=False)  # consumed by pooled AND per-arm aggs
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(18,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(18,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(28,4)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    th = pooled.select(
+        "n",
+        "sx",
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        ).alias("theta"),
+        (
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+            )
+        ).alias("corr"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_y"),
+            F.round(
+                F.sum(F.col("y").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+                - F.max("theta")
+                * (
+                    F.sum(F.col("x").cast("decimal(18,2)")).cast("double")
+                    / F.count(F.lit(1))
+                    - F.max("sx") / F.max("n")
+                ),
+                6,
+            ).alias("adj_mean_y"),
+            F.round(F.max("theta"), 6).alias("theta"),
+            F.round(F.max("corr"), 6).alias("corr_xy"),
+        )
+    )
+
+
+@query(
+    "events_kmv_set_overlap",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+        MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             AS BIGINT) / 1152921504606846976.0 AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
+    ),
+    ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn
+           FROM flags WHERE in_a = 1),
+    rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn
+           FROM flags WHERE in_b = 1),
+    ru AS (SELECT in_a, in_b, h,
+                  ROW_NUMBER() OVER (ORDER BY h, user_id) AS rn
+           FROM flags),
+    st AS (SELECT
+      (SELECT COUNT(*) FROM flags WHERE in_a = 1) AS n_a,
+      (SELECT COUNT(*) FROM flags WHERE in_b = 1) AS n_b,
+      (SELECT COUNT(*) FROM flags) AS n_union,
+      (SELECT COUNT(*) FROM flags WHERE in_a = 1 AND in_b = 1) AS n_inter,
+      (SELECT h FROM ra WHERE rn = 32) AS u_a,
+      (SELECT h FROM rb WHERE rn = 32) AS u_b,
+      (SELECT h FROM ru WHERE rn = 32) AS u_u,
+      (SELECT COUNT(*) FROM ru
+        WHERE rn <= 32 AND in_a = 1 AND in_b = 1) AS c)
+    SELECT CAST(32 AS INT) AS k,
+      CAST(n_a AS BIGINT) AS n_a,
+      round(CASE WHEN n_a >= 32 THEN CAST(31 AS DOUBLE) / u_a
+                 ELSE CAST(n_a AS DOUBLE) END, 6) AS est_a,
+      CAST(n_b AS BIGINT) AS n_b,
+      round(CASE WHEN n_b >= 32 THEN CAST(31 AS DOUBLE) / u_b
+                 ELSE CAST(n_b AS DOUBLE) END, 6) AS est_b,
+      CAST(n_union AS BIGINT) AS n_union,
+      round(CASE WHEN n_union >= 32 THEN CAST(31 AS DOUBLE) / u_u
+                 ELSE CAST(n_union AS DOUBLE) END, 6) AS est_union,
+      CAST(n_inter AS BIGINT) AS n_inter,
+      round(CASE WHEN n_union >= 32
+                 THEN CAST(c AS DOUBLE) / CAST(32 AS DOUBLE)
+                      * (CAST(31 AS DOUBLE) / u_u)
+                 ELSE CAST(n_inter AS DOUBLE) END, 6) AS est_inter
+    FROM st
+    """,
+)
+def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    OPERATIONS (Beyer et al., SIGMOD'07): estimate |clickers|,
+    |purchasers|, their union AND their intersection from three 32-hash
+    sketches — the set-overlap estimator the HLL family
+    (events_users_hll_rollup) cannot provide (HLL unions are lossless
+    but intersections via inclusion-exclusion blow up relative error).
+    est = (k-1)/h_(k); intersection scales the union estimate by the
+    fraction of the union's bottom-k that belongs to both sets; sets
+    smaller than k fall back to the exact count (the sketch IS the
+    set), so the low-SF gate exercises the fallback branch and the
+    higher SFs the estimator branch.
+
+    Determinism: hashes are md5-derived 60-bit uniforms (the engine's
+    derandomization contract), so the k-th minimum — and therefore
+    every estimate — is an exact deterministic function of the data,
+    value-hash-verifiable against the unrolled SQL. Estimates snap to
+    6 decimals.
+
+    Scale shape: the fact table aggregates once to per-user flags;
+    each bottom-k runs through operators.ranking.ranked (range-
+    repartition + offsets — no single-partition sort of the user
+    dimension); everything downstream is 1-row scalar broadcasts. At
+    100 TB you'd keep ONLY the k smallest per partition before
+    ranking (a TakeOrdered-shaped refinement the rank primitive
+    subsumes)."""
+    K = 32
+    ev = t(spark, sf_dir, "events")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .withColumn(
+            "h",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), "
+                "16, 10) AS BIGINT)"
+            )
+            / F.lit(1152921504606846976.0),
+        )
+        .localCheckpoint(eager=False)  # ranked 3x + exact counts
+    )
+    order = [F.col("h").asc(), F.col("user_id").asc()]
+    ra, n_a = ranked(flags.filter(F.col("in_a") == 1), order, rn_col="rn")
+    rb, n_b = ranked(flags.filter(F.col("in_b") == 1), order, rn_col="rn")
+    ru, n_union = ranked(flags, order, rn_col="rn")
+    u_a = ra.agg(F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_a"))
+    u_b = rb.agg(F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_b"))
+    uu_c = ru.agg(
+        F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_u"),
+        F.sum(
+            F.when(
+                (F.col("rn") <= K)
+                & (F.col("in_a") == 1)
+                & (F.col("in_b") == 1),
+                1,
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    n_inter_row = flags.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter")
+    )
+
+    def est(n: int, u) -> F.Column:
+        if n >= K:
+            return F.round(F.lit(float(K - 1)) / u, 6)
+        return F.round(F.lit(float(n)), 6)
+
+    est_union_raw = (
+        F.lit(float(K - 1)) / F.col("u_u")
+        if n_union >= K
+        else F.lit(float(n_union))
+    )
+    est_inter = (
+        F.round(
+            F.col("c").cast("double") / F.lit(float(K)) * est_union_raw, 6
+        )
+        if n_union >= K
+        else F.round(F.col("n_inter").cast("double"), 6)
+    )
+    return (
+        u_a.crossJoin(u_b)
+        .crossJoin(uu_c)
+        .crossJoin(n_inter_row)
+        .select(
+            F.lit(K).cast("int").alias("k"),
+            F.lit(n_a).cast("long").alias("n_a"),
+            est(n_a, F.col("u_a")).alias("est_a"),
+            F.lit(n_b).cast("long").alias("n_b"),
+            est(n_b, F.col("u_b")).alias("est_b"),
+            F.lit(n_union).cast("long").alias("n_union"),
+            est(n_union, F.col("u_u")).alias("est_union"),
+            F.col("n_inter").cast("long").alias("n_inter"),
+            est_inter.alias("est_inter"),
+        )
+    )
+
+
+@query(
+    "vocab_unigram_sampling_ranges",
+    oracle="""
+    WITH occ AS (
+      SELECT u.tok FROM documents,
+        UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS u(tok)
+    ),
+    vocab AS (
+      SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS cnt,
+        CAST(round(pow(COUNT(*), 0.75), 6) AS DECIMAL(28,6)) AS w
+      FROM occ GROUP BY tok
+    ),
+    cum AS (
+      SELECT token, cnt, w,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rn,
+        SUM(w) OVER (ORDER BY cnt DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS c,
+        (SELECT SUM(w) FROM vocab) AS total
+      FROM vocab
+    )
+    SELECT token, cnt, CAST(rn AS BIGINT) AS rn,
+      CAST(floor(1048576.0 * (CAST(c - w AS DOUBLE) / CAST(total AS DOUBLE)))
+           AS BIGINT) AS start_slot,
+      CAST(floor(1048576.0 * (CAST(c AS DOUBLE) / CAST(total AS DOUBLE)))
+           AS BIGINT) AS end_slot
+    FROM cum
+    """,
+)
+def vocab_unigram_sampling_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-sampling table construction (word2vec / NCE, Mikolov et
+    al. 2013): each vocabulary token gets a slot range in a 2^20-slot
+    unigram table proportional to count^0.75 — the smoothed-unigram
+    noise distribution every skip-gram/NCE trainer draws negatives
+    from. A uniform slot lookup then samples tokens with the right
+    probabilities; emitting [start_slot, end_slot) ranges instead of a
+    materialized table keeps the artifact vocab-sized.
+
+    The cumulative weight runs through operators.ranking.ranked's
+    exact distributed cumsum (DECIMAL — order-independent), so the
+    construction holds for a billion-token vocabulary where a global
+    window would single-partition: this is precisely the few-huge-
+    groups shape the ranking primitive was built for. count^0.75 is
+    the one transcendental — snapped to 6 decimals BEFORE the decimal
+    cumsum, so both engines accumulate identical exact decimals; the
+    slot math is floor of one double ratio times a power of two.
+
+    Scale: tokenization explodes scan-side into a map-side-combined
+    count; everything after is vocab-dimension."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(TX.tokens_col("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "w",
+            F.round(F.pow(F.col("cnt"), 0.75), 6).cast("decimal(28,6)"),
+        )
+    )
+    rnk, _n = ranked(
+        vocab,
+        [F.col("cnt").desc(), F.col("token").asc()],
+        rn_col="rn",
+        cumsum_cols={"w": "c"},
+    )
+    total = vocab.agg(F.sum("w").alias("total"))
+    return (
+        rnk.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "cnt",
+            F.col("rn").cast("long").alias("rn"),
+            F.floor(
+                F.lit(1048576.0)
+                * (
+                    (F.col("c") - F.col("w")).cast("double")
+                    / F.col("total").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("start_slot"),
+            F.floor(
+                F.lit(1048576.0)
+                * (F.col("c").cast("double") / F.col("total").cast("double"))
+            )
+            .cast("long")
+            .alias("end_slot"),
         )
     )

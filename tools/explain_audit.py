@@ -106,6 +106,12 @@ SCALAR_BNLJ_OK = {
     # three 1-row aggregates (boot mean, CI pair, sample mean)
     # crossJoined into the single report row
     "orders_bootstrap_mean_ci",
+    # 1-row pooled-moments (theta/corr) broadcast onto per-user rows
+    "events_cuped_adjusted_effect",
+    # four 1-row sketch aggregates crossJoined into the report row
+    "events_kmv_set_overlap",
+    # 1-row total-weight broadcast onto the vocab-sized range table
+    "vocab_unigram_sampling_ranges",
     # 1-row global-mean prior broadcast onto the category table
     "orders_target_encode_priority",
     # five 1-row audit counts crossJoined into the report row

@@ -906,3 +906,68 @@ def vocab_unigram_sampling_ranges(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("end_slot"),
         )
     )
+
+
+@query(
+    "orders_content_digest",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(
+          CAST(o_orderkey AS VARCHAR) || '|' ||
+          CAST(o_custkey AS VARCHAR) || '|' ||
+          o_orderstatus || '|' ||
+          CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+          CAST(CAST(o_orderdate AS DATE) AS VARCHAR) || '|' ||
+          o_orderpriority), 1, 15)) AS BIGINT) AS rh
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(bit_xor(rh) AS BIGINT) AS digest_xor,
+      CAST(CAST(SUM(CAST(rh AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+        AS digest_sum
+    FROM h
+    """,
+)
+def orders_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content digest — the cheap integrity
+    check for replication / migration / snapshot-promotion at 100 TB:
+    every row maps to a 60-bit md5 fingerprint of its CANONICALLY
+    RENDERED fields (ints and strings verbatim, money via DECIMAL(12,2)
+    so both engines print '144449.04', timestamps as dates), and the
+    table digest is the XOR plus the exact DECIMAL sum of those
+    fingerprints. Both combiners are commutative-associative, so the
+    digest is independent of partitioning, ordering, and merge shape —
+    two replicas agree iff (with 2^-60 per-row collision odds) they
+    hold the same multiset of rows. XOR alone is blind to duplicated-
+    row pairs (x ⊕ x = 0); carrying the sum and the count closes that
+    classic gap.
+
+    One scan, one 1-row aggregate; no shuffle beyond the final
+    combine. The companion to snapshot_diff: the digest says WHETHER
+    replicas diverged, the full-outer diff says WHERE."""
+    o = t(spark, sf_dir, "orders")
+    row_str = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.to_date("o_orderdate").cast("string"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select(row_str.alias("row_str_c"))
+        .select(
+            F.expr(
+                "CAST(conv(substr(md5(row_str_c), 1, 15), 16, 10) AS BIGINT)"
+            ).alias("rh")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(rh)").cast("long").alias("digest_xor"),
+            F.sum(F.col("rh").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("digest_sum"),
+        )
+    )

@@ -971,3 +971,110 @@ def orders_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("digest_sum"),
         )
     )
+
+
+@query(
+    "order_cents_proration",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+          AS e_cents
+      FROM lineitem
+    ),
+    o AS (
+      SELECT o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS t_cents
+      FROM orders
+    ),
+    j AS (
+      SELECT li.*, o.t_cents,
+        SUM(e_cents) OVER (PARTITION BY l_orderkey) AS e_total
+      FROM li JOIN o ON o.o_orderkey = li.l_orderkey
+    ),
+    base AS (
+      SELECT l_orderkey, l_linenumber, t_cents,
+        (t_cents * e_cents) // e_total AS base_cents,
+        (t_cents * e_cents) % e_total AS rem,
+        SUM((t_cents * e_cents) // e_total)
+          OVER (PARTITION BY l_orderkey) AS base_total
+      FROM j
+    ),
+    alloc AS (
+      SELECT l_orderkey, t_cents,
+        base_cents
+          + CASE WHEN ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                         ORDER BY rem DESC, l_linenumber)
+                      <= t_cents - base_total
+                 THEN 1 ELSE 0 END AS alloc_cents
+      FROM base
+    )
+    SELECT l_orderkey AS orderkey, CAST(COUNT(*) AS INT) AS n_lines,
+      MAX(t_cents) AS order_cents,
+      SUM(alloc_cents) AS allocated_cents,
+      MIN(alloc_cents) AS min_alloc_cents,
+      MAX(alloc_cents) AS max_alloc_cents
+    FROM alloc GROUP BY l_orderkey
+    """,
+)
+def order_cents_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration — the finance-ETL allocation
+    primitive: distribute each order's total (in integer CENTS) across
+    its line items proportionally to extended price so the allocations
+    SUM EXACTLY to the order total (no lost or invented pennies, the
+    invariant naive per-line rounding violates). Each line gets
+    floor(T·e_i/E) cents; the leftover D = T − Σfloor goes one cent
+    each to the D largest remainders (ties broken by line number) —
+    the Hamilton/largest-remainder method.
+
+    Exactness is free cross-engine: everything is 64-bit integer
+    arithmetic (T·e_i ≤ ~4e14 « 2^63; DIV/MOD identical), so the
+    oracle is exact with zero float contracts. Output rolls up per
+    order (allocated == total is the auditable invariant; min/max
+    expose any mis-allocation).
+
+    Scale: one join on the order key + three windows all PARTITIONED
+    BY the order key — group size is the lines-per-order constant
+    (≤ 7), never data-scaled; no global window, no driver state."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("e_cents"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("t_cents"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    j = li.join(o, "l_orderkey").withColumn(
+        "e_total", F.sum("e_cents").over(wp)
+    )
+    base = (
+        j.withColumn(
+            "base_cents",
+            F.expr("(t_cents * e_cents) DIV e_total"),
+        )
+        .withColumn("rem", F.expr("(t_cents * e_cents) % e_total"))
+        .withColumn("base_total", F.sum("base_cents").over(wp))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.col("rem").desc(), F.col("l_linenumber").asc()
+        )
+    )
+    alloc = base.withColumn(
+        "alloc_cents",
+        F.col("base_cents")
+        + F.when(rn <= F.col("t_cents") - F.col("base_total"), 1).otherwise(0),
+    )
+    return alloc.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.count(F.lit(1)).cast("int").alias("n_lines"),
+        F.max("t_cents").alias("order_cents"),
+        F.sum("alloc_cents").alias("allocated_cents"),
+        F.min("alloc_cents").alias("min_alloc_cents"),
+        F.max("alloc_cents").alias("max_alloc_cents"),
+    )

@@ -128,6 +128,21 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
                     )
                     sizes.append(len(b))
                     means.append(float(x.mean()) if len(x) else 0.0)
+                elif decode == "real" and kind == "video":
+                    # animated GIF: the one multi-frame container
+                    # decodable with zero external libs (codecs.decode_gif
+                    # — full GIF-LZW). feature = [width, height,
+                    # n_frames, mean_R, mean_G, mean_B] over ALL frames.
+                    from .codecs import decode_gif
+
+                    fr = decode_gif(b)
+                    nfr, h, w, _ = fr.shape
+                    cm = fr.reshape(-1, 3).mean(axis=0)
+                    feats.append(
+                        [float(w), float(h), float(nfr), *map(float, cm)]
+                    )
+                    sizes.append(len(b))
+                    means.append(float(fr.mean()))
                 else:
                     f = _fake_decode(b)
                     feats.append(f)
@@ -210,6 +225,49 @@ def resize_images(
             )
 
     return df.filter(F.col("kind") == "image").mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+def gif_frame_stats(df: DataFrame) -> DataFrame:
+    """REAL per-frame decode for video-kind payloads: run each animated
+    GIF through ``codecs.decode_gif`` (pure-Python GIF-LZW) and emit one
+    row per frame with its channel means — the actual frame-extraction
+    step ``sample_frames`` only plans (metadata-level). Arrow
+    ``mapInPandas``: one worker per partition, payload bytes never
+    shuffle; downstream per-frame featurization (dedup hashing, quality
+    screens) joins on (media_id, frame_idx)."""
+    import pandas as pd
+
+    def op(batches: Iterator) -> Iterator:
+        from .codecs import decode_gif
+
+        for pdf in batches:
+            ids, idxs, mr, mg, mb = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif(bytes(payload))
+                for i, fr in enumerate(frames):
+                    cm = fr.reshape(-1, 3).mean(axis=0)
+                    ids.append(mid)
+                    idxs.append(i)
+                    mr.append(float(cm[0]))
+                    mg.append(float(cm[1]))
+                    mb.append(float(cm[2]))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, frame_idx int, "
+            "mean_r double, mean_g double, mean_b double"
+        ),
+    )
 
 
 def sample_frames(df: DataFrame, every_k: int = 2) -> DataFrame:

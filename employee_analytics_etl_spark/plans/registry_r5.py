@@ -1078,3 +1078,81 @@ def order_cents_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("alloc_cents").alias("min_alloc_cents"),
         F.max("alloc_cents").alias("max_alloc_cents"),
     )
+
+
+@query(
+    "media_gif_frame_stats",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id, CAST(u.f AS INT) AS frame_idx,
+      (((doc_id + u.f) % 8) * 9 + 3
+        + ((doc_id + 2 * u.f + 1) % 8) * 9 + 3) / 2.0 AS mean_r,
+      (((doc_id + u.f) % 8) * 5
+        + ((doc_id + 2 * u.f + 1) % 8) * 5) / 2.0 AS mean_g,
+      ((255 - ((doc_id + u.f) % 8) * 7)
+        + (255 - ((doc_id + 2 * u.f + 1) % 8) * 7)) / 2.0 AS mean_b
+    FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS u(f)
+    WHERE doc_id % 3 = 2
+    """,
+)
+def media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video-container decode under the driver gate:
+    synthesize a deterministic animated GIF per 'video' doc (2 + id%3
+    checkerboard frames over an 8-color palette, w = 8 + 2·(id%4),
+    h = 6), push it through the pure-Python GIF-LZW decoder
+    (operators/codecs.py:decode_gif — variable-width codes, CLEAR
+    handling, KwKwK) via multimodal.gif_frame_stats, and emit per-frame
+    channel means the oracle re-derives arithmetically: each frame is
+    an exact half-half checkerboard of palette colors (doc_id+f)%8 and
+    (doc_id+2f+1)%8, so every mean is an integer or half-integer — a
+    corrupted LZW table, palette index, or frame boundary cannot match.
+    Same closed-form-payload pattern as media_image_stats (PNG) and
+    media_jpeg_stats; this one closes the multi-FRAME container gap."""
+    from ..operators import multimodal as MM
+    from ..operators.partitioning import fan_out
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import encode_gif
+
+        pal = np.stack(
+            [
+                np.arange(8) * 9 + 3,
+                np.arange(8) * 5,
+                255 - np.arange(8) * 7,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                w, h = 8 + 2 * (did % 4), 6
+                mask = (np.add.outer(np.arange(h), np.arange(w)) % 2)[..., None]
+                frames = []
+                for f in range(n):
+                    c1, c2 = (did + f) % 8, (did + 2 * f + 1) % 8
+                    frames.append(
+                        np.where(mask == 0, pal[c1], pal[c2]).astype(np.uint8)
+                    )
+                ids.append(did)
+                payloads.append(encode_gif(np.stack(frames), pal))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": ["video"] * len(ids),
+                    "payload": payloads,
+                }
+            )
+
+    docs = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+    media = docs.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+    return MM.gif_frame_stats(media)

@@ -153,3 +153,57 @@ class TestResampleProperties:
             assert np.array_equal(out[:, 0], s[::k][: out.shape[0]])
         # every output frame exists in the input (nearest never invents)
         assert np.isin(out[:, 0], s).all()
+
+
+class TestGifProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 4),
+        dims,
+        st.integers(2, 8),
+        st.integers(0, 2**31 - 1),
+    )
+    def test_gif_roundtrip(self, n, hw, k, seed):
+        """Animated GIF encode→decode is pixel-exact for any frame
+        count, geometry, and palette size — the LZW pair (variable
+        width, CLEAR handling, KwKwK) must invert exactly."""
+        h, w = hw
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, size=(k, 3), dtype=np.uint8)
+        # palette rows must be distinct or index mapping is ambiguous
+        pal = np.unique(pal, axis=0)
+        frames = pal[rng.integers(0, len(pal), size=(n, h, w))]
+        back = C.decode_gif(C.encode_gif(frames, pal))
+        assert np.array_equal(back, frames)
+
+    def test_gif_lzw_dictionary_growth_and_reset(self):
+        """A long high-entropy stream forces the code width through
+        every size up to 12 bits and across the 4096-entry table
+        reset; a solid-color stream hammers the KwKwK case."""
+        rng = np.random.default_rng(0)
+        pal256 = np.stack(
+            [np.arange(256), np.arange(256)[::-1], np.arange(256) // 2],
+            axis=1,
+        ).astype(np.uint8)
+        big = pal256[rng.integers(0, 256, size=(1, 220, 220))]
+        assert np.array_equal(C.decode_gif(C.encode_gif(big, pal256)), big)
+        pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+        solid = np.tile(pal[5], (2, 80, 80, 1)).astype(np.uint8)
+        assert np.array_equal(C.decode_gif(C.encode_gif(solid, pal)), solid)
+
+    def test_gif_boundaries_raise(self):
+        """The documented unsupported-feature boundaries fail loud."""
+        import pytest
+
+        pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+        frames = pal[np.zeros((1, 4, 4), dtype=np.int64)]
+        g = bytearray(C.encode_gif(frames, pal))
+        assert bytes(g[:6]) == b"GIF89a"
+        with pytest.raises(ValueError, match="not a GIF"):
+            C.decode_gif(b"NOTGIF" + bytes(g[6:]))
+        # flip the interlace bit in the image descriptor
+        idx = bytes(g).index(b"\x2c")
+        g2 = bytearray(g)
+        g2[idx + 9] |= 0x40
+        with pytest.raises(ValueError, match="interlaced"):
+            C.decode_gif(bytes(g2))

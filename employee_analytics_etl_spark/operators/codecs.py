@@ -4,8 +4,9 @@ baseline JPEG, PCM WAV.
 The container ships no PIL/ffmpeg, but these formats are decodable with
 numpy + stdlib (zlib for PNG, an 8x8 DCT matmul pair for JPEG) — which
 un-stubs the multimodal ``decode="real"`` path with true pixel math
-instead of byte statistics (progressive/subsampled JPEG, MP3, and video
-still raise at the marked codec call site).
+instead of byte statistics. Animated GIF (full GIF-LZW, below) covers
+the multi-frame/video container case; progressive/subsampled JPEG,
+MP3, and MP4/WebM still raise at the marked codec call site.
 
 All functions are plain ``bytes → numpy`` (and back) so they are unit-
 testable without Spark and ride inside Arrow ``mapInPandas`` kernels

@@ -9,10 +9,11 @@ Decode modes:
   themselves — real Spark plumbing (schema, batching, partitioning)
   with a stand-in kernel; works for any payload.
 - ``decode="real"``: TRUE decode for PPM(P6)/BMP/PNG/baseline-JPEG
-  images and PCM WAV audio via the in-repo pure-Python codecs
-  (``operators.codecs``) — actual pixel statistics, nearest-neighbor
-  resize, and PCM sample stats. Formats needing a real codec library
-  (progressive/subsampled JPEG, MP3, video) raise at the call site.
+  images, PCM WAV audio, and animated-GIF video via the in-repo
+  pure-Python codecs (``operators.codecs``) — actual pixel statistics,
+  nearest-neighbor resize, PCM sample stats, and per-frame means.
+  Formats needing a real codec library (progressive/subsampled JPEG,
+  MP3, MP4/WebM) raise at the call site.
 - ``decode="strict"``: raises NotImplementedError where PIL/ffmpeg
   would plug in.
 

@@ -1156,3 +1156,242 @@ def media_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen, schema="media_id long, kind string, payload binary"
     )
     return MM.gif_frame_stats(media)
+
+
+@query(
+    "user_longest_active_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, day(ts) AS d FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+        d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+      CAST(SUM(len) AS BIGINT) AS n_active_days,
+      CAST(MAX(len) AS BIGINT) AS longest_streak,
+      CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user — the classic streak/retention pattern (row_number delta
+    groups consecutive days into islands; a gap shifts the
+    day-minus-rank key). Exactly the shape behind "7-day streak"
+    product metrics and consecutive-failure alerting.
+
+    Scale: the fact table reduces to distinct (user, day) first (one
+    shuffle, map-side combined); the island window partitions BY USER
+    over ≤ 31 rows (the events table spans one calendar month —
+    calendar-bounded like the Theil-Sen grid), then two tiny
+    aggregates. Day keys use day-of-month because the span is one
+    month; a multi-month variant would swap in an epoch-day column
+    with identical algebra."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.dayofmonth("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("long").alias("n_active_days"),
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+    )
+
+
+@query(
+    "media_dup_frames",
+    oracle="""
+    WITH fr AS (
+      SELECT doc_id,
+        8 + 2 * (doc_id % 4) AS w,
+        ((doc_id + u.f) % 8) * 9 + 3 AS c_first_r,
+        ((doc_id + 2 * u.f + 1) % 8) * 9 + 3 AS c_second_r
+      FROM documents, UNNEST(range(0, 2 + doc_id % 3)) AS u(f)
+      WHERE doc_id % 3 = 2
+    )
+    SELECT CAST(w AS INT) AS width, CAST(c_first_r AS INT) AS c_first_r,
+      CAST(c_second_r AS INT) AS c_second_r,
+      CAST(COUNT(*) AS BIGINT) AS n_frames,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media
+    FROM fr
+    GROUP BY w, c_first_r, c_second_r
+    HAVING COUNT(*) > 1
+    """,
+)
+def media_dup_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAME-level exact deduplication across videos — the video-corpus
+    analogue of document exact-dedup (dedup_exact_groups): decode every
+    GIF (real GIF-LZW), fingerprint each decoded frame with md5 over
+    its pixel bytes + geometry, and group identical frames ACROSS
+    media. This is the static-intro/credits/duplicate-shot collapse a
+    multimodal training pipeline runs before expensive per-frame
+    featurization; only the 16-byte digests ever shuffle, never pixels
+    (the Lee-et-al chunk-dedup shape applied to frames).
+
+    The oracle re-derives the duplicate classes in closed form: a
+    synthesized checkerboard frame is fully determined by (width,
+    first color, second color), so digest-classes and parameter-classes
+    agree 1:1; each class reports its representative colors (identical
+    across members by construction — a wrong LZW table or frame
+    boundary would fracture the classes)."""
+    from ..operators.partitioning import fan_out
+
+    def gen_and_digest(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import decode_gif, encode_gif
+
+        pal = np.stack(
+            [
+                np.arange(8) * 9 + 3,
+                np.arange(8) * 5,
+                255 - np.arange(8) * 7,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = {
+                "media_id": [], "digest": [], "width": [],
+                "c_first_r": [], "c_second_r": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                w, h = 8 + 2 * (did % 4), 6
+                mask = (np.add.outer(np.arange(h), np.arange(w)) % 2)[..., None]
+                frames = []
+                for f in range(n):
+                    c1, c2 = (did + f) % 8, (did + 2 * f + 1) % 8
+                    frames.append(
+                        np.where(mask == 0, pal[c1], pal[c2]).astype(np.uint8)
+                    )
+                # real container roundtrip: encode, decode, fingerprint
+                decoded = decode_gif(encode_gif(np.stack(frames), pal))
+                for fr in decoded:
+                    dg = hashlib.md5(
+                        fr.tobytes() + bytes([fr.shape[0], fr.shape[1]])
+                    ).hexdigest()
+                    rows["media_id"].append(did)
+                    rows["digest"].append(dg)
+                    rows["width"].append(fr.shape[1])
+                    rows["c_first_r"].append(int(fr[0, 0, 0]))
+                    rows["c_second_r"].append(int(fr[0, 1, 0]))
+            yield pd.DataFrame(rows)
+
+    docs = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id")
+    )
+    per_frame = docs.mapInPandas(
+        gen_and_digest,
+        schema=(
+            "media_id long, digest string, width int, "
+            "c_first_r int, c_second_r int"
+        ),
+    )
+    return (
+        per_frame.groupBy("digest")
+        .agg(
+            F.min("width").alias("width"),
+            F.min("c_first_r").alias("c_first_r"),
+            F.min("c_second_r").alias("c_second_r"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+        )
+        .filter(F.col("n_frames") > 1)
+        .drop("digest")
+    )
+
+
+@query(
+    "purchase_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id AS purchase_event_id, user_id,
+             epoch_us(ts) AS pts, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id AS touch_event_id, user_id, epoch_us(ts) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    pairs AS (
+      SELECT p.purchase_event_id, p.v, c.touch_event_id
+      FROM purchases p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.cts >= p.pts - 7200000000 AND c.cts < p.pts
+    ),
+    shares AS (
+      SELECT purchase_event_id, touch_event_id,
+        round(CAST(v AS DOUBLE)
+              / COUNT(*) OVER (PARTITION BY purchase_event_id), 6)
+          AS attributed_value
+      FROM pairs
+    )
+    SELECT purchase_event_id, touch_event_id, attributed_value
+    FROM shares
+    """,
+)
+def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every click in the 2 hours
+    before a purchase receives an equal share value/n of that
+    purchase — the marketing-analytics credit model between
+    first-touch and last-touch (the as-of join family covers
+    last-touch; this one needs the full touch SET per conversion).
+
+    Scale shape: the time-range pair join is BUCKETIZED into an
+    equi-join (coarse 2h buckets on (user, window), exact bounds as a
+    post-filter — each click lands in one bucket, each purchase probes
+    two; no BroadcastNestedLoopJoin at any size, same discipline as
+    range_clicks_before_purchase), and the per-purchase touch count is
+    a window over the purchase key — group size bounded by clicks per
+    user per 2h, never data-scaled. The share division is one IEEE op
+    on a DECIMAL-exact purchase value, snapped to 6 decimals."""
+    US2H = 7200 * 1000000
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("pts"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("touch_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("cts"),
+    ).withColumn("cbucket", F.expr(f"cts DIV {US2H}"))
+    p2 = p.withColumn(
+        "pbucket",
+        F.explode(
+            F.expr(f"transform(sequence(0, 1), i -> (pts DIV {US2H}) - i)")
+        ),
+    )
+    pairs = p2.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("pbucket") == F.col("cbucket"))
+        & (F.col("cts") >= F.col("pts") - US2H)
+        & (F.col("cts") < F.col("pts")),
+    )
+    w = Window.partitionBy("purchase_event_id")
+    return pairs.select(
+        "purchase_event_id",
+        "touch_event_id",
+        F.round(
+            F.col("v").cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("attributed_value"),
+    )

@@ -1395,3 +1395,132 @@ def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("double") / F.count(F.lit(1)).over(w), 6
         ).alias("attributed_value"),
     )
+
+
+@query(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE probe AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CAST(c_acctbal AS DECIMAL(12,2)) AS bal, c_mktsegment
+      FROM customer WHERE c_custkey % 25 IN (0, 13)
+    ),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        (CASE WHEN round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                   >= 0.95 THEN 317 ELSE -317 END
+         + CASE WHEN a.c_mktsegment = b.c_mktsegment
+                THEN 200 ELSE -200 END
+         + CASE WHEN abs(a.bal - b.bal) <= 500.00
+                THEN 122 ELSE -122 END) AS cents
+      FROM probe a JOIN probe b ON a.c_nationkey = b.c_nationkey
+      WHERE a.c_custkey % 25 = 0 AND b.c_custkey % 25 = 13
+    ),
+    edges AS (SELECT id_a, id_b FROM pairs WHERE cents >= 0),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+            UNION ALL SELECT id_b, id_a FROM edges),
+    walk(id, label) AS (
+      SELECT c_custkey, c_custkey FROM probe
+      UNION
+      SELECT s.dst, w.label FROM walk w JOIN sym s ON s.src = w.id
+    ),
+    comp AS (SELECT id AS c_custkey, MIN(label) AS cluster_id
+             FROM walk GROUP BY id),
+    scored AS (
+      SELECT comp.cluster_id, p.c_custkey, p.bal,
+        ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                           ORDER BY p.bal DESC, p.c_custkey) AS rk
+      FROM comp JOIN probe p USING (c_custkey)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+      CAST(MIN(CASE WHEN rk = 1 THEN c_custkey END) AS BIGINT)
+        AS canonical_custkey,
+      CAST(COUNT(*) AS BIGINT) AS n_members,
+      CAST(MAX(CASE WHEN rk = 1 THEN bal END) AS DOUBLE)
+        AS canonical_acctbal
+    FROM scored GROUP BY cluster_id HAVING COUNT(*) >= 2
+    """,
+)
+def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END entity resolution, composed from the linkage family
+    the way a reference user would actually run it: (1) blocked
+    Jaro-Winkler candidate generation (nation blocks, budget-guarded),
+    (2) Fellegi-Sunter decision scoring (integer-cents weights, same
+    contract as linkage_fellegi_sunter), (3) TRANSITIVE CLOSURE of the
+    match/possible edges into entity clusters (iterative min-label
+    propagation — operators.dedup.connected_components), (4)
+    survivorship: one canonical record per entity (highest balance,
+    lowest key tiebreak). The composition twin of
+    training_corpus_pipeline for the records world; every stage's plan
+    shape is individually audited by its standalone query.
+
+    The oracle replays all four stages relationally, closing the loop
+    with a recursive-CTE closure — the same exact-verification recipe
+    as dedup_cluster_survivorship."""
+    cust = t(spark, sf_dir, "customer")
+    probe = cust.filter(
+        (F.col("c_custkey") % 25).isin(0, 13)
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+        "c_mktsegment",
+    ).localCheckpoint(eager=False)  # feeds pairs, node set, survivorship
+    pairs = D.blocked_jaro_winkler_pairs(
+        probe.filter(F.col("c_custkey") % 25 == 0),
+        probe.filter(F.col("c_custkey") % 25 == 13),
+        text_col="c_name",
+        id_col="c_custkey",
+        block_cols=("c_nationkey",),
+        min_sim=0.0,
+    )
+    attrs = probe.select("c_custkey", "bal", "c_mktsegment")
+    scored_pairs = pairs.join(
+        attrs.select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("bal").alias("bal_a"),
+            F.col("c_mktsegment").alias("seg_a"),
+        ),
+        "id_a",
+    ).join(
+        attrs.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("bal").alias("bal_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+        ),
+        "id_b",
+    )
+    cents = (
+        F.when(F.col("jw_sim") >= 0.95, 317).otherwise(-317)
+        + F.when(F.col("seg_a") == F.col("seg_b"), 200).otherwise(-200)
+        + F.when(
+            F.abs(F.col("bal_a") - F.col("bal_b")) <= 500.00, 122
+        ).otherwise(-122)
+    )
+    edges = scored_pairs.filter(cents >= 0).select("id_a", "id_b")
+    comp = D.connected_components(
+        probe.select("c_custkey"),
+        edges,
+        id_col="c_custkey",
+        src_col="id_a",
+        dst_col="id_b",
+    ).select(F.col("id").alias("c_custkey"), "cluster_id")
+    scored = comp.join(probe.select("c_custkey", "bal"), "c_custkey")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("bal"), F.asc("c_custkey")
+    )
+    ranked_m = scored.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked_m.groupBy(F.col("cluster_id").cast("long").alias("cluster_id"))
+        .agg(
+            F.min(F.when(F.col("rk") == 1, F.col("c_custkey")))
+            .cast("long")
+            .alias("canonical_custkey"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max(F.when(F.col("rk") == 1, F.col("bal")))
+            .cast("double")
+            .alias("canonical_acctbal"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -97,6 +97,15 @@ HEADLINE = [
     "orders_exact_price_percentiles",
     "orders_priority_exact_median",
     "events_props_json_stats",
+    # r5 additions: linkage decision layer end-to-end (blocked JW →
+    # Fellegi-Sunter → closure → survivorship), rank-offset SNM
+    # blocking, one-scan Poisson bootstrap, real GIF-LZW frame decode,
+    # and the integer-exact proration window family
+    "entity_resolution_pipeline",
+    "customer_sorted_neighborhood_pairs",
+    "orders_bootstrap_mean_ci",
+    "media_gif_frame_stats",
+    "order_cents_proration",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -2008,3 +2008,38 @@ class TestSnapshotDiff:
             for r in snapshot_diff(old, new, ["k"]).collect()
         }
         assert got == {1: "update", 2: "update", 3: "update"}
+
+
+class TestHits:
+    def test_bipartite_star_ordering_and_l1(self, spark):
+        """Star-shaped bipartite buy graph: customer 0 buys from all 3
+        suppliers, customers 1-2 buy from supplier 10 only. Hubs and
+        authorities must each sum to 1 (L1 normalization) and order by
+        connectivity: c0 the strongest hub, s10 the strongest
+        authority."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.graph import hits
+
+        edges = spark.createDataFrame(
+            [Row(src=0, dst=10), Row(src=0, dst=11), Row(src=0, dst=12),
+             Row(src=1, dst=10), Row(src=2, dst=10)]
+        )
+        hubs, auths = hits(edges, iters=2)
+        h = {r["node"]: r["hub"] for r in hubs.collect()}
+        a = {r["node"]: r["authority"] for r in auths.collect()}
+        assert abs(sum(h.values()) - 1.0) < 1e-9
+        assert abs(sum(a.values()) - 1.0) < 1e-9
+        assert h[0] > h[1] and abs(h[1] - h[2]) < 1e-12
+        assert a[10] > a[11] and abs(a[11] - a[12]) < 1e-12
+
+    def test_deterministic_across_partitionings(self, spark):
+        from employee_analytics_etl_spark.operators.graph import hits
+
+        rows = [(i, 100 + (i * 7) % 23) for i in range(300)]
+        e1 = spark.createDataFrame(rows, "src long, dst long").repartition(2)
+        e2 = spark.createDataFrame(rows, "src long, dst long").repartition(16)
+        for built1, built2 in zip(hits(e1, iters=2), hits(e2, iters=2)):
+            r1 = sorted(map(tuple, built1.collect()))
+            r2 = sorted(map(tuple, built2.collect()))
+            assert r1 == r2  # DECIMAL-snapped sums: bit-identical

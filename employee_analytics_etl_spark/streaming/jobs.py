@@ -666,3 +666,49 @@ def run_foreach_batch_jdbc(
         .start()
     )
     q.awaitTermination()
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming distinct-user sketch per tumbling window via BUCKETED
+    MINIMUM HASHES (the stochastic-averaging form of KMV, mergeable
+    like the batch bottom-k sketch in events_kmv_set_overlap): each
+    user hashes to one of ``k`` buckets (md5 bits) and the stream keeps
+    only min(h) per (window, bucket) — ``min`` is an ordinary
+    streaming aggregate, so state is EXACTLY k cells per open window
+    no matter how many users appear (the same constant-state argument
+    as cms_user_counts_stream; a bottom-k list is not expressible as a
+    built-in streaming aggregate, a per-bucket min is).
+
+    Emits (window_start_sec, bucket, min_h). The consumer estimates
+    distinct users as k²/Σmin − k (E[min of m uniforms] = 1/(m+1));
+    duplicates are free — a repeated user lands in the same bucket
+    with the same hash. Deterministic (md5-derived hashes), so the
+    batch twin is cell-for-cell comparable."""
+    fp = F.expr(
+        "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    h = fp / F.lit(1152921504606846976.0)
+    bucket = F.pmod(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 16, 8), 16, 10) "
+            "AS BIGINT)"
+        ),
+        F.lit(k),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", h.alias("h"), bucket.alias("bucket"))
+        .groupBy(F.window("ts", width), "bucket")
+        .agg(F.min("h").alias("min_h"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_sec"),
+            "bucket",
+            "min_h",
+        )
+    )

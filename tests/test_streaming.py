@@ -1048,3 +1048,77 @@ class TestDistinctUsersStream:
             assert r["n_events"] == n
             # rsd=2%: generous 10% envelope vs exact at smoke scale
             assert abs(r["approx_users"] - exact) <= max(2, 0.1 * exact)
+
+
+class TestStreamingKmv:
+    def test_stream_sketch_equals_batch_and_estimates(
+        self, spark, batch_events
+    ):
+        """The streamed per-window bucketed-min KMV must be
+        cell-for-cell identical to the batch computation on the same
+        bounded input, and the k²/Σmin − k estimator must land within
+        35% of the exact hourly distinct-user count whenever the hour
+        has enough users to estimate (n ≥ k)."""
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            kmv_distinct_stream,
+        )
+
+        K = 64
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            kmv_distinct_stream(stream, k=K), "t_kmv", spark
+        ).collect()
+        got_cells = {(r[0], r[1]): r[2] for r in got}
+
+        fp = F.expr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 15), 16, 10)"
+            " AS BIGINT)"
+        )
+        bucket = F.pmod(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 16, 8), 16,"
+                " 10) AS BIGINT)"
+            ),
+            F.lit(K),
+        )
+        want = (
+            batch_events.select(
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+                ).alias("hb"),
+                (fp / F.lit(1152921504606846976.0)).alias("h"),
+                bucket.alias("bucket"),
+            )
+            .groupBy("hb", "bucket")
+            .agg(F.min("h").alias("min_h"))
+            .collect()
+        )
+        want_cells = {(r["hb"] * 3600, r["bucket"]): r["min_h"] for r in want}
+        assert got_cells == want_cells
+
+        # estimator sanity on hours with n >= K distinct users
+        exact = {
+            r["hb"] * 3600: r["n"]
+            for r in batch_events.select(
+                F.expr(
+                    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+                ).alias("hb"),
+                "user_id",
+            )
+            .groupBy("hb")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        checked = 0
+        for ws in {w for w, _ in got_cells}:
+            mins = [v for (w, b), v in got_cells.items() if w == ws]
+            n = exact[ws]
+            if n < K or len(mins) < K:
+                continue
+            est = K * K / sum(mins) - K
+            assert abs(est - n) / n < 0.35, (ws, est, n)
+            checked += 1
+        if max(exact.values()) >= K:
+            assert checked > 0

@@ -1524,3 +1524,184 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+@query(
+    "orders_forecast_eval_monthly",
+    oracle="""
+    WITH mt AS (
+      SELECT year(o_orderdate) * 12 + month(o_orderdate) AS m,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ),
+    mx AS (SELECT MAX(m) AS mmax FROM mt),
+    test AS (
+      SELECT t.m, t.v, s.v AS v_seasonal
+      FROM mt t JOIN mt s ON s.m = t.m - 12, mx
+      WHERE t.m > mx.mmax - 6
+    ),
+    naive AS (
+      SELECT v AS v_naive FROM mt, mx WHERE m = mx.mmax - 6
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_test_months,
+      round(CAST(SUM(CAST(abs(v - v_seasonal) AS DECIMAL(18,2)))
+                 AS DOUBLE) / COUNT(*), 6) AS mae_seasonal,
+      round(CAST(SUM(CAST(abs(v - v_naive) AS DECIMAL(18,2)))
+                 AS DOUBLE) / COUNT(*), 6) AS mae_naive,
+      round((CAST(SUM(CAST(abs(v - v_seasonal) AS DECIMAL(18,2)))
+                  AS DOUBLE) / COUNT(*))
+            / (CAST(SUM(CAST(abs(v - v_naive) AS DECIMAL(18,2)))
+                    AS DOUBLE) / COUNT(*)), 6) AS mase
+    FROM test, naive n
+    """,
+)
+def orders_forecast_eval_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: hold out the last 6 months of the monthly
+    revenue series and score SEASONAL-NAIVE (forecast = actual 12
+    months earlier) against the NAIVE baseline (forecast = last
+    training month, held constant) by MAE; their ratio is the MASE-
+    style skill score (< 1 ⇒ seasonality carries real signal). The
+    standard sanity harness a forecasting pipeline runs before any
+    model gets deployed.
+
+    Exactness: monthly totals are DECIMAL sums (2-dec doubles), so
+    every error |v − forecast| is an exact 2-decimal value — the MAE
+    numerators are DECIMAL sums, divisions are single IEEE ops.
+
+    Scale: the fact table reduces to the calendar-bounded monthly grid
+    (~80 rows at any SF); the seasonal lag is an EQUI-join on
+    month−12 (no window at all), and the two scalar anchors (max
+    month, last train value) are 1-row broadcasts."""
+    o = t(spark, sf_dir, "orders")
+    mt = (
+        o.groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+        .localCheckpoint(eager=False)  # reused: test set, lag join, anchors
+    )
+    mx = mt.agg(F.max("m").alias("mmax"))
+    test = (
+        mt.crossJoin(F.broadcast(mx))
+        .filter(F.col("m") > F.col("mmax") - 6)
+        .join(
+            mt.select(
+                (F.col("m") + 12).alias("m"), F.col("v").alias("v_seasonal")
+            ),
+            "m",
+        )
+    )
+    naive = (
+        mt.crossJoin(F.broadcast(mx))
+        .filter(F.col("m") == F.col("mmax") - 6)
+        .select(F.col("v").alias("v_naive"))
+    )
+    mae_s = (
+        F.sum(F.abs(F.col("v") - F.col("v_seasonal")).cast("decimal(18,2)"))
+        .cast("double")
+        / F.count(F.lit(1))
+    )
+    mae_n = (
+        F.sum(F.abs(F.col("v") - F.col("v_naive")).cast("decimal(18,2)"))
+        .cast("double")
+        / F.count(F.lit(1))
+    )
+    return (
+        test.crossJoin(F.broadcast(naive))
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_test_months"),
+            F.round(mae_s, 6).alias("mae_seasonal"),
+            F.round(mae_n, 6).alias("mae_naive"),
+            F.round(mae_s / mae_n, 6).alias("mase"),
+        )
+    )
+
+
+@query(
+    "customer_spend_rank_movers",
+    oracle="""
+    WITH early AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate < DATE '1998-01-01'
+      GROUP BY o_custkey
+    ),
+    late AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders WHERE o_orderdate >= DATE '1998-01-01'
+      GROUP BY o_custkey
+    ),
+    re AS (SELECT o_custkey, spend,
+             ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rk
+           FROM early),
+    rl AS (SELECT o_custkey, spend,
+             ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey) AS rk
+           FROM late)
+    SELECT re.o_custkey AS custkey,
+      CAST(re.rk AS BIGINT) AS rank_early,
+      CAST(rl.rk AS BIGINT) AS rank_late,
+      CAST(re.rk - rl.rk AS BIGINT) AS rank_delta,
+      re.spend AS spend_early, rl.spend AS spend_late
+    FROM re JOIN rl ON rl.o_custkey = re.o_custkey
+    ORDER BY rank_delta DESC, custkey LIMIT 20
+    """,
+)
+def customer_spend_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-movement report ("biggest climbers"): rank every customer
+    by total spend in the early era (< 1998) and the late era
+    (≥ 1998), join the two leaderboards, and keep the 20 customers who
+    climbed the most positions — the period-over-period movers view
+    every revenue dashboard carries, and a second composition consumer
+    of the exact ranking primitive (two FULL leaderboards, not top-k:
+    a climber's early rank can be arbitrarily deep, so TakeOrdered on
+    either period alone cannot answer this).
+
+    Scale: two groupBys on the customer key, two
+    operators.ranking.ranked passes (range-repartition + offsets — no
+    single-partition sort of the customer dimension), one equi-join on
+    the key, then a 20-row TakeOrdered on the rank delta."""
+    from ..operators.ranking import ranked as rank_total
+
+    o = t(spark, sf_dir, "orders")
+
+    def era_rank(pred, rk_name, spend_name):
+        spend = (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("spend")
+            )
+        )
+        rnk, _ = rank_total(
+            spend, [F.col("spend").desc(), F.col("o_custkey").asc()],
+            rn_col="rk",
+        )
+        return rnk.select(
+            "o_custkey",
+            F.col("rk").cast("long").alias(rk_name),
+            F.col("spend").alias(spend_name),
+        )
+
+    cut = F.to_date(F.lit("1998-01-01"))
+    early = era_rank(F.to_date("o_orderdate") < cut, "rank_early", "spend_early")
+    late = era_rank(F.to_date("o_orderdate") >= cut, "rank_late", "spend_late")
+    return (
+        early.join(late, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "rank_early",
+            "rank_late",
+            (F.col("rank_early") - F.col("rank_late")).alias("rank_delta"),
+            "spend_early",
+            "spend_late",
+        )
+        .orderBy(F.col("rank_delta").desc(), "custkey")
+        .limit(20)
+    )

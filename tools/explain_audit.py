@@ -110,6 +110,9 @@ SCALAR_BNLJ_OK = {
     "events_cuped_adjusted_effect",
     # four 1-row sketch aggregates crossJoined into the report row
     "events_kmv_set_overlap",
+    # two 1-row anchors (max month, last train value) broadcast onto
+    # the ~80-row monthly grid, non-equi month threshold
+    "orders_forecast_eval_monthly",
     # 1-row total-weight broadcast onto the vocab-sized range table
     "vocab_unigram_sampling_ranges",
     # 1-row global-mean prior broadcast onto the category table

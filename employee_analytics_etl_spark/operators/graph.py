@@ -322,3 +322,61 @@ def kcore_degrees(
     # survivors of the final round: degrees are w.r.t. the previous
     # round's survivor set — exactly what the unrolled oracle computes
     return deg.filter(F.col("core_degree") >= k)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[int],
+    iters: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart): teleportation
+    returns to the SEED set instead of the whole graph, so mass
+    concentrates around the seeds — "importance relative to THESE
+    nodes", the standard graph-recommendation / related-entities
+    primitive (global ``pagerank`` answers importance overall).
+
+    Same per-iteration shape as ``pagerank`` — one equi-join
+    (out-degree-folded edge table, checkpointed once) + one exact
+    aggregate — but the contribution snap is TRUNCATION to integer
+    1e-15 units (floor(x·1e15)) instead of a DECIMAL cast: rounding a
+    double to 15 decimals has TIES, and the two engines break them
+    differently (half-up on the shortest repr vs half-even on the
+    exact binary), which surfaced as 1-ulp rank divergence at sf0.1.
+    floor of the identical IEEE product is tie-free, so the iteration
+    is engine-exact by construction. The teleport term is a scan-side
+    CASE on seed membership ((1−d)/|S| for seeds, 0 elsewhere). ``seeds`` is a driver-side literal list — seed sets
+    are query parameters (a user, a product), not data-scale objects.
+    Nodes only acquire rank through in-edges or seed membership, and
+    the result emits every node that receives any contribution —
+    mirrored exactly by the unrolled SQL oracle."""
+    spark = edges.sparkSession
+    n_s = len(seeds)
+    if n_s == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    base_of = lambda col: F.when(  # noqa: E731
+        col.isin(*seeds), F.lit((1.0 - damping) / n_s)
+    ).otherwise(F.lit(0.0))
+    rank = spark.createDataFrame(
+        [(int(s),) for s in seeds], "src long"
+    ).select("src", F.lit(1.0 / n_s).alias("rank"))
+    for _ in range(iters):
+        contribs = e_deg.join(rank, "src").select(
+            F.col("dst"),
+            F.floor((F.col("rank") / F.col("outdeg")) * F.lit(1e15))
+            .cast("decimal(38,0)")
+            .alias("c"),
+        )
+        rank = contribs.groupBy(F.col("dst").alias("src")).agg(
+            (
+                base_of(F.col("dst"))
+                + F.lit(damping)
+                * (F.sum("c").cast("double") / F.lit(1e15))
+            ).alias("rank")
+        )
+    return rank.select(F.col("src").alias("node"), "rank")

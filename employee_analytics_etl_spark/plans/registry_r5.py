@@ -1705,3 +1705,203 @@ def customer_spend_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_delta").desc(), "custkey")
         .limit(20)
     )
+
+
+@query(
+    "user_hourly_entropy",
+    oracle="""
+    WITH hod AS (
+      SELECT user_id, hour(ts) AS h, COUNT(*) AS n_h
+      FROM events GROUP BY user_id, hour(ts)
+    ),
+    tot AS (
+      SELECT user_id, SUM(n_h) AS n, COUNT(*) AS active_hours
+      FROM hod GROUP BY user_id
+    ),
+    terms AS (
+      SELECT hod.user_id,
+        CAST(round(-(CAST(n_h AS DOUBLE) / n)
+                   * ln(CAST(n_h AS DOUBLE) / n), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM hod JOIN tot USING (user_id)
+    )
+    SELECT t.user_id, CAST(t.n AS BIGINT) AS n_events,
+      CAST(t.active_hours AS BIGINT) AS active_hours,
+      round(CAST(SUM(term) AS DOUBLE), 6) AS entropy_nats
+    FROM terms JOIN tot t USING (user_id)
+    GROUP BY t.user_id, t.n, t.active_hours
+    """,
+)
+def user_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral activity entropy per user: Shannon entropy (nats) of
+    the user's hour-of-day event distribution — 0 for a single-hour
+    bot-like profile, ln(24) for perfectly uniform activity. The
+    standard behavioral-fingerprint feature for bot screening and
+    engagement segmentation (and exactly the feature family a
+    training-data pipeline computes to stratify user-generated text by
+    author behavior).
+
+    Determinism: p = n_h/n is one IEEE division; each −p·ln p term is
+    snapped to 12 decimals BEFORE the per-user DECIMAL sum (the
+    engine's log-sum idiom — ln may differ in the final ulp across
+    engines, the snap absorbs it), output snapped to 6.
+
+    Scale: two groupBys on (user, hour) then (user) — ≤ 24 rows per
+    user in the second stage; no windows, no driver state."""
+    ev = t(spark, sf_dir, "events")
+    hod = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    tot = hod.groupBy("user_id").agg(
+        F.sum("n_h").alias("n"), F.count(F.lit(1)).alias("active_hours")
+    )
+    p = F.col("n_h").cast("double") / F.col("n")
+    terms = hod.join(tot, "user_id").select(
+        "user_id",
+        "n",
+        "active_hours",
+        F.round(-p * F.log(p), 12).cast("decimal(28,12)").alias("term"),
+    )
+    return terms.groupBy(
+        "user_id",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("active_hours").cast("long").alias("active_hours"),
+    ).agg(F.round(F.sum("term").cast("double"), 6).alias("entropy_nats"))
+
+
+@query(
+    "doc_shingle_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 1, 1))) AS u(i)
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.id AS doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_novel,
+      round(CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+            / COUNT(*), 6) AS novelty
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.id
+    """,
+)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document NOVELTY score: the fraction of a document's distinct
+    word-3-gram shingles that occur in NO other document (corpus
+    df = 1). High novelty marks unique content worth keeping through
+    aggressive dedup; near-zero novelty marks boilerplate/templated
+    docs — the inverse lens of the duplicate detectors, and a standard
+    memorization-risk / diversity signal when curating training
+    corpora.
+
+    Scale: one shuffle of distinct (doc, shingle) pairs to build the
+    df table, one shingle-keyed join back (both sides hash-partitioned
+    by shingle — co-located), one groupBy(doc). At 100 TB the df
+    table would be df-capped like every shingle consumer here
+    (boilerplate shingles carry no novelty signal either way)."""
+    docs = t(spark, sf_dir, "documents")
+    from ..operators.partitioning import fan_out
+
+    sh = D.shingles(fan_out(docs), "doc_id", "text", n=3, distinct=True)
+    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_tab, "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "graph_ppr_related_entities",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 1000000 AS b
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b AS src, a AS dst FROM e0),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT u.s AS src, 0.2 AS rank
+           FROM UNNEST([0, 25, 50, 75, 100]) AS u(s)),
+    i1 AS (
+      SELECT e.dst AS src,
+        CASE WHEN e.dst IN (0, 25, 50, 75, 100) THEN 0.03 ELSE 0.0 END
+          + 0.85 * (CAST(SUM(CAST(floor((r.rank / d.outdeg) * 1e15)
+                                 AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1e15) AS rank
+      FROM edges e JOIN deg d ON d.src = e.src JOIN r0 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    i2 AS (
+      SELECT e.dst AS src,
+        CASE WHEN e.dst IN (0, 25, 50, 75, 100) THEN 0.03 ELSE 0.0 END
+          + 0.85 * (CAST(SUM(CAST(floor((r.rank / d.outdeg) * 1e15)
+                                 AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1e15) AS rank
+      FROM edges e JOIN deg d ON d.src = e.src JOIN i1 r ON r.src = e.src
+      GROUP BY e.dst
+    ),
+    i3 AS (
+      SELECT e.dst AS src,
+        CASE WHEN e.dst IN (0, 25, 50, 75, 100) THEN 0.03 ELSE 0.0 END
+          + 0.85 * (CAST(SUM(CAST(floor((r.rank / d.outdeg) * 1e15)
+                                 AS DECIMAL(38,0))) AS DOUBLE)
+                    / 1e15) AS rank
+      FROM edges e JOIN deg d ON d.src = e.src JOIN i2 r ON r.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT CAST(src AS BIGINT) AS node, ROUND(rank, 12) AS rank FROM i3
+    """,
+)
+def graph_ppr_related_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from a 5-seed
+    customer set over the bipartite trade graph — "entities related to
+    THESE customers": mass teleports back to the seeds, so suppliers
+    (and second-hop customers) rank by proximity to the seed cohort.
+    The graph-recommendation primitive; global pagerank
+    (graph_pagerank_suppliers) answers overall importance on the same
+    graph, this answers importance RELATIVE TO a query set.
+
+    Exact oracle by the pagerank recipe: teleport is a scan-side CASE
+    on seed membership (0.15/5 = 0.03), contributions are single IEEE
+    divisions summed through DECIMAL(28,15), three unrolled
+    iterations, 12-decimal snap."""
+    from ..operators import graph as G2
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + 1000000).alias("b"),
+        )
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ppr = G2.personalized_pagerank(
+        edges, seeds=[0, 25, 50, 75, 100], iters=3, damping=0.85
+    )
+    return ppr.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 12).alias("rank"),
+    )

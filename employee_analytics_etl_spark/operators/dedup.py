@@ -1150,3 +1150,131 @@ def snapshot_diff(
     return o.join(n, keys, "full_outer").select(
         *keys, change.alias("change_type")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact set-similarity join via PREFIX FILTERING (SSJoin /
+    PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
+    all pairs with n-gram Jaccard ≥ ``threshold``, but candidates are
+    generated from each document's PREFIX — its first
+    ``|d| − ⌈τ·|d|⌉ + 1`` shingles in the global (df asc, shingle asc)
+    frequency order — instead of from every shared shingle.
+
+    Why this exists next to ``ngram_jaccard_pairs``: that operator
+    bounds fanout with a df CAP (drops evidence above max_df — exact
+    only w.r.t. the surviving shingles), while prefix filtering is
+    provably LOSSLESS for the threshold: two sets with J ≥ τ must
+    share at least one token within both prefixes under any global
+    total order (the prefix-filtering principle), so the candidate
+    set is complete — the verify step computes Jaccard on the full
+    shingle sets and the output equals the brute-force all-pairs
+    answer exactly. The rarest-first order makes prefixes collide as
+    little as possible, so candidate volume tracks the true near-dup
+    density rather than the corpus' boilerplate.
+
+    Returns (id_a, id_b, intersection, size_a, size_b, jaccard) with
+    id_a < id_b and jaccard ≥ threshold, jaccard rounded to 6.
+
+    Scale shape: one shuffle to df-count shingles, a per-document
+    window (bounded by the doc's own shingle count) to take the
+    prefix, an equi-join on PREFIX shingles only (plus the τ·|a| ≤
+    |b| ≤ |a|/τ length filter on candidates), and a verify join that
+    ships each candidate's sorted shingle ARRAY (doc-bounded, never
+    quadratic). No all-pairs stage anywhere; skew is capped by the
+    rarest-first prefix order (a boilerplate shingle is in nobody's
+    prefix unless the doc is mostly boilerplate)."""
+    from pyspark.sql.window import Window
+
+    sh = shingles(df, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    # rarest-first global order; (df, shingle) is a total order within
+    # a doc because shingles are distinct per doc
+    w = Window.partitionBy("id").orderBy(
+        F.col("_df").asc(), F.col("shingle").asc()
+    )
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
+        + F.lit(1)
+    )
+    pre = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.col("_rn") <= prefix_len)
+        .select("id", "shingle", "set_size")
+    )
+    a = pre.select(
+        F.col("id").alias("id_a"),
+        "shingle",
+        F.col("set_size").alias("_sz_a"),
+    )
+    b = pre.select(
+        F.col("id").alias("id_b"),
+        "shingle",
+        F.col("set_size").alias("_sz_b"),
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)
+            & (
+                F.lit(float(threshold))
+                * F.greatest("_sz_a", "_sz_b")
+                <= F.least("_sz_a", "_sz_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_list("shingle")).alias("_set"),
+        F.count(F.lit(1)).alias("set_size"),
+    )
+    out = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"),
+                F.col("_set").alias("_set_a"),
+                F.col("set_size").alias("size_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"),
+                F.col("_set").alias("_set_b"),
+                F.col("set_size").alias("size_b"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "intersection",
+            F.size(F.array_intersect("_set_a", "_set_b")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (
+                F.col("size_a") + F.col("size_b") - F.col("intersection")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            "size_a",
+            "size_b",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+    return out

@@ -1905,3 +1905,179 @@ def graph_ppr_related_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.round("rank", 12).alias("rank"),
     )
+
+
+@query(
+    "dedup_prefix_filter_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS u(i)
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT i.id_a, i.id_b, CAST(i.intersection AS BIGINT) AS intersection,
+           CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+           ROUND(CAST(i.intersection AS DOUBLE)
+                 / (sa.sz + sb.sz - i.intersection), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.id_a
+    JOIN sizes sb ON sb.id = i.id_b
+    WHERE CAST(i.intersection AS DOUBLE)
+          / (sa.sz + sb.sz - i.intersection) >= 0.5
+    """,
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS set-similarity join via prefix filtering (SSJoin/
+    PPJoin): all 5-gram-Jaccard ≥ 0.5 pairs, candidates drawn only
+    from each doc's rarest-first prefix (|d| − ⌈τ|d|⌉ + 1 shingles) —
+    provably complete for the threshold, no df cap, no all-pairs
+    stage. The oracle computes the brute-force share-a-shingle answer;
+    matching it EXACTLY is the completeness proof of the prefix
+    candidate generator at every scale factor."""
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return D.prefix_filter_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.5
+    )
+
+
+@query(
+    "customer_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS k,
+             COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                                 WHEN c_acctbal < 5000 THEN 'standard'
+                                 ELSE 'premium' END) AS l
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(k AS BIGINT) AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(l) AS BIGINT) AS min_l_diversity,
+           ROUND(CAST(SUM(k) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM customer), 6) AS row_share
+    FROM classes GROUP BY k
+    """,
+)
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit: k-anonymity / l-diversity
+    profile of the customer table under the quasi-identifier pair
+    (nation, market segment), with the balance band (delinquent /
+    standard / premium) as the sensitive attribute. Emits the
+    equivalence-class-size histogram — k (class_size), how many
+    classes and rows sit at that k, the worst-case l-diversity among
+    them, and each size's share of all rows. The smallest class_size
+    row IS the table's k-anonymity; classes with min_l_diversity = 1
+    leak the sensitive band outright. The standard pre-release check
+    before publishing user-derived training data.
+
+    Scale: one groupBy on the QI pair (bounded: |nations|×|segments|
+    classes), a second groupBy over that constant-size class table,
+    and a 1-row total-count broadcast for the share — the fact table
+    is scanned once, never shuffled by row."""
+    cust = t(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct(band).alias("l"),
+    )
+    total = cust.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        classes.groupBy(F.col("k").cast("long").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            F.min("l").cast("long").alias("min_l_diversity"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "class_size",
+            "n_classes",
+            "n_rows",
+            "min_l_diversity",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("_total"), 6
+            ).alias("row_share"),
+        )
+    )
+
+
+@query(
+    "events_dp_event_type_release",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    ),
+    noise AS (
+      SELECT event_type, n,
+        CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+          / 4294967296.0 - 0.5 AS t
+      FROM counts
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS exact_n,
+      ROUND(-2.0 * sign(t)
+            * CAST(CAST(round(ln(greatest(1.0 - 2.0 * abs(t), 1e-12)),
+                              12) AS DECIMAL(28,12)) AS DOUBLE), 6)
+        AS noise,
+      ROUND(n - 2.0 * sign(t)
+            * CAST(CAST(round(ln(greatest(1.0 - 2.0 * abs(t), 1e-12)),
+                              12) AS DECIMAL(28,12)) AS DOUBLE), 6)
+        AS released_n
+    FROM noise
+    """,
+)
+def events_dp_event_type_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differentially-private count release (Laplace mechanism,
+    ε = 0.5, sensitivity 1 → scale b = 2): per-event-type counts with
+    additive Laplace noise, emitted next to the exact count as a
+    utility audit (|noise| is the absolute error the privacy budget
+    buys). Noise is DERANDOMIZED for the correctness gate — the
+    uniform draw u is md5(event_type)'s first 8 hex digits / 2³², and
+    the inverse-CDF transform −b·sgn(u−½)·ln(1−2|u−½|) is made
+    engine-exact by the repo's log idiom (ln snapped to 12 decimals
+    through DECIMAL before the scale multiply; the 1e-12 floor guards
+    the measure-zero u = 0 pole). Swapping the md5 draw for a real
+    CSPRNG draw per release is the production path; everything else
+    is unchanged.
+
+    Scale: one partial-aggregated groupBy on a low-cardinality key;
+    noise is scan-side arithmetic on the ≤|event types| result rows."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    u = F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    tcol = u - F.lit(0.5)
+    ln_snap = (
+        F.round(
+            F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(tcol), F.lit(1e-12))),
+            12,
+        )
+        .cast("decimal(28,12)")
+        .cast("double")
+    )
+    noise = F.lit(-2.0) * F.signum(tcol) * ln_snap
+    return counts.select(
+        "event_type",
+        F.col("n").cast("long").alias("exact_n"),
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("released_n"),
+    )

@@ -3,6 +3,7 @@ windows, multimodal plumbing — operator-level semantics on crafted
 micro-fixtures plus recall checks on the real testdata."""
 
 import datetime as dt
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -93,6 +94,50 @@ class TestDedup:
 
         # near-dups differ in few bits; unrelated docs differ in more
         assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+
+    def test_prefix_filter_equals_bruteforce(self, spark):
+        """Prefix filtering is LOSSLESS: on a random dup-seeded corpus
+        the PPJoin-style candidate generator + exact verify must equal
+        the brute-force all-shared-shingle join at the same threshold
+        (same pairs, same intersections, same jaccard)."""
+        import itertools
+        import random
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(40)]
+        rows = []
+        base = [rng.choice(vocab) for _ in range(30)]
+        for i in range(24):
+            if i % 3 == 0:  # mutated near-dups of the base doc
+                toks = list(base)
+                for _ in range(rng.randrange(0, 6)):
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+            else:  # unrelated docs
+                toks = [rng.choice(vocab) for _ in range(rng.randrange(8, 35))]
+            rows.append((i, " ".join(toks)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["intersection"], r["jaccard"])
+            for r in D.prefix_filter_jaccard_pairs(
+                docs, n=3, threshold=0.4
+            ).collect()
+        }
+
+        # brute-force ground truth in plain Python
+        def sh3(text):
+            toks = re.findall(r"[a-z0-9]+", text.lower())
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        sets = {i: sh3(txt) for i, txt in rows}
+        want = {}
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= 0.4:
+                want[(a, b)] = (inter, round(inter / union, 6))
+        assert got == want and len(want) > 3
 
 
 class TestSimilarity:

@@ -147,6 +147,8 @@ SCALAR_BNLJ_OK = {
     "orders_pareto_revenue",
     # 1-row basket count broadcast onto the scored pair table
     "part_pair_lift",
+    # 1-row total-row-count broadcast onto the ≤|QI classes| histogram
+    "customer_k_anonymity",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",

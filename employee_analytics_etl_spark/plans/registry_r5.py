@@ -2081,3 +2081,192 @@ def events_dp_event_type_release(
         F.round(noise, 6).alias("noise"),
         F.round(F.col("n") + noise, 6).alias("released_n"),
     )
+
+
+@query(
+    "events_sprt_monitor",
+    oracle="""
+    WITH s AS (
+      SELECT ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    r AS (
+      SELECT ts, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+             SUM(x) OVER (ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cx
+      FROM s
+    ),
+    llr AS (
+      SELECT rn, ts, CAST(cx AS BIGINT) AS cx,
+        CAST(cx AS DECIMAL(12,0))
+          * CAST(round(ln(11.0 / 9.0), 12) AS DECIMAL(16,12))
+        + CAST(rn - cx AS DECIMAL(12,0))
+          * CAST(round(ln(9.0 / 11.0), 12) AS DECIMAL(16,12)) AS v
+      FROM r WHERE rn % 100 = 0
+    )
+    SELECT rn AS n_obs, ts, cx AS n_conversions,
+      CAST(round(v, 6) AS DOUBLE) AS llr,
+      CASE WHEN v >= CAST(round(ln(19.0), 12) AS DECIMAL(16,12))
+             THEN 'reject_h0'
+           WHEN v <= -CAST(round(ln(19.0), 12) AS DECIMAL(16,12))
+             THEN 'accept_h0'
+           ELSE 'continue' END AS decision
+    FROM llr
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test as a streaming-shaped
+    batch monitor: over the click/purchase stream in event-time order,
+    the cumulative log-likelihood ratio for H1: p = 0.55 vs
+    H0: p = 0.45 (conversion share), checkpointed every 100
+    observations with the α = β = 0.05 decision state (llr ≥ ln 19 →
+    reject H0, ≤ −ln 19 → accept H0, else keep sampling). The
+    classical always-valid alternative to fixed-horizon A/B tests —
+    what an experimentation platform evaluates continuously as events
+    arrive.
+
+    Exactness: the only data-sized accumulation is the INTEGER
+    conversion cumsum, routed through the two-pass range-partitioned
+    ranking primitive (no single-partition window); the LLR is then
+    closed-form n·C arithmetic on 12-decimal-snapped ln constants in
+    DECIMAL — engine-exact, including the boundary comparisons.
+
+    Scale: one range shuffle of the filtered stream + the ≤P-row
+    offsets collect; checkpoint emission is a scan-side modulo."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("x"),
+    )
+    r, _n = ranked(
+        s,
+        [F.col("ts").asc(), F.col("event_id").asc()],
+        rn_col="rn",
+        cumsum_cols={"x": "cx"},
+    )
+    # decimal(12,0) × decimal(16,12) keeps the product within Spark's
+    # 38-digit ceiling (29,12) — a wider operand would silently drop
+    # to scale 6 (allowPrecisionLoss) and round the INTERMEDIATE terms
+    c1 = F.round(F.log(F.lit(11.0) / F.lit(9.0)), 12).cast("decimal(16,12)")
+    c2 = F.round(F.log(F.lit(9.0) / F.lit(11.0)), 12).cast("decimal(16,12)")
+    bound = F.round(F.log(F.lit(19.0)), 12).cast("decimal(16,12)")
+    v = F.col("cx").cast("decimal(12,0)") * c1 + (
+        F.col("rn") - F.col("cx")
+    ).cast("decimal(12,0)") * c2
+    return (
+        r.filter(F.col("rn") % 100 == 0)
+        .withColumn("_v", v)
+        .select(
+            F.col("rn").alias("n_obs"),
+            "ts",
+            F.col("cx").cast("long").alias("n_conversions"),
+            F.round(F.col("_v"), 6).cast("double").alias("llr"),
+            F.when(F.col("_v") >= bound, "reject_h0")
+            .when(F.col("_v") <= -bound, "accept_h0")
+            .otherwise("continue")
+            .alias("decision"),
+        )
+    )
+
+
+@query(
+    "orders_universe_join_estimate",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderkey, c.c_custkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_exact,
+        COUNT(*) FILTER (
+          substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'
+        ) AS n_universe,
+        COUNT(*) FILTER (
+          substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) IN
+            ('0','1','2','3')
+          AND substr(md5(CAST(c_custkey AS VARCHAR)), 3, 1) IN
+            ('0','1','2','3')
+        ) AS n_bernoulli
+      FROM j
+    )
+    SELECT CAST(n_exact AS BIGINT) AS exact_n,
+      CAST(n_universe AS BIGINT) AS universe_sampled,
+      CAST(n_universe * 16 AS BIGINT) AS universe_estimate,
+      round(abs(n_universe * 16.0 - n_exact) / n_exact, 6)
+        AS universe_rel_err,
+      CAST(n_bernoulli AS BIGINT) AS bernoulli_sampled,
+      CAST(n_bernoulli * 16 AS BIGINT) AS bernoulli_estimate,
+      round(abs(n_bernoulli * 16.0 - n_exact) / n_exact, 6)
+        AS bernoulli_rel_err
+    FROM agg
+    """,
+)
+def orders_universe_join_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality estimation by UNIVERSE sampling (Quickr /
+    join-synopses lineage): sample BOTH join sides by the same hash
+    predicate on the JOIN KEY (keep custkeys whose md5 starts '0' —
+    p = 1/16), so sampled orders always find their sampled customer
+    and the join count scales back by 1/p. Contrasted with naive
+    independent Bernoulli row sampling at the same effective rate
+    (1/4 per side → 1/16 of pairs), whose matched pairs survive with
+    probability p² per side-pair — the estimator the literature shows
+    is high-variance for joins. Emitted as a one-row audit: exact
+    selective-join count (BUILDING-segment customers), both sampled
+    counts, scaled estimates, relative errors.
+
+    The gate computes all three counts as conditional aggregates over
+    ONE full join (exactness is the point of the audit); the
+    production path pushes the universe predicate below the join on
+    both sides — same hash, same keys kept — so the 100 TB join runs
+    on 1/16 of each input. md5-derandomized like every sampler here.
+
+    Scale: one broadcast-dim join (customer segment side), one
+    partial-aggregated 1-row count — no extra shuffle, no crossJoin."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    j = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "c_custkey")
+    in_universe = (
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == "0"
+    )
+    in_bernoulli = F.substring(
+        F.md5(F.col("o_orderkey").cast("string")), 2, 1
+    ).isin("0", "1", "2", "3") & F.substring(
+        F.md5(F.col("c_custkey").cast("string")), 3, 1
+    ).isin("0", "1", "2", "3")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.when(in_universe, 1).otherwise(0)).alias("n_universe"),
+        F.sum(F.when(in_bernoulli, 1).otherwise(0)).alias("n_bernoulli"),
+    )
+    return agg.select(
+        F.col("n_exact").cast("long").alias("exact_n"),
+        F.col("n_universe").cast("long").alias("universe_sampled"),
+        (F.col("n_universe") * 16).cast("long").alias("universe_estimate"),
+        F.round(
+            F.abs(F.col("n_universe") * F.lit(16.0) - F.col("n_exact"))
+            / F.col("n_exact"),
+            6,
+        ).alias("universe_rel_err"),
+        F.col("n_bernoulli").cast("long").alias("bernoulli_sampled"),
+        (F.col("n_bernoulli") * 16).cast("long").alias("bernoulli_estimate"),
+        F.round(
+            F.abs(F.col("n_bernoulli") * F.lit(16.0) - F.col("n_exact"))
+            / F.col("n_exact"),
+            6,
+        ).alias("bernoulli_rel_err"),
+    )

@@ -302,3 +302,47 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def skew_split_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    num_hot: int = 4,
+) -> DataFrame:
+    """Hybrid skew join: split the fact table into its ``num_hot``
+    HOTTEST join keys and everything else, broadcast-join the hot
+    slice against the (tiny) matching dim rows, shuffle-join the cold
+    remainder, and union — the PER-KEY join strategy choice that AQE's
+    skew-join split performs on shuffle blocks, expressed explicitly
+    so a known heavy-hitter key (the celebrity user, the null-ish
+    default account) never funnels one shuffle partition.
+
+    The hot-key list is a ``takeOrdered(num_hot)`` driver collect —
+    BOUNDED by construction (num_hot is a constant), deterministic via
+    the (count desc, key asc) total order. Inner-join semantics: the
+    two slices partition the fact rows by key, so the union equals the
+    plain join row-for-row.
+
+    At 100 TB: the hot slice's dim side is ≤ num_hot rows (broadcast
+    is trivially safe) while its fact side — the skew mass — never
+    shuffles at all; the cold side shuffles with its worst key bounded
+    by the (num_hot+1)-th count. The count pass is one
+    partial-aggregated scan of the join column only."""
+    counts = fact.groupBy(F.col(fact_key)).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    hot_rows = counts.orderBy(
+        F.col("_n").desc(), F.col(fact_key).asc()
+    ).take(num_hot)
+    hot = [r[0] for r in hot_rows]
+    cond_hot = F.col(fact_key).isin(hot) if hot else F.lit(False)
+    dim_hot = dim.filter(F.col(dim_key).isin(hot) if hot else F.lit(False))
+    j_hot = fact.filter(cond_hot).join(
+        F.broadcast(dim_hot), F.col(fact_key) == F.col(dim_key)
+    )
+    j_cold = fact.filter(~cond_hot).join(
+        dim, F.col(fact_key) == F.col(dim_key)
+    )
+    return j_hot.unionByName(j_cold)

@@ -2270,3 +2270,36 @@ def orders_universe_join_estimate(
             6,
         ).alias("bernoulli_rel_err"),
     )
+
+
+@query(
+    "events_skew_split_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             AS sum_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def events_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid skew-split join in action: events ⋈ customer on user_id
+    with the 4 hottest user keys routed through a broadcast join (the
+    skew mass never shuffles) and the cold remainder through the
+    normal shuffle join, then a per-segment rollup. The oracle is the
+    PLAIN join + GROUP BY — matching it proves the split+union is
+    row-for-row equivalent to the monolithic join. Event values sum
+    through DECIMAL(18,6) (order-independent across the union's
+    partitions)."""
+    from ..operators.partitioning import skew_split_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = skew_split_join(ev, cust, "user_id", "c_custkey", num_hot=4)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )

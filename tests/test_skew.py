@@ -140,3 +140,34 @@ class TestHotKeySkew:
         assert t_skewed <= max(3.0 * t_uniform, t_uniform + 2.0), (
             f"skewed {t_skewed:.2f}s vs uniform {t_uniform:.2f}s"
         )
+
+
+class TestSkewSplitJoin:
+    def test_union_equals_plain_join(self, spark):
+        """Hot/cold split + union must be row-for-row the plain inner
+        join, on a fact where one key owns half the rows."""
+        from employee_analytics_etl_spark.operators.partitioning import (
+            skew_split_join,
+        )
+
+        rows = [(7, i) for i in range(500)] + [
+            (k % 20, k) for k in range(500)
+        ]
+        fact = spark.createDataFrame(rows, "k long, payload long")
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(20)], "dk long, label string"
+        )
+        got = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in skew_split_join(fact, dim, "k", "dk", num_hot=2).collect()
+        )
+        want = sorted(
+            (r["k"], r["payload"], r["label"])
+            for r in fact.join(dim, fact.k == dim.dk).collect()
+        )
+        assert got == want and len(got) == 1000
+        # the hot slice really is a broadcast join in the final plan
+        plan = skew_split_join(
+            fact, dim, "k", "dk", num_hot=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan

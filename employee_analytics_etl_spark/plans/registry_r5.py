@@ -2303,3 +2303,45 @@ def events_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("v").cast("double").alias("sum_value"),
     )
+
+
+@query(
+    "graph_local_clustering_topk",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ),
+    tri_corners AS (
+      SELECT corner AS node, COUNT(*) AS t FROM (
+        SELECT UNNEST([e1.u, e1.v, e2.v]) AS corner
+        FROM e e1 JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+      ) GROUP BY corner
+    )
+    SELECT CAST(deg.node AS BIGINT) AS node, CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+           ROUND(COALESCE(t, 0) / (d * (d - 1) / 2.0), 6) AS local_cc
+    FROM deg LEFT JOIN tri_corners ON tri_corners.node = deg.node
+    WHERE d >= 2
+    ORDER BY COALESCE(t, 0) / (d * (d - 1) / 2.0) DESC, deg.node ASC
+    LIMIT 20
+    """,
+)
+def graph_local_clustering_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 nodes by LOCAL clustering coefficient on the part
+    co-purchase graph — the per-node ego-density companion to
+    graph_triangle_stats' global coefficient: triangles(v)/C(deg v,2)
+    for deg ≥ 2, ties broken by node id. Degree-oriented wedges carry
+    their source so each triangle credits all three corners."""
+    from .registry_more import _copurchase_edges
+
+    return G.local_clustering_topk(_copurchase_edges(spark, sf_dir), k=20)

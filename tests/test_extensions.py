@@ -2088,3 +2088,63 @@ class TestHits:
             r1 = sorted(map(tuple, built1.collect()))
             r2 = sorted(map(tuple, built2.collect()))
             assert r1 == r2  # DECIMAL-snapped sums: bit-identical
+
+
+class TestLocalClustering:
+    def test_known_and_random_graphs(self, spark):
+        """Hand-built graphs, then seeded random graphs vs a brute
+        per-node count (coefficient ordering + values)."""
+        import itertools
+        import random
+
+        from employee_analytics_etl_spark.operators import graph as G
+
+        # triangle 1-2-3 with pendant 3-4: nodes 1,2 have cc=1;
+        # node 3 has deg 3, 1 triangle -> 1/3; node 4 deg 1 excluded
+        tp = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+        )
+        got = {
+            r["node"]: (r["degree"], r["triangles"], r["local_cc"])
+            for r in G.local_clustering_topk(tp, k=10).collect()
+        }
+        assert got == {
+            1: (2, 1, 1.0),
+            2: (2, 1, 1.0),
+            3: (3, 1, round(1 / 3, 6)),
+        }
+
+        for seed, n, p in [(7, 25, 0.25), (11, 40, 0.12)]:
+            rng = random.Random(seed)
+            edges = [
+                (a, b)
+                for a, b in itertools.combinations(range(n), 2)
+                if rng.random() < p
+            ]
+            adj = {v: set() for v in range(n)}
+            for a, b in edges:
+                adj[a].add(b)
+                adj[b].add(a)
+            want = {}
+            for v in range(n):
+                d = len(adj[v])
+                if d < 2:
+                    continue
+                t = sum(
+                    1
+                    for x, y in itertools.combinations(sorted(adj[v]), 2)
+                    if y in adj[x]
+                )
+                want[v] = (d, t, round(t / (d * (d - 1) / 2), 6))
+            df = spark.createDataFrame(edges, "u long, v long")
+            rows = G.local_clustering_topk(df, k=n).collect()
+            got = {
+                r["node"]: (r["degree"], r["triangles"], r["local_cc"])
+                for r in rows
+            }
+            assert got == want
+            # returned order respects (cc desc, node asc)
+            keys = [
+                (-r["local_cc"], r["node"]) for r in rows
+            ]
+            assert keys == sorted(keys)

@@ -332,6 +332,34 @@ def audit_partition_pruning(spark, sf_dir: str) -> list[str]:
         expect = events.filter(F.col("event_date").between(lo, hi)).count()
         if ranged.count() != expect:
             problems.append("pruned scan row count diverges from full scan")
+        # (c) JOIN-driven pruning (DPP): a selective filter on a tiny
+        # dim joined on the partition column must prune the fact scan
+        # at RUNTIME via a dynamicpruning subquery — the 100 TB shape
+        # where the date list comes from another table, not a literal
+        dim = (
+            spark.createDataFrame(
+                [("2024-01-10", "keep"), ("2024-01-11", "keep"),
+                 ("2024-01-13", "drop")],
+                "d string, label string",
+            )
+            .filter(F.col("label") == "keep")
+            .select(F.to_date(F.col("d")).alias("dim_date"))
+        )
+        dpp = back.join(
+            F.broadcast(dim), back.event_date == dim.dim_date
+        )
+        dpp_plan = dpp._jdf.queryExecution().executedPlan().toString()
+        if "dynamicpruning" not in dpp_plan.lower():
+            problems.append(
+                "join on partition column planned without a "
+                "dynamicpruning PartitionFilter"
+            )
+        n_files_dpp = scan_file_count(dpp)
+        if not (0 < n_files_dpp < n_parts_total):
+            problems.append(
+                f"DPP ineffective: {n_files_dpp} files read of "
+                f"{n_parts_total} partitions"
+            )
     finally:
         shutil.rmtree(out, ignore_errors=True)
     return problems

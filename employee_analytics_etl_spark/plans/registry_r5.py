@@ -2345,3 +2345,95 @@ def graph_local_clustering_topk(
     from .registry_more import _copurchase_edges
 
     return G.local_clustering_topk(_copurchase_edges(spark, sf_dir), k=20)
+
+
+@query(
+    "scd2_apply_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT c_custkey AS custkey, c_mktsegment AS segment
+      FROM customer WHERE c_custkey % 10 <> 0
+    ),
+    new AS (
+      SELECT c_custkey AS custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS segment
+      FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+             o.segment AS seg_old, n.segment AS seg_new,
+             CASE WHEN o.custkey IS NULL THEN 'insert'
+                  WHEN n.custkey IS NULL THEN 'delete'
+                  WHEN o.segment <> n.segment THEN 'update'
+                  ELSE 'unchanged' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON n.custkey = o.custkey
+    )
+    SELECT custkey, seg_old AS segment, DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to, TRUE AS is_current
+    FROM diff WHERE change_type = 'unchanged'
+    UNION ALL
+    SELECT custkey, seg_old, DATE '2024-01-01',
+           DATE '2024-06-01', FALSE
+    FROM diff WHERE change_type IN ('update', 'delete')
+    UNION ALL
+    SELECT custkey, seg_new, DATE '2024-06-01', CAST(NULL AS DATE), TRUE
+    FROM diff WHERE change_type IN ('update', 'insert')
+    """,
+)
+def scd2_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse MERGE for history-keeping dimensions: take
+    yesterday's SCD2 customer-segment dimension (one open row per
+    key), diff today's snapshot against it with the CDC extractor
+    (``snapshot_diff`` — deterministic simulated churn: keys %10=0
+    were absent yesterday → inserts, %13=0 vanish today → deletes,
+    %7=0 switch segment → updates), and apply the delta effective
+    2024-06-01: updates CLOSE the open row and insert a new current
+    one, deletes close without replacement, inserts open a new row,
+    unchanged keys keep their open row. Emits the full post-merge
+    SCD2 table.
+
+    Scale: snapshot_diff is one key-shuffled full-outer join on
+    digests; the apply step is two broadcast-free equi-joins back to
+    the snapshots on the same key partitioning plus a union — no row
+    explosion, no windows."""
+    cust = t(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    new = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.when(F.col("c_custkey") % 7 == 0, "MACHINERY")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    diff = D.snapshot_diff(old, new, keys=["custkey"])
+    vfrom = F.lit("2024-01-01").cast("date")
+    veff = F.lit("2024-06-01").cast("date")
+    vnull = F.lit(None).cast("date")
+    kept = (
+        diff.filter(F.col("change_type") == "unchanged")
+        .join(old, "custkey")
+        .select(
+            "custkey", "segment", vfrom.alias("valid_from"),
+            vnull.alias("valid_to"), F.lit(True).alias("is_current"),
+        )
+    )
+    closed = (
+        diff.filter(F.col("change_type").isin("update", "delete"))
+        .join(old, "custkey")
+        .select(
+            "custkey", "segment", vfrom.alias("valid_from"),
+            veff.alias("valid_to"), F.lit(False).alias("is_current"),
+        )
+    )
+    opened = (
+        diff.filter(F.col("change_type").isin("update", "insert"))
+        .join(new, "custkey")
+        .select(
+            "custkey", "segment", veff.alias("valid_from"),
+            vnull.alias("valid_to"), F.lit(True).alias("is_current"),
+        )
+    )
+    return kept.unionByName(closed).unionByName(opened)

@@ -2437,3 +2437,109 @@ def scd2_apply_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return kept.unionByName(closed).unionByName(opened)
+
+
+@query(
+    "orders_layout_zonemap_audit",
+    oracle="""
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS od, o_orderkey FROM orders
+    ),
+    zm AS (
+      SELECT 'date_clustered' AS layout,
+             CAST(date_trunc('month', od) AS DATE) AS bucket_key,
+             MIN(od) AS lo, MAX(od) AS hi
+      FROM o GROUP BY 2
+      UNION ALL
+      SELECT 'hash', CAST(DATE '1970-01-01' + CAST(o_orderkey % 80 AS INT)
+                          AS DATE), MIN(od), MAX(od)
+      FROM o GROUP BY 2
+    ),
+    probes AS (
+      SELECT DISTINCT CAST(date_trunc('month', od) AS DATE) AS m_start,
+             CAST(date_trunc('month', od) + INTERVAL 1 MONTH
+                  - INTERVAL 1 DAY AS DATE) AS m_end
+      FROM o
+    ),
+    nb AS (SELECT layout, COUNT(*) AS n_buckets FROM zm GROUP BY layout),
+    scans AS (
+      SELECT zm.layout, p.m_start, COUNT(*) AS scanned
+      FROM probes p JOIN zm
+        ON zm.lo <= p.m_end AND zm.hi >= p.m_start
+      GROUP BY zm.layout, p.m_start
+    )
+    SELECT s.layout, CAST(nb.n_buckets AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(CAST(SUM(s.scanned) AS DOUBLE)
+                 / (nb.n_buckets * COUNT(*)), 6) AS avg_scan_fraction
+    FROM scans s JOIN nb ON nb.layout = s.layout
+    GROUP BY s.layout, nb.n_buckets
+    """,
+)
+def orders_layout_zonemap_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-layout advisor via ZONE MAPS: simulate two file layouts of
+    the orders fact — date-clustered (one file per order month, what a
+    range-partitioned/Z-ordered writer produces) vs hash-scattered
+    (o_orderkey % 80, same file count) — compute each file's
+    min/max o_orderdate zone map, replay one month-range predicate per
+    historical month against the maps, and report the average fraction
+    of files a reader must touch. The date-clustered layout prunes to
+    ~1/n_buckets; the hash layout's per-file ranges span the whole
+    history, so every probe scans every file — the quantitative
+    argument for sort-on-write at 100 TB, produced by the engine
+    itself (this is exactly the min/max skipping parquet row-group
+    stats / Delta-Iceberg data-skipping indexes implement).
+
+    Scale: zone maps and probes are per-bucket/per-month AGGREGATES
+    (calendar-bounded: buckets × months rows, independent of row
+    count); the only non-equi join is between those two calendar-sized
+    tables — the fact itself is scanned once per layout and never
+    joined."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"), "o_orderkey"
+    )
+    zm_date = o.groupBy(
+        F.lit("date_clustered").alias("layout"),
+        F.date_trunc("month", "od").cast("date").alias("bucket_key"),
+    ).agg(F.min("od").alias("lo"), F.max("od").alias("hi"))
+    zm_hash = o.groupBy(
+        F.lit("hash").alias("layout"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            (F.col("o_orderkey") % 80).cast("int"),
+        ).alias("bucket_key"),
+    ).agg(F.min("od").alias("lo"), F.max("od").alias("hi"))
+    zm = zm_date.unionByName(zm_hash)
+    probes = o.select(
+        F.date_trunc("month", "od").cast("date").alias("m_start"),
+        F.date_sub(
+            F.add_months(F.date_trunc("month", "od").cast("date"), 1), 1
+        ).alias("m_end"),
+    ).distinct()
+    nb = zm.groupBy("layout").agg(F.count(F.lit(1)).alias("n_buckets"))
+    scans = (
+        probes.join(
+            zm,
+            (F.col("lo") <= F.col("m_end"))
+            & (F.col("hi") >= F.col("m_start")),
+        )
+        .groupBy("layout", "m_start")
+        .agg(F.count(F.lit(1)).alias("scanned"))
+    )
+    return (
+        scans.join(nb, "layout")
+        .withColumn("n_buckets", F.col("n_buckets").cast("long"))
+        .groupBy("layout", "n_buckets")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            # integer SUM then ONE division: avg(x/nb) with a constant
+            # denominator, made accumulation-order independent
+            F.round(
+                F.sum("scanned").cast("double")
+                / (F.col("n_buckets") * F.count(F.lit(1))),
+                6,
+            ).alias("avg_scan_fraction"),
+        )
+    )

@@ -171,6 +171,10 @@ ALLPAIRS_BNLJ_OK = {
     # a deliberate all-pairs verify (docstring names the LSH/IVF
     # candidate-screen scale path)
     "knn_hard_negatives",
+    # zone-map overlap probe: both sides are CALENDAR-bounded
+    # aggregates (months × buckets, ≤ ~100 rows each, independent of
+    # fact row count) — the fact table never enters the non-equi join
+    "orders_layout_zonemap_audit",
 }
 
 # Queries allowed to plan an UNPARTITIONED WindowExec — only over

@@ -2543,3 +2543,103 @@ def orders_layout_zonemap_audit(
             ).alias("avg_scan_fraction"),
         )
     )
+
+
+@query(
+    "orders_encoding_advisor",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus AS st, o_orderpriority AS pr,
+             lag(o_orderstatus) OVER (ORDER BY o_orderkey) AS pst,
+             lag(o_orderpriority) OVER (ORDER BY o_orderkey) AS ppr
+      FROM orders
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN pst IS NULL OR st <> pst THEN 1 ELSE 0 END)
+          AS runs_st,
+        SUM(CASE WHEN ppr IS NULL OR pr <> ppr THEN 1 ELSE 0 END)
+          AS runs_pr
+      FROM s
+    ),
+    d AS (
+      SELECT COUNT(DISTINCT o_orderstatus) AS dst,
+             COUNT(DISTINCT o_orderpriority) AS dpr
+      FROM orders
+    )
+    SELECT 'o_orderstatus' AS column_name, CAST(n AS BIGINT) AS n_rows,
+           CAST(dst AS BIGINT) AS n_distinct,
+           CAST(runs_st AS BIGINT) AS n_runs,
+           round(CAST(n AS DOUBLE) / runs_st, 6) AS avg_run_len
+    FROM agg, d
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(n AS BIGINT), CAST(dpr AS BIGINT),
+           CAST(runs_pr AS BIGINT), round(CAST(n AS DOUBLE) / runs_pr, 6)
+    FROM agg, d
+    """,
+)
+def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-encoding advisor: for candidate columns of the orders
+    fact in file order (o_orderkey), the statistics a columnar writer
+    weighs — cardinality (dictionary encodability) and run structure
+    (RLE effectiveness): n_distinct, number of value RUNS under the
+    physical order, and average run length. Short runs + tiny
+    dictionary → dictionary-encode; long runs (e.g. after sorting by
+    that column — see orders_layout_zonemap_audit for the layout
+    companion) → RLE. This is the stats pass behind parquet's
+    dictionary/RLE decisions, surfaced as a query.
+
+    Scale shape: the run count needs each row's PREDECESSOR under a
+    total order — computed with the engine's sequential-dependency
+    idiom: global rank from the two-pass ranking primitive, then an
+    EQUI-join of rn ↔ rn−1 (shuffle-partitioned by rank, no
+    single-task window anywhere), one count aggregate. Distinct
+    counts are partial-aggregated per column."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    r, n_total = ranked(o, [F.col("o_orderkey").asc()], rn_col="rn")
+    a = r.select(
+        F.col("rn").alias("rn_a"),
+        F.col("o_orderstatus").alias("st_a"),
+        F.col("o_orderpriority").alias("pr_a"),
+    )
+    b = r.select(
+        (F.col("rn") - 1).alias("rn_a"),
+        F.col("o_orderstatus").alias("st_b"),
+        F.col("o_orderpriority").alias("pr_b"),
+    )
+    trans = a.join(b, "rn_a").agg(
+        (
+            F.sum(F.when(F.col("st_a") != F.col("st_b"), 1).otherwise(0))
+            + 1
+        ).alias("runs_st"),
+        (
+            F.sum(F.when(F.col("pr_a") != F.col("pr_b"), 1).otherwise(0))
+            + 1
+        ).alias("runs_pr"),
+    )
+    d = o.agg(
+        F.countDistinct("o_orderstatus").alias("dst"),
+        F.countDistinct("o_orderpriority").alias("dpr"),
+    )
+    both = trans.crossJoin(d)
+    row_st = both.select(
+        F.lit("o_orderstatus").alias("column_name"),
+        F.lit(n_total).cast("long").alias("n_rows"),
+        F.col("dst").cast("long").alias("n_distinct"),
+        F.col("runs_st").cast("long").alias("n_runs"),
+        F.round(F.lit(float(n_total)) / F.col("runs_st"), 6).alias(
+            "avg_run_len"
+        ),
+    )
+    row_pr = both.select(
+        F.lit("o_orderpriority").alias("column_name"),
+        F.lit(n_total).cast("long").alias("n_rows"),
+        F.col("dpr").cast("long").alias("n_distinct"),
+        F.col("runs_pr").cast("long").alias("n_runs"),
+        F.round(F.lit(float(n_total)) / F.col("runs_pr"), 6).alias(
+            "avg_run_len"
+        ),
+    )
+    return row_st.unionByName(row_pr)

@@ -149,6 +149,9 @@ SCALAR_BNLJ_OK = {
     "part_pair_lift",
     # 1-row total-row-count broadcast onto the ≤|QI classes| histogram
     "customer_k_anonymity",
+    # two 1-row aggregates (run counts × distinct counts) crossJoined
+    # into the 2-row report
+    "orders_encoding_advisor",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",

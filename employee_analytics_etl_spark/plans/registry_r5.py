@@ -2643,3 +2643,68 @@ def orders_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return row_st.unionByName(row_pr)
+
+
+from .registry_ext import _SHINGLES_CTE  # noqa: E402 — shared oracle CTE
+
+
+@query(
+    "dedup_jaccard_threshold_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT id, COUNT(*) AS set_size FROM sh GROUP BY id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 25),
+    shf AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    scored AS (
+      SELECT CAST(i AS DOUBLE) / (sa.set_size + sb.set_size - i) AS j
+      FROM inter JOIN sizes sa ON sa.id = inter.id_a
+                 JOIN sizes sb ON sb.id = inter.id_b
+    )
+    SELECT round(u.k / 10.0, 1) AS tau,
+           CAST(COUNT(*) FILTER (j >= u.k / 10.0) AS BIGINT)
+             AS n_pairs_merged
+    FROM scored, UNNEST(range(1, 10)) AS u(k)
+    GROUP BY u.k
+    """,
+)
+def dedup_jaccard_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup THRESHOLD CALIBRATION curve: for τ = 0.1 … 0.9, how many
+    candidate pairs (3-gram Jaccard, stop-shingle-pruned candidates)
+    a merge at that threshold would collapse. The knee of this curve
+    is how practitioners pick the near-dup threshold before running
+    the destructive merge — computed in ONE pass over the same
+    candidate machinery as dedup_ngram_jaccard (threshold 0 keeps
+    every scored candidate), then a 9-way explode of the ≤9 τ grid
+    rows per pair and a count per τ.
+
+    Scale: candidate scoring is the audited banded-join shape; the
+    grid explode multiplies the PAIR table (already ≪ corpus) by a
+    constant 9."""
+    from ..operators.partitioning import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    pairs = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=25
+    )
+    grid = pairs.select(
+        "jaccard", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("k")
+    )
+    return (
+        grid.groupBy(F.round(F.col("k") / 10.0, 1).alias("tau"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("jaccard") >= F.col("k") / F.lit(10.0), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_pairs_merged")
+        )
+    )

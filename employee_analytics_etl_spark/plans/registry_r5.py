@@ -2708,3 +2708,78 @@ def dedup_jaccard_threshold_curve(
             .alias("n_pairs_merged")
         )
     )
+
+
+@query(
+    "orders_incremental_join_merge",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def orders_incremental_join_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta rule
+    Δ(A⋈B) = ΔA⋈B when B is static): the per-nation revenue view over
+    orders ⋈ customer is maintained as BASE (yesterday's orders,
+    o_orderkey % 20 ≠ 0, already aggregated) merged with the
+    aggregated delta of only the NEW orders joined to the static
+    customer dim — the nightly-batch pattern where the fact delta is
+    1/20th of the table and the view refresh never rescans history.
+    The full-outer coalesce-sum merge mirrors
+    orders_incremental_agg_merge, which maintains a plain aggregate;
+    this entry adds the JOIN to the maintained expression. Oracle:
+    the monolithic recompute over all orders — matching proves the
+    delta rule.
+
+    Scale: the delta path shuffles |Δ| rows once, joins the dim
+    broadcast, and merges two nation-sized (≤25-row) aggregates."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def view_agg(orders_part: DataFrame) -> DataFrame:
+        return (
+            orders_part.join(
+                F.broadcast(cust),
+                orders_part.o_custkey == cust.c_custkey,
+            )
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("p").alias("s"),
+            )
+        )
+
+    base = view_agg(o.filter(F.col("o_orderkey") % 20 != 0))
+    delta = view_agg(o.filter(F.col("o_orderkey") % 20 == 0))
+    b = base.select(
+        "nationkey", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    d = delta.select(
+        "nationkey", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+    )
+    merged = b.join(d, "nationkey", "full_outer").select(
+        "nationkey",
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            + F.coalesce(F.col("n_d"), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_orders"),
+        (
+            F.coalesce(F.col("s_b"), F.lit(0).cast("decimal(28,2)"))
+            + F.coalesce(F.col("s_d"), F.lit(0).cast("decimal(28,2)"))
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+    return merged

@@ -2148,3 +2148,44 @@ class TestLocalClustering:
                 (-r["local_cc"], r["node"]) for r in rows
             ]
             assert keys == sorted(keys)
+
+
+class TestR5OperatorEdges:
+    def test_ppr_empty_seeds_rejected(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="seed"):
+            G.personalized_pagerank(e, seeds=[])
+
+    def test_ppr_mass_concentrates_on_seed_component(self, spark):
+        """Two disconnected triangles; seeding one of them must leave
+        the other with zero rank rows (mass only reaches nodes with a
+        path from the seed set)."""
+        from employee_analytics_etl_spark.operators import graph as G
+
+        tri = lambda base: [  # noqa: E731
+            (base, base + 1), (base + 1, base), (base + 1, base + 2),
+            (base + 2, base + 1), (base + 2, base), (base, base + 2),
+        ]
+        e = spark.createDataFrame(tri(0) + tri(10), "src long, dst long")
+        r = {x["node"]: x["rank"]
+             for x in G.personalized_pagerank(e, seeds=[0], iters=3).collect()}
+        assert set(r) == {0, 1, 2}
+        assert all(v > 0 for v in r.values())
+
+    def test_prefix_filter_short_and_identical_docs(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "too short"),  # < n tokens -> no shingles
+                (2, "alpha beta gamma delta epsilon zeta"),
+                (3, "alpha beta gamma delta epsilon zeta"),  # exact dup
+            ],
+            "doc_id long, text string",
+        )
+        rows = D.prefix_filter_jaccard_pairs(
+            docs, n=5, threshold=0.5
+        ).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [
+            (2, 3, 1.0)
+        ]

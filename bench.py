@@ -106,6 +106,15 @@ HEADLINE = [
     "orders_bootstrap_mean_ci",
     "media_gif_frame_stats",
     "order_cents_proration",
+    # late-r5 additions: lossless prefix-filter set-similarity join,
+    # ranked-cumsum sequential monitor, explicit hot/cold skew-split
+    # join, degree-oriented per-node clustering, and seed-teleport
+    # personalized PageRank
+    "dedup_prefix_filter_pairs",
+    "events_sprt_monitor",
+    "events_skew_split_join",
+    "graph_local_clustering_topk",
+    "graph_ppr_related_entities",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

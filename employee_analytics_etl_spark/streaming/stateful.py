@@ -157,3 +157,83 @@ def debounce_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+SPRT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("experiment", T.StringType()),
+        T.StructField("n_obs", T.LongType()),
+        T.StructField("n_conversions", T.LongType()),
+        T.StructField("llr", T.DoubleType()),
+        T.StructField("decision", T.StringType()),
+    ]
+)
+
+# the ENTIRE sequential-test state is two integers per experiment
+SPRT_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("x", T.LongType())]
+)
+
+
+def _update_sprt(key, pdfs, state):
+    # module-level + annotation-free: see _update_profile note
+    import math
+
+    import pandas as pd
+
+    (experiment,) = key
+    n, x = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        x += int(pdf["is_conversion"].sum())
+    state.update((n, x))
+    # closed-form LLR from the integer state — identical constants to
+    # the batch events_sprt_monitor (H1 p=0.55 vs H0 p=0.45, α=β=0.05)
+    c1 = round(math.log(11.0 / 9.0), 12)
+    c2 = round(math.log(9.0 / 11.0), 12)
+    bound = round(math.log(19.0), 12)
+    llr = x * c1 + (n - x) * c2
+    decision = (
+        "reject_h0"
+        if llr >= bound
+        else ("accept_h0" if llr <= -bound else "continue")
+    )
+    yield pd.DataFrame(
+        {
+            "experiment": [experiment],
+            "n_obs": [n],
+            "n_conversions": [x],
+            "llr": [round(llr, 6)],
+            "decision": [decision],
+        }
+    )
+
+
+def sprt_stream(events: DataFrame) -> DataFrame:
+    """Streaming Wald SPRT: the always-valid A/B monitor as a stateful
+    stream — after every micro-batch, the cumulative log-likelihood
+    ratio and decision state for the conversion-rate hypothesis test
+    (the streaming twin of the batch ``events_sprt_monitor``; same
+    constants, same decision boundaries). State is TWO integers
+    (observations, conversions) per experiment key — O(1) regardless
+    of stream length — and because the LLR is a closed form of those
+    counts, the emitted value after each batch is EXACTLY the batch
+    query evaluated at the batch boundary, independent of within-batch
+    arrival order. Keyed by experiment so a platform's many concurrent
+    tests shard across executors."""
+    prepared = (
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.lit("default").alias("experiment"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_conversion"),
+        )
+    )
+    return prepared.groupBy("experiment").applyInPandasWithState(
+        _update_sprt,
+        outputStructType=SPRT_OUTPUT_SCHEMA,
+        stateStructType=SPRT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -1122,3 +1122,85 @@ class TestStreamingKmv:
             checked += 1
         if max(exact.values()) >= K:
             assert checked > 0
+
+
+class TestSprtStream:
+    """Streaming SPRT: integer state carried across micro-batches; the
+    emission after the FINAL batch must equal the batch SPRT over all
+    rows at once, and n_obs must be non-decreasing across emissions."""
+
+    def test_stream_matches_batch_endpoint(self, spark, tmp_path_factory):
+        import math
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = str(tmp_path_factory.mktemp("sprt_events"))
+
+        def ns(mm, ss=0):
+            import datetime as dt
+
+            t = dt.datetime(2024, 1, 1, 10, mm, ss, tzinfo=dt.timezone.utc)
+            return int(t.timestamp()) * 1_000_000_000
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "user_id": pa.array([7] * len(rows), pa.int64()),
+                    "event_type": pa.array([r[2] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        # 3 micro-batches; 'view' rows must be ignored by the monitor
+        write(
+            "a.parquet",
+            [(1, ns(0), "click"), (2, ns(1), "purchase"),
+             (3, ns(2), "view")],
+            1_000,
+        )
+        write(
+            "b.parquet",
+            [(4, ns(3), "purchase"), (5, ns(4), "purchase")],
+            2_000,
+        )
+        write(
+            "c.parquet",
+            [(6, ns(5), "click"), (7, ns(6), "click"),
+             (8, ns(7), "purchase")],
+            3_000,
+        )
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            run_to_memory,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            sprt_stream,
+        )
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        got = run_to_memory(
+            sprt_stream(stream), "t_sprt", spark, output_mode="update"
+        ).collect()
+        rows = sorted(got, key=lambda r: r["n_obs"])
+        assert [r["n_obs"] for r in rows] == [2, 4, 7]
+        assert [r["n_conversions"] for r in rows] == [1, 3, 4]
+        # endpoint equals the closed-form batch computation
+        c1 = round(math.log(11.0 / 9.0), 12)
+        c2 = round(math.log(9.0 / 11.0), 12)
+        want_llr = round(4 * c1 + 3 * c2, 6)
+        last = rows[-1]
+        assert last["llr"] == want_llr
+        assert last["decision"] == "continue"

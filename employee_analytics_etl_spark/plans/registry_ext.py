@@ -2980,6 +2980,89 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
 
 
+def _bm25_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared retrieval helper: BM25 top-20 (score desc, doc_id asc)
+    for the fixed 3-term query — TakeOrdered FIRST, then a rank window
+    over the 20 survivors only (never a global sort). Returns
+    (doc_id, rb)."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        TX.tokens_col("text").alias("tk"),
+        F.size(TX.tokens_col("text")).alias("dl"),
+    )
+    tf = d.select(
+        "doc_id",
+        "dl",
+        *[
+            F.size(F.expr(f"filter(tk, x -> x = '{term}')")).alias(f"tf_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+    st = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}")
+            for term in ("hash", "join", "stream")
+        ],
+    )
+
+    def contrib(term: str):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{term}") + 0.5)
+            / (F.col(f"df_{term}") + 0.5)
+            + 1
+        )
+        norm = F.col(f"tf_{term}") + 1.2 * (
+            0.25 + 0.75 * F.col("dl") / F.col("avgdl")
+        )
+        return idf * F.col(f"tf_{term}") * 2.2 / norm
+
+    bm = tf.crossJoin(F.broadcast(st)).select(
+        "doc_id",
+        F.round(
+            contrib("hash") + contrib("join") + contrib("stream"), 6
+        ).alias("bm25"),
+    )
+    return (
+        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "rb",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "rb")
+    )
+
+
+def _embed_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared retrieval helper: embedding-cosine top-20 against the
+    fixed query vector vec_id=0, same TakeOrdered-then-rank shape.
+    Returns (edoc, re)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    es = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            S.cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    return (
+        es.orderBy(F.desc("sim"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "re",
+            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
+        )
+        .select(F.col("doc_id").alias("edoc"), "re")
+    )
+
+
 @query(
     "doc_rrf_hybrid_topk",
     oracle=f"""
@@ -3046,76 +3129,8 @@ def doc_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-term expression — deterministic end-to-end, exact oracle.
     Nullable ranks in the output show WHICH modality surfaced each
     hit."""
-    docs = t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        TX.tokens_col("text").alias("tk"),
-        F.size(TX.tokens_col("text")).alias("dl"),
-    )
-    tf = d.select(
-        "doc_id",
-        "dl",
-        *[
-            F.size(F.expr(f"filter(tk, x -> x = '{term}')")).alias(f"tf_{term}")
-            for term in ("hash", "join", "stream")
-        ],
-    )
-    st = tf.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{term}") > 0).cast("int")).alias(f"df_{term}")
-            for term in ("hash", "join", "stream")
-        ],
-    )
-
-    def contrib(term: str):
-        idf = F.log(
-            (F.col("n") - F.col(f"df_{term}") + 0.5)
-            / (F.col(f"df_{term}") + 0.5)
-            + 1
-        )
-        norm = F.col(f"tf_{term}") + 1.2 * (
-            0.25 + 0.75 * F.col("dl") / F.col("avgdl")
-        )
-        return idf * F.col(f"tf_{term}") * 2.2 / norm
-
-    bm = tf.crossJoin(F.broadcast(st)).select(
-        "doc_id",
-        F.round(
-            contrib("hash") + contrib("join") + contrib("stream"), 6
-        ).alias("bm25"),
-    )
-    bm20 = (
-        bm.orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "rb",
-            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
-        )
-        .select("doc_id", "rb")
-    )
-    emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qvec")
-    )
-    es = (
-        emb.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(qv))
-        .select(
-            F.col("vec_id").alias("doc_id"),
-            S.cosine(F.col("embedding"), F.col("qvec")).alias("sim"),
-        )
-    )
-    em20 = (
-        es.orderBy(F.desc("sim"), F.asc("doc_id"))
-        .limit(20)
-        .withColumn(
-            "re",
-            F.row_number().over(Window.orderBy(F.desc("sim"), F.asc("doc_id"))),
-        )
-        .select(F.col("doc_id").alias("edoc"), "re")
-    )
+    bm20 = _bm25_top20(spark, sf_dir)
+    em20 = _embed_top20(spark, sf_dir)
     fused = bm20.join(em20, bm20["doc_id"] == em20["edoc"], "full_outer").select(
         F.coalesce("doc_id", "edoc").alias("doc_id"),
         F.col("rb").cast("long").alias("bm25_rank"),

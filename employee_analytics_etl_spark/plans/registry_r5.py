@@ -2783,3 +2783,143 @@ def orders_incremental_join_merge(
         .alias("revenue"),
     )
     return merged
+
+
+@query(
+    "doc_rbo_lexical_vs_embedding",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, dl,
+        len(list_filter(tk, x -> x = 'hash')) AS tf_hash,
+        len(list_filter(tk, x -> x = 'join')) AS tf_join,
+        len(list_filter(tk, x -> x = 'stream')) AS tf_stream
+      FROM d
+    ),
+    st AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+        SUM(CASE WHEN tf_hash > 0 THEN 1 ELSE 0 END) AS df_hash,
+        SUM(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS df_join,
+        SUM(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+      FROM tf
+    ),
+    bm AS (
+      SELECT doc_id,
+        round(
+          ln((n - df_hash + 0.5) / (df_hash + 0.5) + 1)
+            * tf_hash * 2.2 / (tf_hash + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_join + 0.5) / (df_join + 0.5) + 1)
+            * tf_join * 2.2 / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+          + ln((n - df_stream + 0.5) / (df_stream + 0.5) + 1)
+            * tf_stream * 2.2
+            / (tf_stream + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+        6) AS bm25
+      FROM tf, st
+    ),
+    bm20 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+        AS rb
+      FROM bm QUALIFY rb <= 20
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+    es AS (
+      SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v)
+               AS sim
+      FROM embeddings e, qv WHERE e.vec_id <> 0
+    ),
+    em20 AS (
+      SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+        AS re
+      FROM es QUALIFY re <= 20
+    ),
+    shared AS (
+      SELECT greatest(bm20.rb, em20.re) AS m
+      FROM bm20 JOIN em20 USING (doc_id)
+    ),
+    grid AS (
+      SELECT u.d AS depth,
+        (SELECT COUNT(*) FROM shared WHERE m <= u.d) AS x
+      FROM UNNEST(range(1, 21)) AS u(d)
+    ),
+    terms AS (
+      SELECT depth, x,
+        CAST(round((1.0 - 0.9) / 0.9 * pow(0.9, depth)
+                   * (CAST(x AS DOUBLE) / depth), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM grid
+    )
+    SELECT CAST(depth AS INT) AS depth, CAST(x AS BIGINT) AS n_overlap,
+      round(CAST(x AS DOUBLE) / depth, 6) AS agreement,
+      CAST(round(CAST(SUM(term) OVER (ORDER BY depth
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6)
+           AS DOUBLE) AS rbo_min_cum
+    FROM terms
+    """,
+)
+def doc_rbo_lexical_vs_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rank-Biased Overlap (Webber-Moffat-Zobel, TOIS 2010) between
+    the BM25 lexical top-20 and the embedding-cosine top-20 — the
+    standard top-weighted agreement measure between two rankings
+    (Kendall/Spearman need full permutations; RBO handles truncated,
+    non-conjoint lists). Emits the per-depth overlap curve
+    (|A∩B at depth d|, agreement X_d/d) and the cumulative
+    truncated-RBO prefix sum with persistence p = 0.9 — the d = 20 row
+    is RBO_min@20. Low RBO = the modalities surface DIFFERENT
+    documents → hybrid fusion (doc_rrf_hybrid_topk) adds real recall;
+    high RBO = one modality suffices.
+
+    Scale: both rankings are bounded top-k lists (TakeOrdered first —
+    see _bm25_top20/_embed_top20); everything after is arithmetic on a
+    CONSTANT 20-row depth grid (each shared doc explodes to its
+    suffix depths m..20). p^d terms are 12dp-snapped into DECIMAL
+    before the prefix sum — engine-exact."""
+    from .registry_ext import _bm25_top20, _embed_top20
+
+    bm20 = _bm25_top20(spark, sf_dir)
+    em20 = _embed_top20(spark, sf_dir)
+    shared = bm20.join(
+        em20, bm20["doc_id"] == em20["edoc"]
+    ).select(F.greatest("rb", "re").alias("m"))
+    # each shared doc contributes to every depth d >= m
+    contrib = shared.select(
+        F.explode(F.sequence(F.col("m"), F.lit(20))).alias("depth")
+    ).groupBy("depth").agg(F.count(F.lit(1)).alias("x"))
+    grid = spark.range(1, 21).select(
+        F.col("id").cast("int").alias("depth")
+    )
+    g = grid.join(contrib, "depth", "left").withColumn(
+        "x", F.coalesce(F.col("x"), F.lit(0))
+    )
+    term = (
+        F.round(
+            F.lit((1.0 - 0.9) / 0.9)
+            * F.pow(F.lit(0.9), F.col("depth"))
+            * (F.col("x").cast("double") / F.col("depth")),
+            12,
+        )
+        .cast("decimal(28,12)")
+    )
+    w = Window.orderBy("depth").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        g.withColumn("_term", term)
+        .select(
+            F.col("depth").cast("int").alias("depth"),
+            F.col("x").cast("long").alias("n_overlap"),
+            F.round(F.col("x").cast("double") / F.col("depth"), 6).alias(
+                "agreement"
+            ),
+            F.round(F.sum("_term").over(w).cast("double"), 6).alias(
+                "rbo_min_cum"
+            ),
+        )
+    )

@@ -160,6 +160,8 @@ SCALAR_BNLJ_OK = {
     "doc_bm25_topk",
     # two 1-row broadcasts: BM25 corpus stats + the fixed query vector
     "doc_rrf_hybrid_topk",
+    # same two 1-row broadcasts via the shared top-20 helpers
+    "doc_rbo_lexical_vs_embedding",
 }
 
 # ...except for the ONE deliberate all-pairs operator: the exact
@@ -190,6 +192,8 @@ ALLPAIRS_BNLJ_OK = {
 GLOBAL_WINDOW_OK = {
     # cumulative windows over the ≤10-row NTILE(10) decile grid
     "orders_lorenz_deciles": "10-row decile grid",
+    # RBO prefix sum + top-20 rank windows over constant-k lists
+    "doc_rbo_lexical_vs_embedding": "20-row depth grid / top-20 lists",
     # cumsum + row_number over the HOURLY series (calendar-bounded)
     "events_cusum_changepoint": "hourly rollup, bounded by time span",
     # KM life table: |distinct gap days| rows, bounded by max gap

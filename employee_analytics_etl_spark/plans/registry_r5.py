@@ -2923,3 +2923,95 @@ def doc_rbo_lexical_vs_embedding(
             ),
         )
     )
+
+
+@query(
+    "knn_matryoshka_recall_eval",
+    oracle="""
+    WITH fullrank AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % 50 = 0
+    ),
+    full10 AS (SELECT query_id, neighbor_id FROM fullrank WHERE rn <= 10),
+    trunc AS (
+      SELECT u.d AS dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY u.d, q.vec_id
+               ORDER BY list_cosine_similarity(
+                          CAST(q.embedding[1:u.d] AS DOUBLE[]),
+                          CAST(c.embedding[1:u.d] AS DOUBLE[])) DESC,
+                        c.vec_id) AS rn
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id,
+           UNNEST([4, 8, 16]) AS u(d)
+      WHERE q.vec_id % 50 = 0
+    ),
+    t10 AS (SELECT dim, query_id, neighbor_id FROM trunc WHERE rn <= 10),
+    hits AS (
+      SELECT t10.dim, COUNT(*) AS n_hits
+      FROM t10 JOIN full10 USING (query_id, neighbor_id)
+      GROUP BY t10.dim
+    ),
+    nq AS (SELECT COUNT(*) AS n FROM embeddings WHERE vec_id % 50 = 0)
+    SELECT CAST(hits.dim AS INT) AS dim, CAST(nq.n AS BIGINT) AS n_queries,
+           round(CAST(n_hits AS DOUBLE) / (10 * nq.n), 6)
+             AS avg_recall_at_10
+    FROM hits, nq
+    """,
+)
+def knn_matryoshka_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-truncation evaluation (Kusupati et al., NeurIPS'22
+    shape): how much top-10 cosine recall survives when the 64-dim
+    embeddings are truncated to their first 4 / 8 / 16 dimensions —
+    the measurement behind "store the short prefix, rerank with the
+    full vector" serving designs (prefix ANN is 4–16× cheaper in
+    memory and FLOPs). Recall@10 per dim = |trunc-top10 ∩
+    full-top10| / (10·|queries|) — an integer hit count and ONE
+    division, engine-exact.
+
+    Scale: four passes of the vectorized matmul scorer (full + 3
+    dims) — per-Arrow-batch BLAS with partial top-k, so only
+    batches×q×k rows reach the final window; the slice pushes the
+    FLOP cut into the scan itself. The query set inherits the
+    driver-collect cap discipline (query side is the small one,
+    never the corpus)."""
+    from ..operators import similarity as S2
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    full10 = S2.brute_force_topk_vectorized(q, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    nq = q.agg(F.count(F.lit(1)).alias("n"))
+    per_dim = []
+    for d in (4, 8, 16):
+        sliced = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        t10 = S2.brute_force_topk_vectorized(
+            sliced(q), sliced(emb), k=10
+        ).select("query_id", "neighbor_id")
+        hits = t10.join(full10, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        per_dim.append(
+            hits.crossJoin(F.broadcast(nq)).select(
+                F.lit(d).cast("int").alias("dim"),
+                F.col("n").cast("long").alias("n_queries"),
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / (F.lit(10) * F.col("n")),
+                    6,
+                ).alias("avg_recall_at_10"),
+            )
+        )
+    out = per_dim[0]
+    for x in per_dim[1:]:
+        out = out.unionByName(x)
+    return out

@@ -152,6 +152,8 @@ SCALAR_BNLJ_OK = {
     # two 1-row aggregates (run counts × distinct counts) crossJoined
     # into the 2-row report
     "orders_encoding_advisor",
+    # per-dim 1-row hit counts × 1-row query count → 3 report rows
+    "knn_matryoshka_recall_eval",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",

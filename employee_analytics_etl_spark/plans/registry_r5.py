@@ -3015,3 +3015,109 @@ def knn_matryoshka_recall_eval(
     for x in per_dim[1:]:
         out = out.unionByName(x)
     return out
+
+
+HOLT_SCHEMA = (
+    "h INT, forecast DOUBLE"
+)
+
+
+def _holt_kernel(pdf):
+    # annotation-free Arrow kernel (see the pandas_udf hint note);
+    # sequential double recursion — bit-identical to the recursive-CTE
+    # oracle because both evaluate the SAME expressions in index order
+    import pandas as pd
+
+    pdf = pdf.sort_values("i")
+    y = pdf["y"].to_list()
+    lvl = y[0]
+    trd = y[1] - y[0]
+    for i in range(1, len(y)):
+        new_lvl = 0.2 * y[i] + 0.8 * (lvl + trd)
+        trd = 0.1 * (new_lvl - lvl) + 0.9 * trd
+        lvl = new_lvl
+    return pd.DataFrame(
+        {
+            "h": list(range(1, 25)),
+            "forecast": [round(lvl + h * trd, 6) for h in range(1, 25)],
+        }
+    )
+
+
+@query(
+    "events_holt_forecast_hourly",
+    oracle="""
+    WITH RECURSIVE hb AS (
+      SELECT epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM hb GROUP BY h),
+    span AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hb),
+    series AS (
+      SELECT u.h - span.mn AS i,
+             CAST(COALESCE(c.c, 0) AS DOUBLE) AS y
+      FROM span, UNNEST(generate_series(mn, mx)) AS u(h)
+      LEFT JOIN cnt c ON c.h = u.h
+    ),
+    t AS (SELECT MAX(i) AS tmax FROM series),
+    holt(i, lvl, trd) AS (
+      SELECT CAST(0 AS BIGINT),
+             (SELECT y FROM series WHERE i = 0),
+             (SELECT y FROM series WHERE i = 1)
+               - (SELECT y FROM series WHERE i = 0)
+      UNION ALL
+      SELECT s.i,
+             0.2 * s.y + 0.8 * (holt.lvl + holt.trd),
+             0.1 * ((0.2 * s.y + 0.8 * (holt.lvl + holt.trd))
+                    - holt.lvl)
+               + 0.9 * holt.trd
+      FROM holt JOIN series s ON s.i = holt.i + 1
+    ),
+    final AS (
+      SELECT lvl, trd FROM holt, t WHERE holt.i = t.tmax
+    )
+    SELECT CAST(u.h AS INT) AS h, round(lvl + u.h * trd, 6) AS forecast
+    FROM final, UNNEST(range(1, 25)) AS u(h)
+    """,
+)
+def events_holt_forecast_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (α=0.2, β=0.1) over
+    the gap-filled global hourly event-count series, forecasting the
+    next 24 hours — the classical capacity-planning forecaster next
+    to the seasonal-naive baseline (orders_forecast_eval_monthly
+    evaluates; this one PRODUCES a forecast). The smoothing recursion
+    is inherently sequential, so this query is the engine's
+    documented pattern for sequential state: aggregate the fact to a
+    CALENDAR-BOUNDED series (≤ time-span hours — independent of row
+    count), then run the recursion in one Arrow kernel over that
+    bounded series. The oracle replays the identical recursion as a
+    RECURSIVE CTE — float-exact because both evaluate the same
+    double expressions in the same index order.
+
+    Scale: one partial-aggregated groupBy(hour) over the fact; the
+    spine join and the kernel touch only the bounded series (per-key
+    forecasts at 100 TB shard the same kernel by key)."""
+    e = t(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("h")
+    )
+    cnt = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    span = e.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    spine = span.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("h"),
+        "mn",
+    )
+    series = (
+        spine.join(cnt, "h", "left")
+        .select(
+            (F.col("h") - F.col("mn")).alias("i"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("y"),
+        )
+        .withColumn("_g", F.lit(1))
+    )
+    return (
+        series.groupBy("_g")
+        .applyInPandas(_holt_kernel, schema=HOLT_SCHEMA)
+    )

@@ -3121,3 +3121,123 @@ def events_holt_forecast_hourly(
         series.groupBy("_g")
         .applyInPandas(_holt_kernel, schema=HOLT_SCHEMA)
     )
+
+
+@query(
+    "events_conformal_interval_eval",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, event_type, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS hx
+      FROM events
+    ),
+    tr AS (SELECT * FROM tagged WHERE hx BETWEEN '0' AND '9'),
+    cal AS (SELECT * FROM tagged WHERE hx IN ('a', 'b', 'c')),
+    te AS (SELECT * FROM tagged WHERE hx IN ('d', 'e', 'f')),
+    pred AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS p
+      FROM tr GROUP BY event_type
+    ),
+    resid AS (
+      SELECT abs(c.value - p.p) AS r, c.event_id
+      FROM cal c JOIN pred p USING (event_type)
+    ),
+    nk AS (
+      SELECT COUNT(*) AS n,
+             CAST(ceil(0.9 * (COUNT(*) + 1)) AS BIGINT) AS k
+      FROM resid
+    ),
+    q AS (
+      SELECT rr.r FROM (
+        SELECT r, ROW_NUMBER() OVER (ORDER BY r, event_id) AS rn
+        FROM resid
+      ) rr, nk WHERE rr.rn = nk.k
+    ),
+    cov AS (
+      SELECT COUNT(*) AS nt,
+             SUM(CASE WHEN abs(t.value - p.p) <= q.r
+                      THEN 1 ELSE 0 END) AS inside
+      FROM te t JOIN pred p USING (event_type), q
+    )
+    SELECT CAST(nk.n AS BIGINT) AS n_calibration,
+           nk.k AS k_index,
+           round(q.r, 6) AS q_hat,
+           CAST(cov.nt AS BIGINT) AS n_test,
+           round(CAST(cov.inside AS DOUBLE) / cov.nt, 6) AS coverage
+    FROM nk, q, cov
+    """,
+)
+def events_conformal_interval_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei et al. JASA'18)
+    with distribution-free coverage: md5-split the events into
+    train / calibration / test (10:3:3 hex bands), fit the trivial
+    per-event-type mean predictor on train, take the conformal
+    quantile q̂ = the ⌈0.9·(n+1)⌉-th smallest absolute calibration
+    residual (an EXACT order statistic — positional, not
+    interpolated), and report empirical coverage of pred ± q̂ on the
+    held-out test band — the finite-sample guarantee says coverage ≥
+    0.9 in expectation, and this query audits it. The uncertainty
+    layer a prediction-serving pipeline wraps around any point model.
+
+    Determinism: predictor means are DECIMAL-summed (one division);
+    the order statistic ranks (residual, event_id) — a total order —
+    through the range-partitioned ranking primitive; coverage is an
+    integer count over one broadcast-joined scan.
+
+    Scale: two broadcast joins of the 5-row predictor, one ranked()
+    pass over the calibration slice, 1-row q̂ broadcast onto the test
+    scan."""
+    tagged = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias(
+            "hx"
+        ),
+    )
+    tr = tagged.filter(F.col("hx").between("0", "9"))
+    cal = tagged.filter(F.col("hx").isin("a", "b", "c"))
+    te = tagged.filter(F.col("hx").isin("d", "e", "f"))
+    pred = tr.groupBy("event_type").agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p")
+    )
+    resid = cal.join(F.broadcast(pred), "event_type").select(
+        F.abs(F.col("value") - F.col("p")).alias("r"), "event_id"
+    )
+    rr, n_cal = ranked(
+        resid, [F.col("r").asc(), F.col("event_id").asc()], rn_col="rn"
+    )
+    import math
+
+    k = int(math.ceil(0.9 * (n_cal + 1)))
+    q = rr.filter(F.col("rn") == k).select(F.col("r").alias("q_hat"))
+    cov = (
+        te.join(F.broadcast(pred), "event_type")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("p")) <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            ).alias("inside"),
+            F.first("q_hat").alias("q_hat"),
+        )
+    )
+    return cov.select(
+        F.lit(n_cal).cast("long").alias("n_calibration"),
+        F.lit(k).cast("long").alias("k_index"),
+        F.round("q_hat", 6).alias("q_hat"),
+        F.col("nt").cast("long").alias("n_test"),
+        F.round(F.col("inside").cast("double") / F.col("nt"), 6).alias(
+            "coverage"
+        ),
+    )

@@ -154,6 +154,8 @@ SCALAR_BNLJ_OK = {
     "orders_encoding_advisor",
     # per-dim 1-row hit counts × 1-row query count → 3 report rows
     "knn_matryoshka_recall_eval",
+    # 1-row conformal quantile broadcast onto the test scan
+    "events_conformal_interval_eval",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",

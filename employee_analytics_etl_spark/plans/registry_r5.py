@@ -3241,3 +3241,87 @@ def events_conformal_interval_eval(
             "coverage"
         ),
     )
+
+
+@query(
+    "media_audio_tone_detect",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+      CAST(1000 + doc_id % 500 AS BIGINT) AS n_frames,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN 880 ELSE 440 END AS BIGINT)
+        AS dominant_hz,
+      TRUE AS separation_ok
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+)
+def media_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION beyond waveform stats: single-bin DFT
+    (Goertzel-style) tone detection on really-decoded PCM — the
+    classic DSP primitive behind DTMF detection / tone screening.
+    Each 'audio' doc synthesizes a deterministic TWO-tone 16 kHz WAV
+    (440 Hz + 880 Hz; the louder tone alternates by doc parity:
+    9000 vs 4000 amplitude), round-trips it through the real stdlib
+    encode→decode path, and the Arrow kernel computes |Σ s[n]·
+    e^(−2πi·f·n/fs)|² at both candidate bins FROM THE DECODED
+    SAMPLES. The oracle re-derives the dominant bin arithmetically
+    from the doc id and asserts the power separation envelope
+    (dominant/total ≥ 0.6 — spectral leakage from the non-integer
+    bin alignment cannot flip a 9000-vs-4000 amplitude gap; a broken
+    decode, byte order, or bin math can and fails the boolean).
+    Same media-fixture oracle pattern as media_audio_stats.
+
+    Scale: one mapInPandas scan; per-payload O(N) per probed bin,
+    no shuffle at all."""
+    from ..operators.partitioning import fan_out as _fan_out
+
+    def gen_detect(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators.codecs import decode_wav, encode_wav
+
+        def bin_power(s, f, fs):
+            n = np.arange(len(s), dtype=np.float64)
+            w = np.exp(-2j * np.pi * f * n / fs)
+            z = np.dot(s.astype(np.float64), w)
+            return (z.real**2 + z.imag**2) / len(s)
+
+        for pdf in batches:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nfr = 1000 + did % 500
+                a440, a880 = (4000, 9000) if did % 2 == 0 else (9000, 4000)
+                ts = np.arange(nfr)
+                sig = (
+                    a440 * np.sin(2 * np.pi * 440 * ts / 16000)
+                    + a880 * np.sin(2 * np.pi * 880 * ts / 16000)
+                ).astype(np.int16)
+                rate, decoded = decode_wav(encode_wav(16000, sig))
+                mono = decoded[:, 0]
+                p440 = bin_power(mono, 440, rate)
+                p880 = bin_power(mono, 880, rate)
+                dom = 880 if p880 >= p440 else 440
+                sep = max(p440, p880) / (p440 + p880)
+                out.append((did, len(mono), dom, bool(sep >= 0.6)))
+            yield pd.DataFrame(
+                {
+                    "media_id": [o[0] for o in out],
+                    "n_frames": [o[1] for o in out],
+                    "dominant_hz": [o[2] for o in out],
+                    "separation_ok": [o[3] for o in out],
+                }
+            )
+
+    docs = _fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        gen_detect,
+        schema=(
+            "media_id long, n_frames long, dominant_hz long, "
+            "separation_ok boolean"
+        ),
+    )

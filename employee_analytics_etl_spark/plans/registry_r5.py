@@ -3325,3 +3325,53 @@ def media_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "separation_ok boolean"
         ),
     )
+
+
+@query(
+    "events_props_variant_stats",
+    oracle="""
+    WITH px AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even,
+           CAST(SUM(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_odd,
+           CAST(SUM(CAST(k AS BIGINT) * k) AS BIGINT) AS k_sumsq
+    FROM px GROUP BY event_type
+    """,
+)
+def events_props_variant_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type —
+    the engine-NATIVE path next to events_props_json_stats'
+    ``from_json``: ``parse_json`` converts the properties bag ONCE
+    into the binary variant encoding (the open Parquet Variant
+    format), and ``variant_get`` then does typed field access on the
+    binary form — no schema declaration up front, no re-parsing per
+    extraction, and shredded storage pushdown when the lakehouse
+    writes variant columns natively. ``try_parse_json`` semantics on
+    malformed rows (NULL, never a failed job). Aggregates an
+    integer-exact profile (parity counts + sum of squares) so the
+    oracle is arithmetic.
+
+    Scale: scan-side parse + extraction (codegen'd), one
+    partial-aggregated groupBy on the low-cardinality type key."""
+    ev = t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    px = ev.select("event_type", k.alias("k"))
+    return px.groupBy("event_type").agg(
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+        F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_odd"),
+        F.sum(F.col("k").cast("long") * F.col("k"))
+        .cast("long")
+        .alias("k_sumsq"),
+    )

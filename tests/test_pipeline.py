@@ -270,3 +270,58 @@ class TestFixedWidthSource:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPythonDataSource:
+    """Spark 4 Python DataSource API: the custom 'seqgen' source must
+    plan partitioned reads (driver plans ranges, workers generate)
+    and produce the exact deterministic row set."""
+
+    def test_seqgen_reads_partitioned_and_exact(self, spark):
+        from employee_analytics_etl_spark.sources.pysource import register
+
+        register(spark)
+        df = (
+            spark.read.format("seqgen")
+            .option("n_rows", 257)
+            .option("num_partitions", 5)
+            .option("n_buckets", 7)
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == 5
+        rows = df.collect()
+        assert len(rows) == 257
+        got = {(r["id"], r["bucket"], r["value"]) for r in rows}
+        want = {
+            (i, f"b{i % 7}", float(i % 97) / 10.0) for i in range(257)
+        }
+        assert got == want
+
+    def test_observation_metrics_piggyback_on_one_scan(self, spark):
+        """df.observe: operational row/sum metrics collected from the
+        SAME job that produced the result — no second scan."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        from employee_analytics_etl_spark.sources.pysource import register
+
+        register(spark)
+        df = (
+            spark.read.format("seqgen")
+            .option("n_rows", 100)
+            .option("num_partitions", 3)
+            .load()
+        )
+        obs = Observation("pipeline_metrics")
+        out = (
+            df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows_seen"),
+                F.sum("id").alias("id_sum"),
+            )
+            .filter(F.col("id") % 2 == 0)
+            .count()
+        )
+        assert out == 50
+        m = obs.get
+        assert m["rows_seen"] == 100 and m["id_sum"] == 4950

@@ -491,3 +491,66 @@ def ivf_kmeans_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"))
     )
+
+
+def max_sim_vs_reference(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_reference_rows: int = 10_000,
+) -> DataFrame:
+    """Per-CORPUS-vector maximum cosine similarity against a small
+    REFERENCE set — the screening shape of semantic decontamination
+    (reference = benchmark/eval embeddings) and semantic near-dup
+    blocking (reference = canonical exemplars). The dual of
+    ``brute_force_topk_vectorized``: same collected-matrix matmul
+    kernel, but reduced per CANDIDATE (a row-wise max) instead of per
+    query, so the output is exactly one row per corpus vector:
+    (id, max_sim, argmax_ref_id).
+
+    Scale: the corpus is never collected, never joined, never
+    shuffled — one mapInPandas scan with a (r × dim) broadcast-by-
+    closure matrix; the reference set carries the same bounded-collect
+    cap discipline as the top-k scorer."""
+    import numpy as np
+    import pandas as pd
+
+    probe = reference.select(id_col).limit(max_reference_rows + 1).count()
+    if probe > max_reference_rows:
+        raise ValueError(
+            f"max_sim_vs_reference collects the reference set and got "
+            f"more than max_reference_rows={max_reference_rows} rows; "
+            f"shrink the reference or raise the cap if the driver can "
+            f"hold the matrix."
+        )
+    # sort by id so argmax's first-occurrence tie-break is the
+    # smallest reference id — matching the SQL (sim desc, id asc) rank
+    r_rows = sorted(
+        reference.select(id_col, vec_col).collect(), key=lambda r: r[0]
+    )
+    r_ids = np.array([r[0] for r in r_rows], dtype="int64")
+    r_mat = np.stack([np.asarray(r[1], dtype="float64") for r in r_rows])
+    r_norm = np.sqrt((r_mat * r_mat).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_mat = np.stack(
+                [np.asarray(v, dtype="float64") for v in pdf[vec_col]]
+            )
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ r_mat.T) / np.outer(c_norm, r_norm)
+            best = sims.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype="int64"),
+                    "max_sim": sims[np.arange(len(pdf)), best],
+                    "nearest_ref_id": r_ids[best],
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="vec_id long, max_sim double, nearest_ref_id long"
+    )

@@ -3375,3 +3375,60 @@ def events_props_variant_stats(
         .cast("long")
         .alias("k_sumsq"),
     )
+
+
+@query(
+    "doc_semantic_decontaminate",
+    oracle="""
+    WITH ref AS (
+      SELECT vec_id AS rid, CAST(embedding AS DOUBLE[]) AS rv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 100 <> 0
+    ),
+    scored AS (
+      SELECT corp.vec_id, ref.rid,
+             list_cosine_similarity(v, rv) AS sim
+      FROM corp, ref
+    ),
+    best AS (
+      SELECT vec_id, rid, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY sim DESC, rid ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, round(sim, 4) AS max_sim,
+           rid AS nearest_ref_id,
+           round(sim, 4) >= 0.9 AS flagged
+    FROM best WHERE rn = 1
+    """,
+)
+def doc_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space companion to the
+    n-gram doc_decontaminate: screen every corpus vector against the
+    benchmark/eval reference set (vec_id % 100 = 0 stands in for the
+    held-out benchmark embeddings) and emit its maximum cosine, the
+    nearest benchmark item, and a ≥ 0.9 contamination flag. N-gram
+    overlap misses paraphrases; embedding similarity is how modern
+    pipelines catch them (reworded eval questions, translated
+    contamination).
+
+    Scale: ``max_sim_vs_reference`` — the corpus is ONE mapInPandas
+    matmul scan against the collected (cap-guarded) reference matrix;
+    no join, no shuffle, output exactly one row per corpus vector."""
+    from ..operators import similarity as S2
+
+    emb = t(spark, sf_dir, "embeddings")
+    ref = emb.filter(F.col("vec_id") % 100 == 0)
+    corp = emb.filter(F.col("vec_id") % 100 != 0)
+    ms = S2.max_sim_vs_reference(corp, ref)
+    return ms.select(
+        "vec_id",
+        F.round("max_sim", 4).alias("max_sim"),
+        "nearest_ref_id",
+        (F.round("max_sim", 4) >= 0.9).alias("flagged"),
+    )

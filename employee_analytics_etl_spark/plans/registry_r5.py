@@ -3432,3 +3432,86 @@ def doc_semantic_decontaminate(
         "nearest_ref_id",
         (F.round("max_sim", 4) >= 0.9).alias("flagged"),
     )
+
+
+@query(
+    "embedding_label_noise_screen",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    nn AS (
+      SELECT q.vec_id, c.vec_id AS nid,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC,
+                        c.vec_id ASC) AS rn
+      FROM q JOIN c ON q.vec_id <> c.vec_id
+    ),
+    votes AS (
+      SELECT nn.vec_id, e.label, COUNT(*) AS cnt
+      FROM nn JOIN embeddings e ON e.vec_id = nn.nid
+      WHERE nn.rn <= 5
+      GROUP BY nn.vec_id, e.label
+    ),
+    maj AS (
+      SELECT vec_id, label AS majority_label,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+               ORDER BY cnt DESC, label ASC) AS rk
+      FROM votes
+    )
+    SELECT q.vec_id, CAST(q.label AS INT) AS own_label,
+           CAST(m.majority_label AS INT) AS majority_label,
+           q.label <> m.majority_label AS flagged
+    FROM q JOIN maj m ON m.vec_id = q.vec_id AND m.rk = 1
+    """,
+)
+def embedding_label_noise_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Label-noise screening by NEIGHBORHOOD VOTE (confident-learning
+    lite): for each audited vector, the majority label among its 5
+    nearest neighbors (cosine, total-ordered, ties → smallest label);
+    a vector whose own label disagrees is flagged for review — the
+    standard first-pass label-quality audit on a labeled embedding
+    corpus before training on it. Audited subset vec_id % 10 = 0
+    keeps the query side bounded; screening the full corpus at 100 TB
+    swaps the scorer for the LSH-bucketed path, same vote step.
+
+    Scale: one vectorized matmul top-5 pass (q×5 rows shuffle), one
+    broadcast-label join, one vote groupBy, per-vector windows over
+    ≤5 rows."""
+    from pyspark.sql.window import Window as W2
+
+    from ..operators import similarity as S2
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 10 == 0)
+    top5 = S2.brute_force_topk_vectorized(q, emb, k=5).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("neighbor_id").alias("nid"),
+    )
+    labels = emb.select(F.col("vec_id").alias("nid"), "label")
+    votes = (
+        top5.join(F.broadcast(labels), "nid")
+        .groupBy("vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = W2.partitionBy("vec_id").orderBy(
+        F.col("cnt").desc(), F.col("label").asc()
+    )
+    maj = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("label").alias("majority_label"))
+    )
+    own = q.select("vec_id", F.col("label").alias("own_label"))
+    return own.join(maj, "vec_id").select(
+        "vec_id",
+        F.col("own_label").cast("int").alias("own_label"),
+        F.col("majority_label").cast("int").alias("majority_label"),
+        (F.col("own_label") != F.col("majority_label")).alias("flagged"),
+    )

@@ -3515,3 +3515,112 @@ def embedding_label_noise_screen(
         F.col("majority_label").cast("int").alias("majority_label"),
         (F.col("own_label") != F.col("majority_label")).alias("flagged"),
     )
+
+
+@query(
+    "events_markov_next_event_accuracy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 1) AS hx
+      FROM events
+    ),
+    trans AS (
+      SELECT * FROM seq WHERE next_type IS NOT NULL
+    ),
+    train AS (
+      SELECT event_type, next_type, COUNT(*) AS cnt
+      FROM trans WHERE hx < 'c' GROUP BY event_type, next_type
+    ),
+    model AS (
+      SELECT event_type, next_type AS predicted_next,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY cnt DESC, next_type ASC) AS rk
+      FROM train
+    ),
+    test AS (SELECT * FROM trans WHERE hx >= 'c')
+    SELECT t.event_type AS prev_type, m.predicted_next,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.next_type = m.predicted_next
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN t.next_type = m.predicted_next
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS accuracy
+    FROM test t JOIN model m
+      ON m.event_type = t.event_type AND m.rk = 1
+    GROUP BY t.event_type, m.predicted_next
+    """,
+)
+def events_markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov next-event prediction with a held-out
+    accuracy audit: learn the MLE transition argmax on train users
+    (md5 split 12:4), predict each test transition's next event from
+    its predecessor, and report per-state accuracy — the evaluation
+    companion to the descriptive events_type_transition_matrix
+    (counts alone say nothing about predictive value). Ties in the
+    argmax break lexicographically — deterministic model, integer-
+    exact scoring.
+
+    Scale: one per-user LEAD window (groups bounded by per-user
+    activity), one |states|²-bounded train aggregate, the 5-row model
+    broadcast onto the test scan."""
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).alias(
+            "hx"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        seq.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .select("event_type", "next_type", "hx")
+    )
+    train = (
+        trans.filter(F.col("hx") < "c")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wm = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("next_type").asc()
+    )
+    model = (
+        train.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", F.col("next_type").alias("predicted_next")
+        )
+    )
+    test = trans.filter(F.col("hx") >= "c")
+    return (
+        test.join(F.broadcast(model), "event_type")
+        .groupBy(
+            F.col("event_type").alias("prev_type"), "predicted_next"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("next_type") == F.col("predicted_next"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .select(
+            "prev_type",
+            "predicted_next",
+            "n_test",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 6
+            ).alias("accuracy"),
+        )
+    )

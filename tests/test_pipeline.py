@@ -325,3 +325,48 @@ class TestPythonDataSource:
         assert out == 50
         m = obs.get
         assert m["rows_seen"] == 100 and m["id_sum"] == 4950
+
+
+class TestDeadLetterJson:
+    """PERMISSIVE JSON ingest with a dead-letter column: malformed
+    rows must land in _corrupt_record (quarantine), never fail the
+    job, and valid rows must parse fully."""
+
+    def test_corrupt_rows_quarantined(self, spark, tmp_path_factory):
+        import os
+
+        d = str(tmp_path_factory.mktemp("dlq_json"))
+        with open(os.path.join(d, "feed.json"), "w") as f:
+            f.write('{"id": 1, "v": 10.5}\n')
+            f.write('{"id": 2, "v": "NOT A NUMBER"}\n')
+            f.write("{this is not json at all\n")
+            f.write('{"id": 4, "v": 2.5}\n')
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("v", T.DoubleType()),
+                T.StructField("_corrupt_record", T.StringType()),
+            ]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(d)
+        ).cache()  # Spark requires caching to query corrupt-record col
+        good = df.filter(F.col("_corrupt_record").isNull())
+        dead = df.filter(F.col("_corrupt_record").isNotNull())
+        assert {(r["id"], r["v"]) for r in good.collect()} == {
+            (1, 10.5),
+            (4, 2.5),
+        }
+        assert dead.count() == 2  # type mismatch + unparseable line
+        # quarantined payloads keep the raw line for replay
+        raws = [r["_corrupt_record"] for r in dead.collect()]
+        assert any("NOT A NUMBER" in r for r in raws)
+        assert any("this is not json" in r for r in raws)
+        df.unpersist()

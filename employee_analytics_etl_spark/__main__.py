@@ -10,6 +10,7 @@ plus the analytics front doors over a testdata directory:
 
     python -m employee_analytics_etl_spark query --name tpch_q1_pricing_summary [--sf-dir D]
     python -m employee_analytics_etl_spark sql -e "SELECT COUNT(*) FROM orders" [--sf-dir D]
+    python -m employee_analytics_etl_spark explain --name tpch_q1_pricing_summary [--sf-dir D]
 """
 
 from __future__ import annotations
@@ -25,7 +26,10 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="employee_analytics_etl_spark")
     p.add_argument(
         "command",
-        choices=["run", "transform", "validate", "report", "query", "sql"],
+        choices=[
+            "run", "transform", "validate", "report",
+            "query", "sql", "explain",
+        ],
     )
     p.add_argument("--raw-dir", default=None, help="directory of <table>.csv inputs")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01",
@@ -38,18 +42,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--jdbc-url", default=None)
     args = p.parse_args(argv)
 
-    if args.command in ("query", "sql"):
+    if args.command in ("query", "sql", "explain"):
         from .plans import (  # noqa: F401 — imports register queries
             registry,
             registry_ext,
             registry_funcs,
             registry_more,
+            registry_r5,
         )
         from .session import build_session
         from .sources.readers import register_views
 
         spark = build_session(app_name=f"eae-{args.command}")
-        if args.command == "query":
+        if args.command in ("query", "explain"):
             if args.name not in registry.QUERIES:
                 print(
                     f"unknown query {args.name!r}; available: "
@@ -57,9 +62,11 @@ def main(argv: list[str] | None = None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            registry.QUERIES[args.name](spark, args.sf_dir).show(
-                args.limit, truncate=False
-            )
+            df = registry.QUERIES[args.name](spark, args.sf_dir)
+            if args.command == "explain":
+                df.explain("formatted")
+            else:
+                df.show(args.limit, truncate=False)
         else:
             if not args.expr:
                 print("sql requires -e/--expr", file=sys.stderr)

@@ -3624,3 +3624,72 @@ def events_markov_next_event_accuracy(
             ).alias("accuracy"),
         )
     )
+
+
+@query(
+    "privacy_tokenized_join_audit",
+    oracle="""
+    WITH raw AS (
+      SELECT o.o_orderkey
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'MACHINERY'
+    ),
+    tok AS (
+      SELECT o.o_orderkey
+      FROM (SELECT o_orderkey,
+                   md5('pepper:' || CAST(o_custkey AS VARCHAR)) AS tk
+            FROM orders) o
+      JOIN (SELECT md5('pepper:' || CAST(c_custkey AS VARCHAR)) AS tk
+            FROM customer WHERE c_mktsegment = 'MACHINERY') c
+        ON c.tk = o.tk
+    )
+    SELECT 'raw' AS method, CAST(COUNT(*) AS BIGINT) AS n_joined,
+           CAST(SUM(o_orderkey) AS BIGINT) AS orderkey_sum
+    FROM raw
+    UNION ALL
+    SELECT 'tokenized', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT)
+    FROM tok
+    """,
+)
+def privacy_tokenized_join_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy-preserving JOIN via keyed tokenization: both sides
+    independently replace the join key with a peppered hash token
+    (md5 of a shared secret + key — the PII-tokenization pattern that
+    lets two datasets join WITHOUT exchanging raw identifiers), and
+    the audit proves the tokenized join is row-for-row the raw-key
+    join (same count, same orderkey checksum, emitted as two
+    comparable rows). Completes the privacy family next to
+    customer_k_anonymity and events_dp_event_type_release. In
+    production the pepper lives in a KMS, not a literal; collision
+    probability at 128 bits is negligible at any corpus size.
+
+    Scale: both joins shuffle on their (token or raw) key
+    identically — tokenization adds one scan-side hash, no extra
+    exchange."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    ).select("c_custkey")
+    raw = o.join(c, o.o_custkey == c.c_custkey).agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
+    )
+    tok_of = lambda col: F.md5(  # noqa: E731
+        F.concat(F.lit("pepper:"), col.cast("string"))
+    )
+    o_t = o.select("o_orderkey", tok_of(F.col("o_custkey")).alias("tk"))
+    c_t = c.select(tok_of(F.col("c_custkey")).alias("tk"))
+    tok = o_t.join(c_t, "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_joined"),
+        F.sum("o_orderkey").cast("long").alias("orderkey_sum"),
+    )
+    return raw.select(
+        F.lit("raw").alias("method"), "n_joined", "orderkey_sum"
+    ).unionByName(
+        tok.select(
+            F.lit("tokenized").alias("method"), "n_joined", "orderkey_sum"
+        )
+    )

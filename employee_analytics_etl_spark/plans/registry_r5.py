@@ -3693,3 +3693,112 @@ def privacy_tokenized_join_audit(
             F.lit("tokenized").alias("method"), "n_joined", "orderkey_sum"
         )
     )
+
+
+def _haar_oracle() -> str:
+    """Generate the 9-level unrolled Haar oracle: level CTEs halve the
+    series by pairing (2k, 2k+1) — mechanical, so built by loop."""
+    parts = ["""
+    WITH hb AS (
+      SELECT epoch_us(ts) // 3600000000 AS h FROM events
+    ),
+    cnt AS (SELECT h, COUNT(*) AS c FROM hb GROUP BY h),
+    span AS (SELECT MIN(h) AS mn FROM hb),
+    grid AS (
+      SELECT u.i, span.mn + u.i AS h
+      FROM span, UNNEST(range(0, 512)) AS u(i)
+    ),
+    c0 AS (
+      SELECT g.i, CAST(COALESCE(c.c, 0) AS DOUBLE) AS c
+      FROM grid g LEFT JOIN cnt c ON c.h = g.h
+    )"""]
+    for lvl in range(1, 10):
+        a, b = f"c{lvl - 1}", f"c{lvl}"
+        parts.append(f""",
+    {b} AS (
+      SELECT i // 2 AS i,
+        (MAX(CASE WHEN i % 2 = 0 THEN c END)
+         + MAX(CASE WHEN i % 2 = 1 THEN c END)) / 2.0 AS c,
+        (MAX(CASE WHEN i % 2 = 0 THEN c END)
+         - MAX(CASE WHEN i % 2 = 1 THEN c END)) / 2.0 AS d
+      FROM {a} GROUP BY i // 2
+    )""")
+    sel = "\n    UNION ALL\n".join(
+        f"""    SELECT {lvl} AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+      round(SUM(d * d), 6) AS energy FROM c{lvl}"""
+        for lvl in range(1, 10)
+    )
+    parts.append(
+        "\n    SELECT CAST(level AS INT) AS level, n_coeffs, energy"
+        " FROM (\n" + sel + "\n    )"
+    )
+    return "".join(parts)
+
+
+@query("events_haar_wavelet_energy", oracle=_haar_oracle())
+def events_haar_wavelet_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Haar wavelet multi-resolution decomposition of the hourly
+    event-count series (first 512 hours, zero-padded): per-level
+    detail ENERGY — which time scales carry the signal's variance
+    (level 1 ≈ hour-to-hour noise, levels 4-5 ≈ daily rhythm, higher
+    ≈ multi-day drift). The classical multi-scale screen before
+    choosing smoothing/seasonality windows, and the transform behind
+    wavelet-compressed telemetry.
+
+    Exactness without snapping: hourly counts are integers and every
+    Haar step is (±sum)/2, so all coefficients are dyadic rationals
+    exactly representable in doubles; squares and their sums stay
+    exact (magnitude ≪ 2^53 ulp budget at any realistic rate), making
+    SUM(d²) engine-exact with NO decimal idiom needed — the 6-decimal
+    round is belt-and-braces.
+
+    Scale: one groupBy(hour) over the fact; the 9 halving aggregates
+    touch ≤512 rows total. Per-key wavelet screens at 100 TB shard
+    the same pyramid by key."""
+    e = t(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 3600000000"
+        ).alias("h")
+    )
+    cnt = e.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    span = e.agg(F.min("h").alias("mn"))
+    grid = span.select(
+        F.explode(F.sequence(F.lit(0), F.lit(511))).alias("i"), "mn"
+    )
+    cur = (
+        grid.join(cnt, grid.mn + grid.i == cnt.h, "left")
+        .select("i", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c"))
+    )
+    out = None
+    for lvl in range(1, 10):
+        nxt = (
+            cur.groupBy((F.col("i") / 2).cast("long").alias("i2"))
+            .agg(
+                (
+                    (
+                        F.max(F.when(F.col("i") % 2 == 0, F.col("c")))
+                        + F.max(F.when(F.col("i") % 2 == 1, F.col("c")))
+                    )
+                    / 2.0
+                ).alias("c"),
+                (
+                    (
+                        F.max(F.when(F.col("i") % 2 == 0, F.col("c")))
+                        - F.max(F.when(F.col("i") % 2 == 1, F.col("c")))
+                    )
+                    / 2.0
+                ).alias("d"),
+            )
+            .select(F.col("i2").alias("i"), "c", "d")
+        )
+        nxt = nxt.localCheckpoint(eager=False)
+        lvl_row = nxt.agg(
+            F.lit(lvl).cast("int").alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+            F.round(F.sum(F.col("d") * F.col("d")), 6).alias("energy"),
+        ).select("level", "n_coeffs", "energy")
+        out = lvl_row if out is None else out.unionByName(lvl_row)
+        cur = nxt.select("i", "c")
+    return out

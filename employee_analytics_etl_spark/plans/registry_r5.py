@@ -3802,3 +3802,82 @@ def events_haar_wavelet_energy(
         out = lvl_row if out is None else out.unionByName(lvl_row)
         cur = nxt.select("i", "c")
     return out
+
+
+@query(
+    "supplier_reliability_wilson_topk",
+    oracle="""
+    WITH ot AS (
+      SELECT l_suppkey AS suppkey, COUNT(*) AS n,
+             SUM(CASE WHEN l_returnflag <> 'R'
+                      THEN 1 ELSE 0 END) AS on_time
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    w AS (
+      SELECT suppkey, n, on_time,
+        CAST(on_time AS DOUBLE) / n AS p_hat,
+        ((CAST(on_time AS DOUBLE) / n) + 1.96 * 1.96 / (2 * n)
+         - 1.96 * sqrt((CAST(on_time AS DOUBLE) / n)
+                       * (1 - CAST(on_time AS DOUBLE) / n) / n
+                       + 1.96 * 1.96 / (4.0 * n * n)))
+          / (1 + 1.96 * 1.96 / n) AS wl
+      FROM ot
+    )
+    SELECT suppkey, CAST(n AS BIGINT) AS n_shipments,
+           CAST(on_time AS BIGINT) AS n_not_returned,
+           round(p_hat, 6) AS p_hat,
+           round(wl, 6) AS wilson_lower
+    FROM w
+    ORDER BY wl DESC, suppkey ASC LIMIT 20
+    """,
+)
+def supplier_reliability_wilson_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier NON-RETURN leaderboard ranked by the WILSON score
+    lower bound (z = 1.96) instead of the raw proportion — the
+    statistically honest small-sample ranking (a 3/3 supplier must
+    not outrank a 97/100 one; the lower confidence bound encodes
+    that). The classic "sort by lower bound, not by average" fix;
+    success = the lineitem was not returned (l_returnflag ≠ 'R').
+
+    Cross-engine exactness WITHOUT snapping: the Wilson formula uses
+    only +, −, ×, ÷, √ — all IEEE-754 correctly-rounded in both
+    engines (unlike ln/exp, which need the DECIMAL snap idiom) — so
+    the bound is bit-identical from identical integer inputs and the
+    raw-value ORDER BY is deterministic; output rounds to 6 for
+    display only.
+
+    Scale: one partial-aggregated groupBy(suppkey) over lineitem,
+    scan-side arithmetic on the supplier-sized result, TakeOrdered
+    top-20 — no global sort, no join."""
+    li = t(spark, sf_dir, "lineitem")
+    ot = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") != "R", 1).otherwise(0)
+        ).alias("on_time"),
+    )
+    p = F.col("on_time").cast("double") / F.col("n")
+    z2 = F.lit(1.96) * F.lit(1.96)
+    wl = (
+        p
+        + z2 / (2 * F.col("n"))
+        - F.lit(1.96)
+        * F.sqrt(
+            p * (F.lit(1) - p) / F.col("n")
+            + z2 / (F.lit(4.0) * F.col("n") * F.col("n"))
+        )
+    ) / (F.lit(1) + z2 / F.col("n"))
+    return (
+        ot.withColumn("_wl", wl)
+        .orderBy(F.col("_wl").desc(), F.col("suppkey").asc())
+        .limit(20)
+        .select(
+            "suppkey",
+            F.col("n").cast("long").alias("n_shipments"),
+            F.col("on_time").cast("long").alias("n_not_returned"),
+            F.round(p, 6).alias("p_hat"),
+            F.round("_wl", 6).alias("wilson_lower"),
+        )
+    )

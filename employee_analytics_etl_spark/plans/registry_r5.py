@@ -3881,3 +3881,61 @@ def supplier_reliability_wilson_topk(
             F.round("_wl", 6).alias("wilson_lower"),
         )
     )
+
+
+@query(
+    "events_ab_power_analysis",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS p
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT round(p, 6) AS baseline_p,
+           round(0.1 * p, 6) AS mde_abs,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * p * (1 - p) / ((0.1 * p) * (0.1 * p)))
+                AS BIGINT) AS n_per_arm,
+           CAST(ceil(2.0 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * p * (1 - p) / ((0.1 * p) * (0.1 * p)))
+                * 2 AS BIGINT) AS n_total
+    FROM base
+    """,
+)
+def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test POWER ANALYSIS from observed data: with the measured
+    baseline conversion rate p (purchases among click/purchase
+    events), the per-arm sample size needed to detect a 10% relative
+    lift at α = 0.05 (two-sided) and 80% power — the planning
+    calculation run before launching any experiment the SPRT/z-test/
+    CUPED queries then evaluate. n = 2(z_{α/2}+z_β)²·p(1−p)/δ² with
+    the standard normal quantiles as literals (1.959964, 0.841621 —
+    quantile constants are spec inputs, not data), so the whole
+    formula is +,−,×,÷ on one aggregated p: engine-exact, no snap
+    needed; ceil on an expression safely far from integer boundaries.
+
+    Scale: one filtered 1-row aggregate; arithmetic on the result."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.agg(
+        (
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("p")
+    )
+    p = F.col("p")
+    zsum = F.lit(1.959964) + F.lit(0.841621)
+    n_arm = F.ceil(
+        F.lit(2.0) * zsum * zsum * p * (F.lit(1) - p)
+        / ((F.lit(0.1) * p) * (F.lit(0.1) * p))
+    ).cast("long")
+    return base.select(
+        F.round(p, 6).alias("baseline_p"),
+        F.round(F.lit(0.1) * p, 6).alias("mde_abs"),
+        n_arm.alias("n_per_arm"),
+        (n_arm * 2).cast("long").alias("n_total"),
+    )

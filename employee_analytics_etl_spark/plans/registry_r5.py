@@ -3939,3 +3939,100 @@ def events_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (n_arm * 2).cast("long").alias("n_total"),
     )
+
+
+@query(
+    "user_feature_assembly",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, COUNT(*) AS n_events,
+        COUNT(DISTINCT event_type) AS n_types,
+        COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM events GROUP BY user_id
+    ),
+    hod AS (
+      SELECT user_id, hour(ts) AS h, COUNT(*) AS n_h
+      FROM events GROUP BY user_id, hour(ts)
+    ),
+    hodp AS (
+      SELECT user_id,
+        CAST(n_h AS DOUBLE) / SUM(n_h) OVER (PARTITION BY user_id) AS p
+      FROM hod
+    ),
+    ent AS (
+      SELECT user_id,
+        round(CAST(SUM(CAST(round(-p * ln(p), 12)
+          AS DECIMAL(28,12))) AS DOUBLE), 6) AS hour_entropy
+      FROM hodp GROUP BY user_id
+    )
+    SELECT b.user_id, CAST(b.n_events AS BIGINT) AS n_events,
+      CAST(b.n_types AS BIGINT) AS n_types,
+      CAST(b.n_active_days AS BIGINT) AS n_active_days,
+      b.n_purchases,
+      round(b.value_sum, 6) AS value_sum,
+      round(CAST(b.n_purchases AS DOUBLE) / b.n_events, 6)
+        AS purchase_rate,
+      e.hour_entropy
+    FROM base b JOIN ent e USING (user_id)
+    """,
+)
+def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE assembly: one wide per-user feature vector
+    (activity volume, type diversity, active days, purchase count and
+    rate, DECIMAL-exact value sum, and the hour-of-day behavioral
+    entropy) materialized in a single query — the offline-feature
+    pattern where every feature family shares ONE key partitioning so
+    the final assembly join is a same-key merge, not a new shuffle.
+    Downstream consumers (bot screening, stratified sampling, CUPED
+    covariates) read one table instead of five.
+
+    Scale: both feature branches aggregate the same fact on user_id
+    (co-partitioned), the entropy branch adds its per-(user, hour)
+    pre-aggregate (≤24 rows per user), and the assembly join carries
+    the user dimension only."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct(F.col("ts").cast("date"))
+        .cast("long")
+        .alias("n_active_days"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+    hod = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_h")
+    )
+    wtot = Window.partitionBy("user_id")
+    p = F.col("n_h").cast("double") / F.sum("n_h").over(wtot)
+    ent = (
+        hod.select(
+            "user_id",
+            F.round(-p * F.log(p), 12).cast("decimal(28,12)").alias("term"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("term").cast("double"), 6).alias("hour_entropy")
+        )
+    )
+    return base.join(ent, "user_id").select(
+        "user_id",
+        "n_events",
+        "n_types",
+        "n_active_days",
+        "n_purchases",
+        F.round("value_sum", 6).alias("value_sum"),
+        F.round(
+            F.col("n_purchases").cast("double") / F.col("n_events"), 6
+        ).alias("purchase_rate"),
+        "hour_entropy",
+    )

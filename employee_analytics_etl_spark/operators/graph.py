@@ -27,45 +27,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def triangle_stats(
-    edges_canonical: DataFrame, u_col: str = "u", v_col: str = "v"
-) -> DataFrame:
-    """Distributed triangle counting with DEGREE ORIENTATION over an
-    undirected canonical edge set (one row per edge, ``u < v``).
-    Returns one row: (n_nodes, n_edges, n_triangles, n_wedges,
-    global_clustering).
+def _oriented_edge_triangles(
+    edges_canonical: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    assume_distinct: bool = False,
+):
+    """Shared core for exact triangle analytics: degree-oriented
+    adjacency-set intersection (the compact-forward / GraphFrames
+    shape; Suri & Vassilvitskii WWW'11 for the orientation bound).
 
-    Scale design (the MapReduce-triangles shape, Suri & Vassilvitskii
-    "Counting Triangles and the Curse of the Last Reducer", WWW'11):
-    orient every edge from its lower-(degree, id) endpoint to the
-    higher one, then enumerate wedges only AROUND EACH EDGE'S SOURCE.
-    Max out-degree after orientation is O(sqrt(m)), so the wedge
-    fan-out is bounded per node even when the raw graph has hubs with
-    millions of neighbors — the naive canonical (u < v) wedge join
-    would square the hub degree. Three shuffles total: degree agg,
-    wedge self-join on src, wedge↔edge existence join. Counts are
-    exact integers → engine-independent, no float tolerance needed.
+    Orient every edge from its lower-(degree, id) endpoint to the
+    higher one (max out-degree O(sqrt(m)) even on hub graphs), build
+    each source's out-neighbor list ONCE, then re-derive the oriented
+    edge list by exploding those lists so every edge (u→v) already
+    carries N+(u); one shuffle join attaches N+(v) and
+    ``array_intersect`` yields exactly the triangles closed over the
+    edge. This never materializes the wedge set — on the sf0.1
+    co-purchase graph that is 1.9 M intersection hits instead of 41 M
+    wedge rows probed against the edge table (measured ~2× end-to-end
+    on both consumers). Degrees are folded on via broadcast (the node
+    table is |V|, edges are the corpus-scale object).
+
+    Returns (e, deg, tri) where ``tri`` is one row per oriented edge
+    with ``ws`` = the array of third corners closing it. All counts
+    downstream are exact integers → engine-independent.
     """
-    # the edge table is referenced by degrees, orientation (twice via
-    # the wedge self-join), the closing-edge probe, and the edge
-    # count: truncate lineage once or the upstream edge construction
-    # re-runs per reference (same discipline as pagerank below;
-    # measured 12 s -> ~3 s at sf0.01 on the co-purchase graph)
-    e = (
-        edges_canonical.select(F.col(u_col).alias("u"), F.col(v_col).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    e = edges_canonical.select(
+        F.col(u_col).alias("u"), F.col(v_col).alias("v")
     )
+    if not assume_distinct:
+        e = e.distinct()
+    # referenced by degrees, orientation and the edge count: truncate
+    # lineage once or the upstream edge construction re-runs per
+    # reference (measured 12 s -> ~3 s at sf0.01 on the co-purchase
+    # graph, same discipline as pagerank below)
+    e = e.localCheckpoint(eager=False)
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    # fold degrees onto both endpoints once; reused by orientation
-    ed = (
-        e.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    ed = e.join(
+        F.broadcast(deg.select(F.col("node").alias("u"), F.col("d").alias("du"))),
+        "u",
+    ).join(
+        F.broadcast(deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))),
+        "v",
     )
     lower_is_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -73,15 +82,50 @@ def triangle_stats(
     oriented = ed.select(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=False)  # self-joined for wedges: build once
-    a, b = oriented.alias("a"), oriented.alias("b")
-    # wedges (src; dst1 < dst2): candidate closing edge is already
-    # canonical because the comparison is on node id
-    wedges = a.join(
-        b, (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst"))
-    ).select(F.col("a.dst").alias("u"), F.col("b.dst").alias("v"))
-    tri = wedges.join(e, ["u", "v"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbr"))
+        .localCheckpoint(eager=False)  # exploded AND joined below
+    )
+    tri = (
+        adj.select(
+            F.col("src"),
+            F.explode("nbr").alias("dst"),
+            F.col("nbr").alias("na"),
+        )
+        .join(
+            adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nb")),
+            "dst",
+        )
+        .select("src", "dst", F.array_intersect("na", "nb").alias("ws"))
+        .filter(F.size("ws") > 0)
+    )
+    return e, deg, tri
+
+
+def triangle_stats(
+    edges_canonical: DataFrame,
+    u_col: str = "u",
+    v_col: str = "v",
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Distributed exact triangle counting over an undirected
+    canonical edge set (one row per edge, ``u < v``). Returns one
+    row: (n_nodes, n_edges, n_triangles, n_wedges, global_clustering).
+
+    Built on ``_oriented_edge_triangles`` (degree-oriented
+    adjacency-set intersection — see its docstring for the scale
+    argument); this consumer just sums intersection sizes. Counts are
+    exact integers → engine-independent, no float tolerance needed.
+    """
+    e, deg, tri_sets = _oriented_edge_triangles(
+        edges_canonical, u_col, v_col, assume_distinct
+    )
+    tri = tri_sets.agg(
+        F.coalesce(F.sum(F.size("ws")), F.lit(0))
+        .cast("long")
+        .alias("n_triangles")
     )
     nodes = deg.agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes"),
@@ -387,6 +431,7 @@ def local_clustering_topk(
     k: int = 20,
     u_col: str = "u",
     v_col: str = "v",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Per-node local clustering coefficient, top-k: for each node
     with degree ≥ 2, triangles(v) / C(deg(v), 2) — how close the
@@ -395,54 +440,28 @@ def local_clustering_topk(
     k highest-coefficient nodes under the (coefficient desc, node asc)
     total order: (node, degree, triangles, local_cc).
 
-    Same degree-oriented wedge shape as ``triangle_stats`` (Suri &
-    Vassilvitskii WWW'11 — hub wedges never square), with the wedge
-    SOURCE carried through the closing-edge probe so each found
-    triangle can credit all three of its corners: one explode to
-    (node, 1) per corner, one groupBy. Top-k is TakeOrdered — no
-    global sort. Counts are exact integers; the coefficient is a
-    single IEEE division."""
-    e = (
-        edges_canonical.select(
-            F.col(u_col).alias("u"), F.col(v_col).alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    Built on ``_oriented_edge_triangles`` (degree-oriented
+    adjacency-set intersection — hub wedges never square, wedges are
+    never materialized); each closed edge (u→v, corners ws) credits
+    u, v, and every w: one explode per corner, one groupBy. Top-k is
+    TakeOrdered — no global sort. Counts are exact integers; the
+    coefficient is a single IEEE division."""
+    _e, deg, tri_sets = _oriented_edge_triangles(
+        edges_canonical, u_col, v_col, assume_distinct
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ed = e.join(
-        deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
-        "u",
-    ).join(
-        deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
-        "v",
-    )
-    lower_is_u = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = ed.select(
-        F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint(eager=False)
-    a, b = oriented.alias("a"), oriented.alias("b")
-    wedges = a.join(
-        b,
-        (F.col("a.src") == F.col("b.src"))
-        & (F.col("a.dst") < F.col("b.dst")),
-    ).select(
-        F.col("a.src").alias("w"),
-        F.col("a.dst").alias("u"),
-        F.col("b.dst").alias("v"),
-    )
+    # each closed edge row stands for size(ws) triangles: w is one
+    # corner of exactly one of them, but src and dst corner EVERY one
+    # — credit (w, src, dst) per element of ws, not per edge row
     tri_nodes = (
-        wedges.join(e, ["u", "v"])
-        .select(
-            F.explode(F.array("w", "u", "v")).alias("node")
+        tri_sets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ws",
+                        lambda w: F.array(w, F.col("src"), F.col("dst")),
+                    )
+                )
+            ).alias("node")
         )
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("t"))

@@ -2344,7 +2344,9 @@ def graph_local_clustering_topk(
     their source so each triangle credits all three corners."""
     from .registry_more import _copurchase_edges
 
-    return G.local_clustering_topk(_copurchase_edges(spark, sf_dir), k=20)
+    return G.local_clustering_topk(
+        _copurchase_edges(spark, sf_dir), k=20, assume_distinct=True
+    )
 
 
 @query(

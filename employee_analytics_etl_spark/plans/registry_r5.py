@@ -466,20 +466,33 @@ def orders_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_col = F.lit(8)
     for k in range(len(_POISSON_CDF) - 1, -1, -1):
         w_col = F.when(F.col("u") < F.lit(_POISSON_CDF[k]), k).otherwise(w_col)
+    from ..operators.partitioning import fan_out
+
+    # fan_out before the 24x explode: the single-row-group local
+    # testdata scans as ONE partition, serializing 3.6M md5 draws on
+    # one core (measured 6 s → <1 s parallel)
     reps = (
-        orders.select(
-            "o_orderkey",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+        fan_out(
+            orders.select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(12,2)").alias("price"),
+            )
         )
         .withColumn("b", F.explode(F.sequence(F.lit(0), F.lit(23))))
         .withColumn("u", u)
         .withColumn("w", w_col)
     )
-    means = reps.groupBy("b").agg(
-        (
-            F.sum(F.col("w") * F.col("price")).cast("double")
-            / F.sum("w").cast("double")
-        ).alias("m")
+    # 24 rows feeding TWO consumers (boot_mean agg + the rank window):
+    # truncate lineage or the 24x-fanout md5 pipeline runs twice
+    means = (
+        reps.groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.sum("w").cast("double")
+            ).alias("m")
+        )
+        .localCheckpoint(eager=False)
     )
     r = means.select(
         "b", "m", F.row_number().over(Window.orderBy("m", "b")).alias("rn")

@@ -4051,3 +4051,93 @@ def user_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purchase_rate"),
         "hour_entropy",
     )
+
+
+@query(
+    "orders_chained_quarter_index",
+    oracle="""
+    WITH RECURSIVE qt AS (
+      SELECT year(o_orderdate) * 4 + quarter(o_orderdate) AS q,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS rev
+      FROM orders
+      GROUP BY year(o_orderdate) * 4 + quarter(o_orderdate)
+    ),
+    bounds AS (SELECT MAX(q) AS q1 FROM qt),
+    idx AS (
+      SELECT q1 - 3 AS q, CAST(100.0 AS DOUBLE) AS chained,
+             CAST(NULL AS DOUBLE) AS r_capped
+      FROM bounds
+      UNION ALL
+      SELECT i.q + 1,
+             i.chained * least(1.05, greatest(0.95, t.rev / p.rev)),
+             least(1.05, greatest(0.95, t.rev / p.rev))
+      FROM idx i
+      JOIN qt p ON p.q = i.q
+      JOIN qt t ON t.q = i.q + 1
+      JOIN bounds b ON i.q < b.q1
+    )
+    SELECT CAST(q AS BIGINT) AS quarter_id, chained, r_capped
+    FROM idx ORDER BY quarter_id
+    """,
+)
+def orders_chained_quarter_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHAINED quarterly revenue index over the trailing 4 quarters —
+    a Laspeyres-style chain: each quarter's link ratio rev_t/rev_{t-1}
+    is CAPPED into [0.95, 1.05] before compounding (the capping makes
+    the product genuinely sequential — it cannot telescope), base 100
+    at the window start.
+
+    This query's POINT is the engine surface: it runs Spark 4's
+    native ``WITH RECURSIVE`` (SPARK-24497) for the compounding walk —
+    the only sequential-recurrence query in the registry expressed as
+    recursive SQL on the Spark side rather than an Arrow kernel
+    (contrast events_holt_forecast_hourly). The quarterly aggregate is
+    pre-materialized to a single-partition 27-row spine (coalesce +
+    lazy localCheckpoint) so each of the 3 recursion steps joins an
+    in-memory table instead of re-running the corpus scan — recursion
+    depth is CONSTANT (8 quarters) regardless of data size; the
+    corpus-scale work is the one groupBy.
+
+    Determinism: both engines compound the same IEEE doubles in the
+    same recursion order — division, least/greatest and multiply are
+    correctly rounded, so values are bit-exact with NO decimal snap
+    (the Wilson-leaderboard argument)."""
+    orders = t(spark, sf_dir, "orders")
+    qt = (
+        orders.groupBy(
+            (F.year("o_orderdate") * 4 + F.quarter("o_orderdate")).alias("q")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    qt.createOrReplaceTempView("qt_chain_spine")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+          SELECT MAX(q) AS q1 FROM qt_chain_spine
+        ),
+        idx AS (
+          SELECT q1 - 3 AS q, CAST(100.0 AS DOUBLE) AS chained,
+                 CAST(NULL AS DOUBLE) AS r_capped
+          FROM bounds
+          UNION ALL
+          SELECT i.q + 1,
+                 i.chained * least(1.05, greatest(0.95, t.rev / p.rev)),
+                 least(1.05, greatest(0.95, t.rev / p.rev))
+          FROM idx i
+          JOIN qt_chain_spine p ON p.q = i.q
+          JOIN qt_chain_spine t ON t.q = i.q + 1
+          JOIN bounds b ON i.q < b.q1
+        )
+        SELECT CAST(q AS BIGINT) AS quarter_id, chained, r_capped
+        FROM idx
+        """
+    )

@@ -4141,3 +4141,51 @@ def orders_chained_quarter_index(
         FROM idx
         """
     )
+
+
+@query(
+    "nation_top2_customers_lateral",
+    oracle="""
+    SELECT n.n_name AS nation, c.c_custkey AS custkey, c.bal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+)
+def nation_top2_customers_lateral(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 customers by account balance per nation, written as a
+    CORRELATED LATERAL SUBQUERY (SQL:1999 lateral derived table) —
+    identical SQL text runs on both engines.
+
+    The engine-surface point: Spark's decorrelation rewrites the
+    per-nation ORDER BY ... LIMIT 2 into a row_number window
+    partitioned by c_nationkey + a broadcast hash join against the
+    nation dim — i.e. the optimizer recovers EXACTLY the distributed
+    top-k-per-group plan this registry hand-writes elsewhere
+    (top_users_per_hour), with no per-nation re-execution of the
+    inner query. Verified via .explain: one customer scan, one
+    window, one broadcast join; the LIMIT's tie order is pinned by
+    the (c_acctbal DESC, c_custkey) total order so both engines pick
+    the same 2 rows deterministically."""
+    for tb in ("nation", "customer"):
+        t(spark, sf_dir, tb).createOrReplaceTempView(f"{tb}_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, c.c_custkey AS custkey, c.bal
+        FROM nation_lat n,
+        LATERAL (
+          SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer_lat
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) c
+        """
+    )

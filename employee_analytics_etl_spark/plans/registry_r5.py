@@ -4189,3 +4189,67 @@ def nation_top2_customers_lateral(
         ) c
         """
     )
+
+
+class _SplitSentencesUDTF:
+    """Python UDTF (Spark 4 user-defined table function): expands a
+    document into one row per '. '-delimited sentence. Module-level
+    for picklability; the deterministic non-regex split mirrors
+    DuckDB's string_split exactly (both keep empty pieces)."""
+
+    def eval(self, source, text):
+        for i, sent in enumerate((text or "").split(". ")):
+            yield source, i, len(sent)
+
+
+@query(
+    "doc_sentence_stats_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             unnest(string_split(coalesce(text, ''), '. ')) AS sent
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+           CAST(SUM(length(sent)) AS BIGINT) AS sum_chars,
+           round(CAST(SUM(length(sent)) AS DOUBLE) / COUNT(*), 6)
+             AS avg_chars
+    FROM s GROUP BY source
+    """,
+)
+def doc_sentence_stats_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sentence statistics through a PYTHON UDTF — the
+    Spark 4 user-defined TABLE function API (one input row → many
+    output rows), invoked from SQL via LATERAL, the canonical shape
+    for custom row expanders (sentence/paragraph splitters, format
+    parsers) that don't fit a scalar UDF.
+
+    Engine-surface coverage first: the same expansion is expressible
+    scan-side (explode(split(...)) — how doc_chunk_tokens does it,
+    and the right call in a hot path); this query pins the UDTF
+    execution path — Python worker fan-out under a LATERAL join,
+    output schema enforcement, downstream JVM-side aggregation — with
+    an oracle. The split is the non-regex '. ' delimiter so Python's
+    str.split and DuckDB's string_split agree byte-for-byte,
+    including empty pieces."""
+    from pyspark.sql.functions import udtf
+
+    spark.udtf.register(
+        "split_sentences_udtf",
+        udtf(
+            _SplitSentencesUDTF,
+            returnType="source string, sent_idx int, n_chars int",
+        ),
+    )
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_sentences,
+               CAST(SUM(s.n_chars) AS BIGINT) AS sum_chars,
+               round(CAST(SUM(s.n_chars) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_chars
+        FROM documents_udtf d,
+        LATERAL split_sentences_udtf(d.source, d.text) s
+        GROUP BY s.source
+        """
+    )

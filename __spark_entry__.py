@@ -26,6 +26,7 @@ def _registry():
         registry_funcs,
         registry_more,
         registry_r5,
+        registry_r6,
     )
 
     return registry.QUERIES, registry.ORACLE

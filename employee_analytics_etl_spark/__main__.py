@@ -49,6 +49,7 @@ def main(argv: list[str] | None = None) -> int:
             registry_funcs,
             registry_more,
             registry_r5,
+            registry_r6,
         )
         from .session import build_session
         from .sources.readers import register_views

@@ -358,3 +358,94 @@ def debounce_events_kept(
             ),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    max_span_buckets: int = 64,
+) -> DataFrame:
+    """Inner join of two INTERVAL tables on closed-interval overlap
+    (``ls <= re AND rs <= le``) — the two-sided generalization of
+    ``range_join_count``'s point-in-range probe, and the classic
+    temporal-validity / in-flight-concurrency join (reference's range
+    scan semantics; see also Sedona/DBMS interval-binning literature).
+
+    Scale shape: a naive overlap predicate plans a
+    BroadcastNestedLoopJoin (O(n·m) comparisons). Instead both sides
+    explode to the fixed-width buckets their interval covers and
+    EQUI-join on the bucket id, so Spark shuffles/hashes on the bucket
+    key. A pair overlapping across several shared buckets is counted
+    ONCE without a distinct: the join keeps only the FIRST shared
+    bucket, which for overlapping intervals is exactly
+    ``greatest(ls DIV W, rs DIV W)`` — dedup by construction, no
+    post-shuffle dedup pass. Fan-out per row is span/W + 1; callers
+    pick ``bucket_width`` at the typical interval length so the
+    explode stays ~2×. A row whose span exceeds
+    ``max_span_buckets`` buckets fails the JOB with raise_error
+    (lazy — no eager scan at plan-construction time): degenerate
+    long intervals (an unclosed validity row) would otherwise fan
+    out unboundedly, and the long tail belongs in a dedicated
+    hot-row path, not silently in this one.
+
+    Start/end columns must be integer-valued (days, epoch seconds —
+    caller picks the granularity); column names across the two inputs
+    must be disjoint.
+    """
+    w = int(bucket_width)
+
+    def burst(df: DataFrame, s: str, e: str, sb: str, eb: str, b: str):
+        d = df.select(
+            "*",
+            (F.col(s).cast("long") / F.lit(w)).cast("long").alias("_t_sb"),
+            (F.col(e).cast("long") / F.lit(w)).cast("long").alias("_t_eb"),
+        )
+        guarded_eb = F.when(
+            F.col("_t_eb") - F.col("_t_sb") > max_span_buckets,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_overlap_join: interval spans more than "
+                        f"{max_span_buckets} buckets of width {w} "
+                        "(start="
+                    ),
+                    F.col(s).cast("string"),
+                    F.lit(", end="),
+                    F.col(e).cast("string"),
+                    F.lit(
+                        "); widen bucket_width or route long intervals "
+                        "through a separate broadcast path"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_t_eb"))
+        return (
+            d.withColumn(
+                b, F.explode(F.sequence(F.col("_t_sb"), guarded_eb))
+            )
+            .withColumnRenamed("_t_sb", sb)
+            .withColumnRenamed("_t_eb", eb)
+        )
+
+    l2 = burst(left, left_start, left_end, "_lsb", "_leb", "_lb")
+    r2 = burst(right, right_start, right_end, "_rsb", "_reb", "_rb")
+    joined = l2.join(
+        r2,
+        (F.col("_lb") == F.col("_rb"))
+        & (F.col("_lb") == F.greatest(F.col("_lsb"), F.col("_rsb")))
+        & (
+            F.col(left_start).cast("long")
+            <= F.col(right_end).cast("long")
+        )
+        & (
+            F.col(right_start).cast("long")
+            <= F.col(left_end).cast("long")
+        ),
+        "inner",
+    )
+    return joined.drop("_lsb", "_leb", "_lb", "_rsb", "_reb", "_rb")

@@ -389,6 +389,7 @@ def main() -> None:
         registry_funcs,
         registry_more,
         registry_r5,
+        registry_r6,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -6,7 +6,7 @@ ONE JSON line:
 
 Trustworthiness (r2 verdict #1): a single sequential pass is load-
 contaminated — BENCH_r02 showed apparent 4-14x "regressions" that an idle
-re-run disproved. So each query now runs BENCH_RUNS times (default 2) and
+re-run disproved. So each query now runs BENCH_RUNS times (default 3) and
 the reported number is the MIN across runs (the least load-contaminated
 observation of an identical deterministic plan); per-run values and the
 median ride along in `queries_runs` / `queries_median`. `os.getloadavg()`
@@ -30,7 +30,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+BENCH_RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 LOAD_WARN_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_WARN", "2.0"))
 
 HEADLINE = [
@@ -190,19 +190,22 @@ def main() -> None:
         )
         names = MULTIFILE_SUBSET
 
-    # Warm the JVM: run every plan once at the smallest SF so codegen/JIT
-    # compilation is excluded from the timed runs — the timed numbers then
-    # measure data-proportional cost, which is what scales. (Startup +
-    # warmup are still reported separately.)
+    # Warm the JVM: run every plan TWICE at the smallest SF so codegen and
+    # C2 JIT tiering (which needs repeat invocations, not just one compile)
+    # are excluded from the timed runs — the timed numbers then measure
+    # data-proportional cost, which is what scales. (Startup + warmup are
+    # still reported separately; profiling showed run sequences like
+    # 21s/6s/4s on an identical plan — the tail of JIT warm-up, not data.)
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in names:
-            try:
-                registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-            except Exception:
-                pass
+        for _ in range(2):
+            for name in names:
+                try:
+                    registry.QUERIES[name](spark, warm_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                except Exception:
+                    pass
     startup = time.time() - t0
 
     per_query: dict[str, float] = {}

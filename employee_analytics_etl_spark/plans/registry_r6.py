@@ -299,3 +299,67 @@ def source_token_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("term"), 9).cast("double").alias("jsd_nats"),
         )
     )
+
+
+@query(
+    "token_skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS i, tk[CAST(u.i AS BIGINT)] AS tok
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS u(i)
+    ),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b
+      FROM pos a JOIN pos b
+        ON b.doc_id = a.doc_id AND (b.i = a.i + 1 OR b.i = a.i + 2)
+    )
+    SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n_cooccur DESC, tok_a, tok_b LIMIT 50
+    """,
+)
+def token_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 positional skip-gram pairs (window +1/+2, directed) over
+    the corpus — the word2vec/GloVe training-pair extraction step, and
+    the POSITIONAL companion to token_pmi_collocations' document-level
+    co-occurrence: "mount everest" scores here even if both tokens
+    appear in every document.
+
+    Scale shape: pair generation is PURELY MAP-SIDE — a transform over
+    each document's token array emits (token, token@+1), (token, +2)
+    structs via try_element_at (null-safe at the tail), so there is NO
+    positional self-join and no shuffle until the (tok_a, tok_b)
+    groupBy, which combines map-side. Top-50 under (count desc, tok_a,
+    tok_b) is TakeOrdered — no global sort. The oracle generates the
+    same pairs by an explicit positional self-join; matching it proves
+    the array-walk emits exactly the window pairs."""
+    docs = t(spark, sf_dir, "documents")
+    pair_expr = (
+        "flatten(transform(tk, (x, i) -> "
+        "filter(array("
+        "struct(x AS a, try_element_at(tk, i + 2) AS b), "
+        "struct(x AS a, try_element_at(tk, i + 3) AS b)"
+        "), s -> s.b IS NOT NULL)))"
+    )
+    return (
+        docs.select(
+            F.expr(
+                "regexp_extract_all(lower(text), '([a-z0-9]+)', 1)"
+            ).alias("tk")
+        )
+        .select(F.explode(F.expr(pair_expr)).alias("pr"))
+        .groupBy(
+            F.col("pr.a").alias("tok_a"), F.col("pr.b").alias("tok_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cooccur"))
+        .orderBy(
+            F.col("n_cooccur").desc(),
+            F.col("tok_a").asc(),
+            F.col("tok_b").asc(),
+        )
+        .limit(50)
+    )

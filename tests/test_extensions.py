@@ -2189,3 +2189,91 @@ class TestR5OperatorEdges:
         assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [
             (2, 3, 1.0)
         ]
+
+
+class TestIntervalOverlapJoin:
+    """interval_overlap_join: bucketized two-sided overlap join —
+    pair-exactly-once across shared buckets, closed-interval boundary
+    semantics, lazy span guard."""
+
+    def _join(self, spark, lrows, rrows, width, **kw):
+        from employee_analytics_etl_spark.operators.windows import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+        right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+        return interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", width, **kw
+        )
+
+    def test_multi_bucket_overlap_counted_once(self, spark):
+        # both intervals span buckets 0..3 of width 10 -> 4 shared
+        # buckets, but the pair must appear exactly once
+        rows = self._join(
+            spark, [(1, 0, 35)], [(2, 1, 34)], width=10
+        ).collect()
+        assert len(rows) == 1
+        assert (rows[0]["lid"], rows[0]["rid"]) == (1, 2)
+
+    def test_closed_boundary_touching_counts(self, spark):
+        # le == rs (touching endpoints) overlaps under closed
+        # semantics; le == rs - 1 does not
+        assert (
+            self._join(spark, [(1, 0, 10)], [(2, 10, 20)], width=8).count()
+            == 1
+        )
+        assert (
+            self._join(spark, [(1, 0, 9)], [(2, 10, 20)], width=8).count()
+            == 0
+        )
+
+    def test_cross_bucket_pair_found(self, spark):
+        # left entirely in bucket 0, right starts in bucket 0 and ends
+        # in bucket 1 -> first shared bucket is 0
+        rows = self._join(
+            spark, [(1, 2, 4)], [(2, 3, 17)], width=10
+        ).collect()
+        assert len(rows) == 1
+
+    def test_disjoint_same_bucket_excluded(self, spark):
+        # same bucket but no overlap -> excluded by the exact predicate
+        assert (
+            self._join(spark, [(1, 0, 2)], [(2, 5, 7)], width=100).count()
+            == 0
+        )
+
+    def test_span_guard_fails_lazily(self, spark):
+        import pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import SparkRuntimeException
+
+        df = self._join(
+            spark,
+            [(1, 0, 10_000)],
+            [(2, 5, 6)],
+            width=10,
+            max_span_buckets=8,
+        )
+        with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+            df.count()
+
+    def test_all_pairs_vs_bruteforce(self, spark):
+        # deterministic mini-universe: every (l, r) with
+        # closed-interval overlap must appear exactly once
+        lrows = [(i, (i * 7) % 50, (i * 7) % 50 + i % 13) for i in range(40)]
+        rrows = [
+            (100 + i, (i * 11) % 60, (i * 11) % 60 + i % 9)
+            for i in range(40)
+        ]
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in self._join(spark, lrows, rrows, width=16).collect()
+        )
+        want = sorted(
+            (lid, rid)
+            for (lid, ls, le) in lrows
+            for (rid, rs, re) in rrows
+            if ls <= re and rs <= le
+        )
+        assert got == want

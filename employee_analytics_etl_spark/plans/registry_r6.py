@@ -363,3 +363,452 @@ def token_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+
+
+@query(
+    "doc_dsir_importance_select",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source,
+             source IN ('src0','src1','src2','src3') AS is_target,
+             list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 256)
+               AS bk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, source, is_target,
+             CAST(u.b AS BIGINT) AS bucket,
+             CAST(len(list_filter(bk, x -> x = u.b)) AS BIGINT) AS n
+      FROM tk, UNNEST(list_distinct(bk)) AS u(b)
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(CASE WHEN is_target THEN n ELSE 0 END) AS ct,
+             SUM(CASE WHEN is_target THEN 0 ELSE n END) AS cr
+      FROM pairs GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
+    lr AS (
+      SELECT bucket,
+             CAST(round(ln(
+               (CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE))
+               / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE))
+             ), 12) AS DECIMAL(16,12)) AS lr
+      FROM bc, tot
+    ),
+    w AS (
+      SELECT p.doc_id, p.source,
+             CAST(SUM(p.n) AS BIGINT) AS n_tokens,
+             CAST(SUM(CAST(p.n AS DECIMAL(12,0)) * lr.lr) AS DOUBLE)
+               AS importance_weight
+      FROM pairs p JOIN lr ON lr.bucket = p.bucket
+      WHERE NOT p.is_target
+      GROUP BY p.doc_id, p.source
+    )
+    SELECT doc_id, source, n_tokens, importance_weight
+    FROM w
+    ORDER BY importance_weight DESC, doc_id
+    LIMIT 25
+    """,
+)
+def doc_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): score every candidate document by how much more
+    likely its hashed-n-gram feature counts are under a TARGET-domain
+    bag-of-buckets model than under the raw-pool model, and keep the
+    top-k. The canonical pretraining-corpus curation operator: "find
+    raw-web documents that look like the target domain".
+
+    Model: 256 md5-hashed unigram buckets; Laplace-smoothed bucket
+    distributions p (target = sources src0-src3) and q (everything
+    else); importance weight of a raw doc = Sigma_b n_b * ln(p_b/q_b).
+
+    Determinism contract: the ln argument is built from exact integer
+    counts with ONE double division (IEEE-identical in both engines),
+    the log-ratio is snapped to 12dp DECIMAL(16,12), and per-doc
+    weights accumulate as DECIMAL(12,0)*DECIMAL(16,12) products — the
+    exact-decimal idiom used by the bigram LM / entropy family.
+    Products (ct+1)*(nr+256) are computed in DOUBLE, not BIGINT: at
+    100 TB the count-times-total product overflows int64, while the
+    double product is deterministic IEEE in both engines.
+
+    Scale shape: bucket counts per doc are in-row array ops (zero
+    shuffle, the feature-hashing idiom); the 256-row log-ratio table
+    broadcasts back onto the exploded pairs; the corpus shuffles ONCE
+    on doc_id for the weight sum. The 1-row (nt, nr) totals crossJoin
+    onto the 256-row bucket table (SCALAR_BNLJ_OK). Top-25 is
+    TakeOrdered — never a global sort."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("source").isin("src0", "src1", "src2", "src3").alias(
+            "is_target"
+        ),
+        F.expr(_TOKS).alias("_tk"),
+    )
+    bk = (
+        "transform(_tk, t -> "
+        "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT) % 256)"
+    )
+    pair_expr = (
+        "transform(array_distinct(_bk), "
+        "b -> struct(b AS bucket, "
+        "CAST(size(filter(_bk, x -> x = b)) AS BIGINT) AS n))"
+    )
+    pairs = (
+        docs.withColumn("_bk", F.expr(bk))
+        .select(
+            "doc_id",
+            "source",
+            "is_target",
+            F.explode(F.expr(pair_expr)).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "is_target",
+            F.col("p.bucket").alias("bucket"),
+            F.col("p.n").alias("n"),
+        )
+    )
+    bc = pairs.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), F.col("n")).otherwise(F.lit(0)))
+        .alias("ct"),
+        F.sum(F.when(F.col("is_target"), F.lit(0)).otherwise(F.col("n")))
+        .alias("cr"),
+    )
+    tot = bc.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "CAST(round(ln("
+            "(CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE))"
+            " / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE))"
+            "), 12) AS DECIMAL(16,12))"
+        ).alias("lr"),
+    )
+    w = (
+        pairs.filter(~F.col("is_target"))
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n").cast("decimal(12,0)") * F.col("lr"))
+            .cast("double")
+            .alias("importance_weight"),
+        )
+    )
+    return w.orderBy(
+        F.col("importance_weight").desc(), F.col("doc_id").asc()
+    ).limit(25)
+
+
+@query(
+    "doc_nb_lang_confusion",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+      FROM documents
+    ),
+    train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+    ttok AS (SELECT lang, u.tok FROM train, UNNEST(tk) AS u(tok)),
+    ctc AS (SELECT lang AS cls, tok, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+    clstot AS (SELECT lang AS cls, COUNT(*) AS n_c FROM ttok GROUP BY 1),
+    vsize AS (SELECT COUNT(DISTINCT tok) AS v FROM ctc),
+    dcls AS (SELECT lang AS cls, COUNT(*) AS nd FROM train GROUP BY 1),
+    dtot AS (SELECT COUNT(*) AS ndt FROM train),
+    classes AS (
+      SELECT ct.cls,
+        CAST(round(ln(CAST(dc.nd AS DOUBLE) / CAST(dtot.ndt AS DOUBLE)),
+             12) AS DECIMAL(16,12)) AS prior,
+        CAST(round(ln(1.0 / CAST(ct.n_c + vsize.v AS DOUBLE)),
+             12) AS DECIMAL(16,12)) AS dflt,
+        ct.n_c, vsize.v
+      FROM clstot ct, vsize, dtot
+      JOIN dcls dc ON dc.cls = ct.cls
+    ),
+    model AS (
+      SELECT ctc.cls, ctc.tok,
+        CAST(round(ln(CAST(ctc.c + 1 AS DOUBLE)
+                      / CAST(cl.n_c + cl.v AS DOUBLE)),
+             12) AS DECIMAL(16,12)) AS lp
+      FROM ctc JOIN classes cl ON cl.cls = ctc.cls
+    ),
+    tdocs AS (SELECT doc_id, lang AS true_lang, len(tk) AS tot FROM test),
+    tpairs AS (
+      SELECT doc_id, u.tok,
+             CAST(len(list_filter(tk, x -> x = u.tok)) AS BIGINT) AS cnt
+      FROM test, UNNEST(list_distinct(tk)) AS u(tok)
+    ),
+    present AS (
+      SELECT p.doc_id, m.cls,
+             SUM(CAST(p.cnt AS DECIMAL(12,0)) * m.lp) AS sp,
+             SUM(p.cnt) AS mp
+      FROM tpairs p JOIN model m ON m.tok = p.tok
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, c.cls,
+        c.prior
+        + COALESCE(pr.sp, CAST(0 AS DECIMAL(28,12)))
+        + (CAST(d.tot AS DECIMAL(12,0))
+           - COALESCE(CAST(pr.mp AS DECIMAL(12,0)),
+                      CAST(0 AS DECIMAL(12,0)))) * c.dflt AS score
+      FROM tdocs d CROSS JOIN classes c
+      LEFT JOIN present pr ON pr.doc_id = d.doc_id AND pr.cls = c.cls
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cls AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cls) AS rn
+      FROM scored
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def doc_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINED AND EVALUATED in-engine — the
+    quality-classifier pattern of the CCNet/GPT-3 data pipelines
+    (train a cheap classifier on labeled text, score the corpus),
+    expressed entirely as joins and aggregates: Laplace-smoothed
+    per-class token log-likelihoods from the train split
+    (doc_id % 5 != 0), argmax posterior on the held-out split, and a
+    (true_lang, pred_lang) confusion matrix as the output — the
+    supervised counterpart of doc_lang_confusion_matrix's heuristic.
+
+    Determinism: every log is ln(exact-int ratio) with ONE double
+    division, snapped to DECIMAL(16,12); per-doc scores accumulate as
+    DECIMAL(12,0) x DECIMAL(16,12) exact products (the bigram-LM
+    idiom), so argmax ties are exact-decimal ties broken by class
+    name — both engines pick the same winner.
+
+    Scale shape: the model is vocabulary-scale (tokens x 5 classes)
+    and BROADCASTS; the corpus never shuffles by token — per-doc
+    distinct-token counts are in-row array ops (feature-hashing
+    idiom), and the only corpus shuffle is groupBy(doc_id, class).
+    The 5-row smoothed-class table crossJoins onto the test docs
+    (bounded fanout x5, SCALAR_BNLJ_OK); the final confusion matrix
+    is a <=25-row aggregate."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.expr(_TOKS).alias("_tk")
+    )
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+
+    ttok = train.select("lang", F.explode("_tk").alias("tok"))
+    ctc = ttok.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    clstot = ttok.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_c")
+    )
+    vsize = ctc.agg(F.countDistinct("tok").alias("v"))
+    dcls = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    dtot = train.agg(F.count(F.lit(1)).alias("ndt"))
+    classes = (
+        clstot.crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(dtot))
+        .join(dcls, "cls")
+        .select(
+            "cls",
+            F.expr(
+                "CAST(round(ln(CAST(nd AS DOUBLE) / CAST(ndt AS DOUBLE)),"
+                " 12) AS DECIMAL(16,12))"
+            ).alias("prior"),
+            F.expr(
+                "CAST(round(ln(1.0 / CAST(n_c + v AS DOUBLE)),"
+                " 12) AS DECIMAL(16,12))"
+            ).alias("dflt"),
+            "n_c",
+            "v",
+        )
+    )
+    model = ctc.join(F.broadcast(classes), "cls").select(
+        "cls",
+        "tok",
+        F.expr(
+            "CAST(round(ln(CAST(c + 1 AS DOUBLE)"
+            " / CAST(n_c + v AS DOUBLE)), 12) AS DECIMAL(16,12))"
+        ).alias("lp"),
+    )
+
+    tdocs = test.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.size("_tk").alias("tot"),
+    )
+    tpair_expr = (
+        "transform(array_distinct(_tk), "
+        "tk -> struct(tk AS tok, "
+        "CAST(size(filter(_tk, x -> x = tk)) AS BIGINT) AS cnt))"
+    )
+    tpairs = test.select(
+        "doc_id", F.explode(F.expr(tpair_expr)).alias("p")
+    ).select("doc_id", F.col("p.tok").alias("tok"), F.col("p.cnt").alias("cnt"))
+    present = (
+        tpairs.join(F.broadcast(model), "tok")
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.sum(F.col("cnt").cast("decimal(12,0)") * F.col("lp")).alias(
+                "sp"
+            ),
+            F.sum("cnt").alias("mp"),
+        )
+    )
+    scored = (
+        tdocs.crossJoin(F.broadcast(classes.select("cls", "prior", "dflt")))
+        .join(present, ["doc_id", "cls"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "cls",
+            (
+                F.col("prior")
+                + F.coalesce("sp", F.lit(0).cast("decimal(28,12)"))
+                + (
+                    F.col("tot").cast("decimal(12,0)")
+                    - F.coalesce(
+                        F.col("mp").cast("decimal(12,0)"),
+                        F.lit(0).cast("decimal(12,0)"),
+                    )
+                )
+                * F.col("dflt")
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    pred = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("score").desc(), F.col("cls").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy(
+        "true_lang", F.col("cls").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+@query(
+    "events_seasonal_naive_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      SELECT a.event_type, a.h, a.y, b.y AS f
+      FROM hourly a
+      JOIN hourly b ON b.event_type = a.event_type
+       AND b.h = a.h - INTERVAL 24 HOURS
+    ),
+    mx AS (SELECT event_type, MAX(h) AS hmax FROM hourly GROUP BY 1),
+    tagged AS (
+      SELECT p.event_type, p.y, p.f,
+             p.h > mx.hmax - INTERVAL 48 HOURS AS is_test
+      FROM paired p JOIN mx ON mx.event_type = p.event_type
+    ),
+    agg AS (
+      SELECT event_type,
+        SUM(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+        SUM(CASE WHEN is_test THEN 0 ELSE 1 END) AS n_train,
+        SUM(CASE WHEN is_test THEN abs(y - f) ELSE 0 END) AS sae_test,
+        SUM(CASE WHEN is_test THEN 0 ELSE abs(y - f) END) AS sae_train,
+        SUM(CASE WHEN is_test THEN y ELSE 0 END) AS sy_test
+      FROM tagged GROUP BY 1
+    )
+    SELECT event_type,
+      CAST(n_test AS BIGINT) AS n_test,
+      CAST(n_train AS BIGINT) AS n_train,
+      (CAST(sae_test AS DOUBLE) / CAST(n_test AS DOUBLE))
+        / (CAST(sae_train AS DOUBLE) / CAST(n_train AS DOUBLE)) AS mase,
+      CAST(sae_test AS DOUBLE) / CAST(sy_test AS DOUBLE) AS wape
+    FROM agg
+    WHERE n_test > 0 AND n_train > 0 AND sae_train > 0 AND sy_test > 0
+    """,
+)
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy evaluation harness: score the SEASONAL-NAIVE
+    forecaster (y_hat(t) = y(t - 24h)) on the hourly event-count
+    series with the two standard scale-free backtest metrics —
+    MASE (Hyndman & Koehler 2006: test MAE over in-sample
+    seasonal-naive MAE, the denominator convention that makes the
+    naive forecaster itself score ~1) and WAPE. The holdout is the
+    final 48 hours per event_type; the companion model-based
+    forecaster is events_holt_forecast — this query supplies the
+    BASELINE any model must beat.
+
+    Determinism: counts are exact ints; both metrics are compositions
+    of IEEE divisions on exact-int inputs written in the same order in
+    both engines — bit-identical with NO decimal snap (the Wilson
+    idiom). Scale shape: ONE shuffle builds the hourly series (time x
+    type cardinality, calendar-bounded); the 24h-lag join and the
+    per-type max are equi-joins on that tiny aggregate, never on the
+    fact table."""
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    lagged = hourly.select(
+        "event_type",
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("y").alias("f"),
+    )
+    paired = hourly.join(lagged, ["event_type", "h"])
+    mx = hourly.groupBy("event_type").agg(F.max("h").alias("hmax"))
+    tagged = paired.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        "y",
+        "f",
+        (F.col("h") > F.col("hmax") - F.expr("INTERVAL 48 HOURS")).alias(
+            "is_test"
+        ),
+    )
+    agg = tagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_test"), 1).otherwise(0)).alias("n_test"),
+        F.sum(F.when(F.col("is_test"), 0).otherwise(1)).alias("n_train"),
+        F.sum(
+            F.when(F.col("is_test"), F.abs(F.col("y") - F.col("f")))
+            .otherwise(F.lit(0))
+        ).alias("sae_test"),
+        F.sum(
+            F.when(F.col("is_test"), F.lit(0))
+            .otherwise(F.abs(F.col("y") - F.col("f")))
+        ).alias("sae_train"),
+        F.sum(F.when(F.col("is_test"), F.col("y")).otherwise(F.lit(0))).alias(
+            "sy_test"
+        ),
+    )
+    return agg.filter(
+        (F.col("n_test") > 0)
+        & (F.col("n_train") > 0)
+        & (F.col("sae_train") > 0)
+        & (F.col("sy_test") > 0)
+    ).select(
+        "event_type",
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("n_train").cast("long").alias("n_train"),
+        (
+            (F.col("sae_test").cast("double") / F.col("n_test").cast("double"))
+            / (
+                F.col("sae_train").cast("double")
+                / F.col("n_train").cast("double")
+            )
+        ).alias("mase"),
+        (F.col("sae_test").cast("double") / F.col("sy_test").cast("double"))
+        .alias("wape"),
+    )

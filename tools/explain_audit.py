@@ -106,6 +106,13 @@ SCALAR_BNLJ_OK = {
     # three 1-row aggregates (boot mean, CI pair, sample mean)
     # crossJoined into the single report row
     "orders_bootstrap_mean_ci",
+    # 1-row (nt, nr) token totals crossJoined onto the 256-row bucket
+    # table before the log-ratio projection
+    "doc_dsir_importance_select",
+    # two 1-row scalars (vocab size V, train doc total) crossJoined
+    # onto the 5-row class table; the 5-row smoothed-class grid then
+    # crossJoins onto the test docs (bounded x5 fanout)
+    "doc_nb_lang_confusion",
     # 1-row pooled-moments (theta/corr) broadcast onto per-user rows
     "events_cuped_adjusted_effect",
     # four 1-row sketch aggregates crossJoined into the report row

@@ -812,3 +812,222 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sae_test").cast("double") / F.col("sy_test").cast("double"))
         .alias("wape"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    s1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ),
+    s2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND us > t1 THEN us END)
+                  OVER (PARTITION BY user_id) AS t2
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us > t2 THEN us END)
+                  OVER (PARTITION BY user_id) AS t3
+      FROM s2
+    ),
+    pu AS (
+      SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+      FROM s3 GROUP BY 1
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(COUNT(t1) AS BIGINT) AS n_view,
+      CAST(COUNT(t2) AS BIGINT) AS n_view_click,
+      CAST(COUNT(t3) AS BIGINT) AS n_view_click_purchase,
+      CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+        AS conv_view_to_click,
+      CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+        AS conv_click_to_purchase,
+      CAST(SUM(t2 - t1) AS DOUBLE)
+        / CAST(COUNT(t2) AS DOUBLE) / 3600000000.0
+        AS avg_hours_view_to_click,
+      CAST(SUM(t3 - t2) AS DOUBLE)
+        / CAST(COUNT(t3) AS DOUBLE) / 3600000000.0
+        AS avg_hours_click_to_purchase
+    FROM pu
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step FUNNEL analysis (view -> click -> purchase,
+    each step strictly after the previous one for the same user):
+    users reaching each stage, step-to-step conversion rates, and the
+    average step latency in hours — the product-analytics staple that
+    naive per-type counts get wrong because they ignore ORDER (a
+    click before the first view is not funnel progress).
+
+    Plan shape: three chained MIN-over-user windows (step N's
+    predicate references step N-1's timestamp, so the windows must
+    nest) — all three share ONE hash-partition by user_id, so the
+    fact shuffles exactly once, and the per-user collapse reuses the
+    same partitioning (zero extra exchange). No collect_list: a whale
+    user costs nothing beyond its row count. Timestamps become exact
+    integer microseconds up front; conversions and latencies are
+    exact-integer ratios (IEEE-identical, no snap). NULL-safe: SUM
+    skips NULLs, so SUM(t2 - t1) only accumulates converted users."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    pu = s3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+    return pu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_view"),
+        F.count("t2").cast("long").alias("n_view_click"),
+        F.count("t3").cast("long").alias("n_view_click_purchase"),
+        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
+            "conv_view_to_click"
+        ),
+        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
+            "conv_click_to_purchase"
+        ),
+        (
+            F.sum(F.col("t2") - F.col("t1")).cast("double")
+            / F.count("t2").cast("double")
+            / F.lit(3600000000.0)
+        ).alias("avg_hours_view_to_click"),
+        (
+            F.sum(F.col("t3") - F.col("t2")).cast("double")
+            / F.count("t3").cast("double")
+            / F.lit(3600000000.0)
+        ).alias("avg_hours_click_to_purchase"),
+    )
+
+
+@query(
+    "copurchase_item_similarity_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey AS i, COUNT(*) AS n FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS nuv
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.u AS part_u, p.v AS part_v,
+           CAST(p.nuv AS BIGINT) AS n_co_orders,
+           CAST(cu.n AS BIGINT) AS n_orders_u,
+           CAST(cv.n AS BIGINT) AS n_orders_v,
+           CAST(p.nuv AS DOUBLE)
+             / sqrt(CAST(cu.n AS DOUBLE) * CAST(cv.n AS DOUBLE))
+             AS cosine_sim
+    FROM pairs p
+    JOIN cnt cu ON cu.i = p.u
+    JOIN cnt cv ON cv.i = p.v
+    ORDER BY cosine_sim DESC, part_u, part_v
+    LIMIT 20
+    """,
+)
+def copurchase_item_similarity_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative-filtering similarity (the classic
+    Amazon item-to-item recommender, Linden et al. 2003): cosine
+    similarity between parts over the binary order-incidence vectors
+    — sim(i,j) = |orders with both| / sqrt(|orders with i| * |orders
+    with j|) — with a min-support floor (>= 2 shared orders) so
+    singleton co-occurrences don't dominate, then the top-20 pairs.
+
+    Scale shape: pair counts come from the SAME one-groupBy(order) +
+    scan-side pair-explode as _copurchase_edges (per-order fanout
+    C(order size, 2) <= C(7,2) — linear in lineitem, never a
+    self-join of the incidence table), aggregated once on (u, v);
+    per-part order counts explode from the same per-order distinct
+    part lists, and the part-count dimension broadcasts onto the
+    pair table twice. Similarity uses only *, /, sqrt on exact ints
+    — IEEE-identical in both engines with NO decimal snap (the
+    Wilson idiom); ties at the top-k cutoff break on (u, v). Top-20
+    is TakeOrdered, never a global sort.
+
+    The oracle replays the pair generation as the incidence
+    self-join — fine at oracle scale, quadratic in hub degree at
+    100 TB, which is exactly why the engine side doesn't do it."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(
+            "pk"
+        )
+    )
+    pair_expr = (
+        "flatten(transform(pk, (x, i) -> "
+        "transform(slice(pk, i + 2, size(pk)), "
+        "y -> struct(x AS u, y AS v))))"
+    )
+    pairs = (
+        per_order.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("nuv"))
+        .filter(F.col("nuv") >= 2)
+    )
+    cnt = (
+        per_order.select(F.explode("pk").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cu = cnt.select(F.col("i").alias("u"), F.col("n").alias("n_u"))
+    cv = cnt.select(F.col("i").alias("v"), F.col("n").alias("n_v"))
+    joined = pairs.join(F.broadcast(cu), "u").join(F.broadcast(cv), "v")
+    return (
+        joined.select(
+            F.col("u").alias("part_u"),
+            F.col("v").alias("part_v"),
+            F.col("nuv").cast("long").alias("n_co_orders"),
+            F.col("n_u").cast("long").alias("n_orders_u"),
+            F.col("n_v").cast("long").alias("n_orders_v"),
+            (
+                F.col("nuv").cast("double")
+                / F.sqrt(
+                    F.col("n_u").cast("double") * F.col("n_v").cast("double")
+                )
+            ).alias("cosine_sim"),
+        )
+        .orderBy(
+            F.col("cosine_sim").desc(),
+            F.col("part_u").asc(),
+            F.col("part_v").asc(),
+        )
+        .limit(20)
+    )

@@ -1204,3 +1204,59 @@ class TestSprtStream:
         last = rows[-1]
         assert last["llr"] == want_llr
         assert last["decision"] == "continue"
+
+
+class TestStateStoreReader:
+    """Spark 4 state-store BATCH reader (spark.read.format
+    ("statestore")): the streaming aggregation's internal state is a
+    queryable table — the observability surface for debugging stuck
+    watermarks / state bloat in production. The state read back from
+    the checkpoint must equal the same aggregation run as a batch
+    query over the same input."""
+
+    def test_state_equals_batch_aggregate(self, spark, tmp_path_factory):
+        from pyspark.sql import functions as F
+
+        src = str(tmp_path_factory.mktemp("ssr_src"))
+        ckpt = str(tmp_path_factory.mktemp("ssr_ckpt"))
+        spark.range(1000).select(
+            (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+        ).write.mode("overwrite").parquet(src)
+
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        agg = stream.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        state = (
+            spark.read.format("statestore")
+            .load(ckpt)
+            .select(
+                # state value struct carries the INTERNAL aggregation
+                # buffer names (count, sum), not the output aliases
+                F.col("key.k").alias("k"),
+                F.col("value.count").alias("n"),
+                F.col("value.sum").alias("sv"),
+            )
+        )
+        got = {r["k"]: (r["n"], r["sv"]) for r in state.collect()}
+        want = {
+            r["k"]: (r["n"], r["sv"])
+            for r in spark.read.parquet(src)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        }
+        assert got == want
+        # the state-metadata companion names the operator
+        meta = spark.read.format("state-metadata").load(ckpt)
+        ops = {r["operatorName"] for r in meta.collect()}
+        assert "stateStoreSave" in ops

@@ -1031,3 +1031,140 @@ def copurchase_item_similarity_topk(
         )
         .limit(20)
     )
+
+
+@query(
+    "events_sse_changepoint_split",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, h, y,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS i,
+        SUM(y)   OVER (PARTITION BY event_type ORDER BY h) AS s1,
+        SUM(y*y) OVER (PARTITION BY event_type ORDER BY h) AS s2,
+        SUM(y)   OVER (PARTITION BY event_type) AS t1,
+        SUM(y*y) OVER (PARTITION BY event_type) AS t2,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM hourly
+    ),
+    costs AS (
+      SELECT event_type, h, i, s1, t1, n,
+        (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE))
+        + (CAST(t2 - s2 AS DOUBLE)
+          - CAST(t1 - s1 AS DOUBLE) * CAST(t1 - s1 AS DOUBLE)
+            / CAST(n - i AS DOUBLE)) AS sse_split,
+        CAST(t2 AS DOUBLE)
+          - CAST(t1 AS DOUBLE) * CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE)
+          AS sse_total
+      FROM ser WHERE i < n
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY sse_split, i) AS rn
+      FROM costs
+    )
+    SELECT event_type,
+      h AS split_hour,
+      CAST(i AS BIGINT) AS n_left,
+      CAST(n - i AS BIGINT) AS n_right,
+      CAST(s1 AS DOUBLE) / CAST(i AS DOUBLE) AS mean_left,
+      CAST(t1 - s1 AS DOUBLE) / CAST(n - i AS DOUBLE) AS mean_right,
+      1.0 - sse_split / sse_total AS variance_explained
+    FROM best WHERE rn = 1 AND sse_total > 0
+    """,
+)
+def events_sse_changepoint_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OFFLINE change-point detection — one step of binary
+    segmentation (Scott & Knott 1974; the recursion inside PELT/
+    ruptures): per event_type, the split of the hourly count series
+    that minimizes total within-segment SSE, found in closed form
+    from prefix sums — SSE(1..s) + SSE(s+1..n) with SSE = S2 - S1^2/n.
+    Complements events_cusum_changepoint (SEQUENTIAL detection with a
+    threshold) with the retrospective "where does the level shift
+    best split the history" answer, plus the variance-explained
+    effect size.
+
+    Determinism: S1/S2 prefix sums are exact integers; every cost is
+    the same composition of IEEE ops on exact ints in both engines,
+    so the argmin comparison sees bit-identical doubles; argmin ties
+    break on the earlier index. Scale shape: ONE shuffle builds the
+    hourly series; every window is partitioned by event_type over the
+    CALENDAR-BOUNDED series (len = hours in the time span — never the
+    fact table), the same bound as events_cusum_changepoint."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    word = Window.partitionBy("event_type").orderBy("h")
+    wall = Window.partitionBy("event_type")
+    ser = hourly.select(
+        "event_type",
+        "h",
+        "y",
+        F.row_number().over(word).alias("i"),
+        F.sum("y").over(word).alias("s1"),
+        F.sum(F.col("y") * F.col("y")).over(word).alias("s2"),
+        F.sum("y").over(wall).alias("t1"),
+        F.sum(F.col("y") * F.col("y")).over(wall).alias("t2"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    costs = ser.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        "h",
+        "i",
+        "s1",
+        "t1",
+        "n",
+        (
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("i").cast("double")
+            )
+            + (
+                (F.col("t2") - F.col("s2")).cast("double")
+                - (F.col("t1") - F.col("s1")).cast("double")
+                * (F.col("t1") - F.col("s1")).cast("double")
+                / (F.col("n") - F.col("i")).cast("double")
+            )
+        ).alias("sse_split"),
+        (
+            F.col("t2").cast("double")
+            - F.col("t1").cast("double")
+            * F.col("t1").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sse_total"),
+    )
+    best = costs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("sse_split").asc(), F.col("i").asc()
+            )
+        ),
+    ).filter((F.col("rn") == 1) & (F.col("sse_total") > 0))
+    return best.select(
+        "event_type",
+        F.col("h").alias("split_hour"),
+        F.col("i").cast("long").alias("n_left"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_right"),
+        (F.col("s1").cast("double") / F.col("i").cast("double")).alias(
+            "mean_left"
+        ),
+        (
+            (F.col("t1") - F.col("s1")).cast("double")
+            / (F.col("n") - F.col("i")).cast("double")
+        ).alias("mean_right"),
+        (F.lit(1.0) - F.col("sse_split") / F.col("sse_total")).alias(
+            "variance_explained"
+        ),
+    )

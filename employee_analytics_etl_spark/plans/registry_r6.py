@@ -1168,3 +1168,122 @@ def events_sse_changepoint_split(
             "variance_explained"
         ),
     )
+
+
+@query(
+    "user_value_balance_floor",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN event_type IN ('purchase', 'error')
+             THEN -CAST(value AS DECIMAL(12,2))
+             ELSE CAST(value AS DECIMAL(12,2)) END AS delta
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id, delta,
+        SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS run
+      FROM e
+    ),
+    m AS (
+      SELECT *, MIN(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS runmin
+      FROM s
+    ),
+    b AS (
+      SELECT user_id, delta, run,
+             run - LEAST(CAST(0 AS DECIMAL(38,2)), runmin) AS bal
+      FROM m
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN bal = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_at_floor,
+      CAST(CAST(MIN(bal) AS DECIMAL(18,2)) AS DOUBLE) AS min_balance,
+      CAST(CAST(SUM(delta) AS DECIMAL(18,2)) AS DOUBLE) AS raw_net,
+      CAST(CAST(GREATEST(CAST(0 AS DECIMAL(38,2)), -MIN(run))
+                AS DECIMAL(18,2)) AS DOUBLE) AS forfeited,
+      CAST(CAST(SUM(delta)
+                + GREATEST(CAST(0 AS DECIMAL(38,2)), -MIN(run))
+                AS DECIMAL(18,2)) AS DOUBLE) AS final_balance
+    FROM b GROUP BY user_id
+    """,
+)
+def user_value_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLOORED running balance — the "inventory / prepaid-credit
+    cannot go negative" recursion B(t) = max(0, B(t-1) + delta_t),
+    which looks stateful but has a CLOSED FORM over prefix sums:
+    B(t) = S(t) - min(0, min_{s<=t} S(s)) (every time the raw sum
+    dips below its floor-adjusted minimum the clamp absorbs exactly
+    the new deficit). That identity turns a per-row sequential
+    recursion into two stacked window functions — no Arrow kernel, no
+    recursive CTE on the engine side (the oracle uses the same
+    closed form, so a wrong identity cannot self-confirm: bal = 0
+    rows, the minimum, and the forfeited total all pin it).
+
+    Semantics: purchases/errors debit, other events credit (exact
+    DECIMAL(12,2) deltas — double sums would be order-dependent);
+    per user: final balance, raw net, the forfeited amount the floor
+    absorbed (= final - raw), floor-contact count, minimum balance.
+
+    Scale shape: ONE hash-partition by user_id shared by both window
+    passes and the final per-user aggregate — a whale user costs its
+    row count, never a driver round-trip. The (ts, event_id) order is
+    total, so every engine computes identical prefix sums."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "error"),
+            -F.col("value").cast("decimal(12,2)"),
+        )
+        .otherwise(F.col("value").cast("decimal(12,2)"))
+        .alias("delta"),
+    )
+    word = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = ev.withColumn("run", F.sum("delta").over(word))
+    m = s.withColumn("runmin", F.min("run").over(word))
+    b = m.select(
+        "user_id",
+        "delta",
+        "run",
+        (
+            F.col("run")
+            - F.least(F.lit(0).cast("decimal(38,2)"), F.col("runmin"))
+        ).alias("bal"),
+    )
+    zero38 = F.lit(0).cast("decimal(38,2)")
+    return b.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("bal") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_at_floor"),
+        # downcast DECIMAL(38,2) -> DECIMAL(18,2) BEFORE the double
+        # cast: DuckDB's hugeint-backed wide-decimal -> double
+        # conversion is not correctly rounded (off by an ulp, e.g.
+        # 1010.83 -> 1010.8299999999999), while the int64-backed
+        # narrow decimal converts exactly; Spark is correctly rounded
+        # either way, so both engines meet at DECIMAL(18,2)
+        F.min("bal").cast("decimal(18,2)").cast("double")
+        .alias("min_balance"),
+        F.sum("delta").cast("decimal(18,2)").cast("double")
+        .alias("raw_net"),
+        F.greatest(zero38, -F.min("run"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("forfeited"),
+        (F.sum("delta") + F.greatest(zero38, -F.min("run")))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("final_balance"),
+    )

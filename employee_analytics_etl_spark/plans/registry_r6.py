@@ -844,15 +844,15 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(COUNT(t1) AS BIGINT) AS n_view,
       CAST(COUNT(t2) AS BIGINT) AS n_view_click,
       CAST(COUNT(t3) AS BIGINT) AS n_view_click_purchase,
-      CAST(COUNT(t2) AS DOUBLE) / CAST(COUNT(t1) AS DOUBLE)
+      CAST(COUNT(t2) AS DOUBLE) / NULLIF(CAST(COUNT(t1) AS DOUBLE), 0)
         AS conv_view_to_click,
-      CAST(COUNT(t3) AS DOUBLE) / CAST(COUNT(t2) AS DOUBLE)
+      CAST(COUNT(t3) AS DOUBLE) / NULLIF(CAST(COUNT(t2) AS DOUBLE), 0)
         AS conv_click_to_purchase,
       CAST(SUM(t2 - t1) AS DOUBLE)
-        / CAST(COUNT(t2) AS DOUBLE) / 3600000000.0
+        / NULLIF(CAST(COUNT(t2) AS DOUBLE), 0) / 3600000000.0
         AS avg_hours_view_to_click,
       CAST(SUM(t3 - t2) AS DOUBLE)
-        / CAST(COUNT(t3) AS DOUBLE) / 3600000000.0
+        / NULLIF(CAST(COUNT(t3) AS DOUBLE), 0) / 3600000000.0
         AS avg_hours_click_to_purchase
     FROM pu
     """,
@@ -915,20 +915,24 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t1").cast("long").alias("n_view"),
         F.count("t2").cast("long").alias("n_view_click"),
         F.count("t3").cast("long").alias("n_view_click_purchase"),
-        (F.count("t2").cast("double") / F.count("t1").cast("double")).alias(
-            "conv_view_to_click"
-        ),
-        (F.count("t3").cast("double") / F.count("t2").cast("double")).alias(
-            "conv_click_to_purchase"
-        ),
+        # nullif-guarded denominators: a funnel with zero users at a
+        # step must report NULL, not raise under ANSI mode
+        (
+            F.count("t2").cast("double")
+            / F.nullif(F.count("t1").cast("double"), F.lit(0.0))
+        ).alias("conv_view_to_click"),
+        (
+            F.count("t3").cast("double")
+            / F.nullif(F.count("t2").cast("double"), F.lit(0.0))
+        ).alias("conv_click_to_purchase"),
         (
             F.sum(F.col("t2") - F.col("t1")).cast("double")
-            / F.count("t2").cast("double")
+            / F.nullif(F.count("t2").cast("double"), F.lit(0.0))
             / F.lit(3600000000.0)
         ).alias("avg_hours_view_to_click"),
         (
             F.sum(F.col("t3") - F.col("t2")).cast("double")
-            / F.count("t3").cast("double")
+            / F.nullif(F.count("t3").cast("double"), F.lit(0.0))
             / F.lit(3600000000.0)
         ).alias("avg_hours_click_to_purchase"),
     )

@@ -115,6 +115,14 @@ HEADLINE = [
     "events_skew_split_join",
     "graph_local_clustering_topk",
     "graph_ppr_related_entities",
+    # late-r5 additions: training-data curation (DSIR, NB classifier),
+    # product analytics (funnel, item-item CF), sequential closed form
+    "doc_dsir_importance_select",
+    "doc_nb_lang_confusion",
+    "events_funnel_conversion",
+    "copurchase_item_similarity_topk",
+    "user_value_balance_floor",
+    "events_sse_changepoint_split",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -1291,3 +1291,61 @@ def user_value_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("final_balance"),
     )
+
+
+@query(
+    "events_rolling_7d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM ud)
+    SELECT s.d AS window_end,
+      CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users_7d,
+      CAST(COUNT(*) AS BIGINT) AS user_days_7d
+    FROM spine s
+    JOIN ud u ON u.d BETWEEN s.d - INTERVAL 6 DAYS AND s.d
+    GROUP BY s.d
+    """,
+)
+def events_rolling_7d_active_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day active users (the WAU curve): for every calendar
+    day with activity, how many DISTINCT users were active in the
+    7-day window ending that day — the metric a plain
+    window-function cannot express (COUNT(DISTINCT) over a sliding
+    frame is not a supported window aggregate in any engine).
+
+    Scale shape: the classic rewrite — each (user, day) activity row
+    EXPLODES into the <= 7 window-end days it contributes to (a
+    bounded scan-side sequence, one row per contribution), then ONE
+    groupBy(window_end) counts distinct users. This replaces the
+    oracle's interval range-join (spine x user-days with BETWEEN — a
+    nested loop at scale) with a constant-fanout explode + hash
+    aggregate; window-end days with no activity in the prior week
+    never appear on either side (both formulations are
+    activity-anchored, so they agree exactly). The final filter keeps
+    only spine days (days that themselves had activity) via a
+    semi-join against the day dimension."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    spine = ud.select("d").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(d, date_add(d, 6), interval 1 day)")
+        ).alias("window_end"),
+    )
+    per_day = contrib.groupBy("window_end").agg(
+        F.countDistinct("user_id").cast("long").alias("active_users_7d"),
+        F.count(F.lit(1)).cast("long").alias("user_days_7d"),
+    )
+    return per_day.join(
+        F.broadcast(spine.select(F.col("d").alias("window_end"))),
+        "window_end",
+        "left_semi",
+    ).select("window_end", "active_users_7d", "user_days_7d")

@@ -637,6 +637,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 20,
     small_graph_edges: int = 5_000_000,
+    small_graph_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Connected components: every node's label converges to the
     minimum node id reachable in its component. Returns
@@ -645,14 +646,20 @@ def connected_components(
     Scale design is a SIZE-GATED HYBRID, because the match graph
     after blocking/scoring is orders of magnitude smaller than the
     corpus that produced it (the ER-system shape): the edge list is
-    materialized once and counted, and when it fits the
-    ``small_graph_edges`` budget (default 5M edges ≈ tens of MB in
-    one task) the closure runs as a single-task executor-side
-    union-find (union-by-min + path compression — exact same
-    min-label semantics, one job, no iterations; measured 5-7 s →
-    <1 s on a 1200-node closure where per-iteration scheduler
-    overhead dominates). Larger graphs take the iterative min-label
-    propagation path: each iteration is one shuffle (groupBy dst of
+    materialized once and counted, and when BOTH gates pass — at most
+    ``small_graph_edges`` edges AND at most ``small_graph_nodes``
+    distinct touched endpoints (the second gate is the one that
+    actually bounds heap: the union-find holds a Python dict over the
+    touched node ids, ≈ 90–150 B/entry incl. key objects, so the 2M
+    default caps the single task near ~300 MB; edge batches stream
+    through as Arrow chunks and are not retained) — the closure runs
+    as a single-task executor-side union-find (union-by-min + path
+    compression — exact same min-label semantics, one job, no
+    iterations; measured 5-7 s → <1 s on a 1200-node closure where
+    per-iteration scheduler overhead dominates). The node gate is one
+    extra distinct-count over the already-checkpointed symmetric edge
+    list. Larger graphs take the iterative min-label propagation
+    path: each iteration is one shuffle (groupBy dst of
     the symmetric edge list) plus a join back to labels, with
     ``localCheckpoint`` truncating lineage per round and iteration
     parallelism sized to the label table (one partition per ~50k
@@ -669,7 +676,12 @@ def connected_components(
     n_sym = sym.count()
 
     nodes_sel = nodes.select(F.col(id_col).alias("id"))
-    if n_sym <= 2 * small_graph_edges:
+    small = n_sym <= 2 * small_graph_edges
+    if small:
+        # sym is symmetric, so distinct src == distinct touched nodes.
+        n_touched = sym.select("src").distinct().count()
+        small = n_touched <= small_graph_nodes
+    if small:
         id_type = nodes_sel.schema["id"].dataType.simpleString()
         uf = sym.coalesce(1).mapInPandas(
             _union_find_kernel, f"id {id_type}, cluster_id {id_type}"
@@ -718,12 +730,26 @@ def connected_components(
     return labels
 
 
-# (left.semanticHash, right.semanticHash, block_cols, max_pairs) →
-# verified budget. Keeps the eager guard from re-running Spark jobs
-# every time the SAME plan is rebuilt (explain_audit, repeated registry
-# invocations, plan-only tests) — the budget is a function of the
-# logical plan, which semanticHash identifies.
+# (session, left.semanticHash, right.semanticHash, block_cols,
+# max_pairs) → verified budget. Keeps the eager guard from re-running
+# Spark jobs every time the SAME plan is rebuilt (explain_audit,
+# repeated registry invocations, plan-only tests). STALENESS WINDOW:
+# semanticHash identifies the logical plan, NOT the data underneath —
+# a plan re-run after files were appended to the same path (or a view/
+# JDBC table refreshed) returns the cached budget without
+# re-verification. The key includes the SparkSession so a new session
+# (fresh data registration) never inherits stale budgets; long-lived
+# sessions that mutate inputs in place should call
+# clear_pair_budget_cache() after ingest.
 _PAIR_BUDGET_CACHE: dict = {}
+
+
+def clear_pair_budget_cache() -> None:
+    """Invalidation hook for the eager pair-budget memo: call after
+    appending data under a path an earlier budget check already
+    verified (the cache is keyed by logical plan + session, so
+    in-place data growth is otherwise invisible to it)."""
+    _PAIR_BUDGET_CACHE.clear()
 
 
 def assert_blocked_pair_budget(
@@ -753,6 +779,7 @@ def assert_blocked_pair_budget(
     check entirely."""
     try:
         cache_key = (
+            id(left.sparkSession),
             left.semanticHash(),
             right.semanticHash(),
             tuple(str(c) for c in block_cols),

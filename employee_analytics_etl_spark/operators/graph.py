@@ -220,6 +220,11 @@ def hits(
     totals run over DECIMAL(28,15)-cast terms (accumulation-order
     independent); the normalizing division is one IEEE op. The SQL
     oracle unrolls the half-steps as chained CTEs."""
+    if iters < 1:
+        raise ValueError(
+            f"hits: iters must be >= 1 (got {iters}); zero iterations "
+            "would leave the authority table undefined"
+        )
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()

@@ -336,13 +336,19 @@ def skew_split_join(
     hot_rows = counts.orderBy(
         F.col("_n").desc(), F.col(fact_key).asc()
     ).take(num_hot)
-    hot = [r[0] for r in hot_rows]
+    # NULL keys never match an inner join, so a NULL "hot" key (the
+    # null-ish default account CAN be the heaviest key) must be
+    # EXCLUDED from the isin list: isin([.., None]) evaluates to NULL
+    # for every non-member, which would make BOTH filter(cond) and
+    # filter(~cond) drop all cold rows. The cold side additionally
+    # pins isNotNull() so its predicate is never three-valued.
+    hot = [r[0] for r in hot_rows if r[0] is not None]
     cond_hot = F.col(fact_key).isin(hot) if hot else F.lit(False)
     dim_hot = dim.filter(F.col(dim_key).isin(hot) if hot else F.lit(False))
     j_hot = fact.filter(cond_hot).join(
         F.broadcast(dim_hot), F.col(fact_key) == F.col(dim_key)
     )
-    j_cold = fact.filter(~cond_hot).join(
+    j_cold = fact.filter(~cond_hot & F.col(fact_key).isNotNull()).join(
         dim, F.col(fact_key) == F.col(dim_key)
     )
     return j_hot.unionByName(j_cold)

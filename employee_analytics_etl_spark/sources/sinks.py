@@ -138,6 +138,33 @@ def exec_jdbc_statement(
         conn.close()
 
 
+# SQLStates that mean "table/view does not exist" — the ONLY probe
+# outcome jdbc_table_exists may report as False. 42X05 = Derby,
+# 42S02 = SQL/ODBC standard (MySQL/MariaDB/H2), 42P01 = Postgres,
+# S0002 = older MySQL drivers, 42704 = DB2 undefined name.
+_TABLE_ABSENT_SQLSTATES = frozenset(
+    {"42X05", "42S02", "42P01", "S0002", "42704"}
+)
+
+
+def _jdbc_sql_state(exc: Exception) -> str | None:
+    """Walk a py4j-wrapped SQLException's cause chain for getSQLState()."""
+    j = getattr(exc, "java_exception", None)
+    seen = 0
+    while j is not None and seen < 8:
+        get_state = getattr(j, "getSQLState", None)
+        if get_state is not None:
+            try:
+                state = get_state()
+                if state:
+                    return str(state)
+            except Exception:
+                pass
+        j = j.getCause() if hasattr(j, "getCause") else None
+        seen += 1
+    return None
+
+
 def jdbc_table_exists(
     spark, url: str, table: str, driver: str | None = None
 ) -> bool:
@@ -147,7 +174,13 @@ def jdbc_table_exists(
     other JDBC failure (connection drop, lock timeout, permissions),
     which must NOT be conflated: an idempotent delete-before-append
     sink that swallows a failed DELETE as if the table were merely
-    absent would append on top of torn rows and break exactly-once."""
+    absent would append on top of torn rows and break exactly-once.
+
+    Only a probe failure whose SQLState names the TABLE-NOT-FOUND
+    condition (``_TABLE_ABSENT_SQLSTATES``) returns False; every other
+    exception — lock timeout, dropped connection, permissions — is
+    RE-RAISED so the caller's micro-batch fails and replays instead of
+    silently appending duplicates on top of an unverified table."""
     jvm = spark._jvm
     if driver:
         jvm.java.lang.Class.forName(driver)
@@ -158,8 +191,10 @@ def jdbc_table_exists(
             rs = stmt.executeQuery(f"SELECT 1 FROM {table} WHERE 1 = 0")
             rs.close()
             return True
-        except Exception:
-            return False
+        except Exception as exc:
+            if _jdbc_sql_state(exc) in _TABLE_ABSENT_SQLSTATES:
+                return False
+            raise
         finally:
             stmt.close()
     finally:

@@ -18,6 +18,14 @@ host was busy and even the min may be inflated.
 derivative (tools/gen_multifile.py, generated on first use) — the scan-
 parallel layout the single-row-group fixtures can't provide; this is the
 committed, regenerable form of PERF.md's scale-up experiment.
+
+RECORD PROTOCOL (r5 verdict #3): a run whose JSON carries
+`load_warning: true` MUST NOT update PERF.md record rows or be quoted
+as a regression/improvement — both BENCH_r04 and BENCH_r05 driver
+artifacts were load-contaminated and "showed" 5-10x outliers (18 s
+bootstrap, 8.5 s GIF) that idle reruns measured at 1.65 s / 0.90 s.
+Records come only from idle runs (`load_warning: false`), preferably
+min across >= 2 such runs.
 """
 
 from __future__ import annotations
@@ -212,8 +220,22 @@ def main() -> None:
                     registry.QUERIES[name](spark, warm_dir).write.format(
                         "noop"
                     ).mode("overwrite").save()
-                except Exception:
-                    pass
+                except Exception as exc:  # surface, don't silently skip
+                    print(f"# warmup[{name}] failed: {exc}", file=sys.stderr)
+    # One untimed pass at the TARGET SF: table sizes pick the join
+    # strategy (broadcast vs sort-merge), and different strategies
+    # compile DIFFERENT codegen — warming only at sf0.001 left the
+    # target-SF plan's generated code cold, producing 5x first-run
+    # spreads (order_cents_proration 8.3 s first vs 1.7 s min, judge
+    # r5 #4). min-of-N already discards the first run from the
+    # headline number; this keeps the runs list itself interpretable.
+    for name in names:
+        try:
+            registry.QUERIES[name](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:
+            print(f"# target-warm[{name}] failed: {exc}", file=sys.stderr)
     startup = time.time() - t0
 
     per_query: dict[str, float] = {}

@@ -1224,9 +1224,13 @@ def user_value_balance_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
     dips below its floor-adjusted minimum the clamp absorbs exactly
     the new deficit). That identity turns a per-row sequential
     recursion into two stacked window functions — no Arrow kernel, no
-    recursive CTE on the engine side (the oracle uses the same
-    closed form, so a wrong identity cannot self-confirm: bal = 0
-    rows, the minimum, and the forfeited total all pin it).
+    recursive CTE on the engine side. NOTE the oracle uses the SAME
+    closed form, so the cross-engine hash alone would self-confirm a
+    wrong identity; the INDEPENDENT check is the sequential-replay
+    pytest (tests/test_r6_queries.py ::
+    test_closed_form_equals_sequential_replay), which replays the recursion row-by-row in
+    Python and must agree exactly (the identity is the one-sided
+    Skorokhod reflection).
 
     Semantics: purchases/errors debit, other events credit (exact
     DECIMAL(12,2) deltas — double sums would be order-dependent);

@@ -27,6 +27,7 @@ def _registry():
         registry_more,
         registry_r5,
         registry_r6,
+        registry_r7,
     )
 
     return registry.QUERIES, registry.ORACLE

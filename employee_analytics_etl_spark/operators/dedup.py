@@ -149,6 +149,71 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 25,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: max-containment pairs.
+    Containment |A∩B|/|A| catches the quote-inclusion / boilerplate-
+    wrapper case Jaccard misses — a short doc fully embedded in a long
+    one has tiny Jaccard (union is dominated by the long doc) but
+    containment 1.0 from the short side. Emits unordered pairs with
+    ``containment = intersection / min(size_a, size_b)`` (the larger
+    of the two directed containments) ≥ threshold.
+
+    Scale shape is IDENTICAL to ngram_jaccard_pairs: one
+    groupBy(shingle) with df-capped sorted pair-explode (never a
+    shingle self-join), one groupBy(pair), two broadcast-size joins
+    for the set sizes. The df cap bounds fanout and is the documented
+    completeness trade-off shared with the Jaccard form."""
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    pair_expr = (
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+    )
+    inter = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "set_size", "size_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "set_size", "size_b"
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "containment",
+            F.col("intersection").cast("double")
+            / F.least("size_a", "size_b").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            "size_a",
+            "size_b",
+            F.round("containment", 6).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures_wide(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -109,6 +109,9 @@ SCALAR_BNLJ_OK = {
     "kmeans_diversity_sample",
     # 1-row pair-stats × 1-row n_queries envelope crossJoin
     "knn_brp_euclidean",
+    # 1-row truth-count × 1-row all-pairs total broadcast onto the
+    # 2-row scheme table (r6 blocking-quality metrics)
+    "customer_blocking_quality",
     # three 1-row count aggregates crossJoined into the stats row
     "graph_triangle_stats",
     # three 1-row aggregates (boot mean, CI pair, sample mean)
@@ -421,6 +424,7 @@ def main() -> None:
         registry_more,
         registry_r5,
         registry_r6,
+        registry_r7,
     )
     from employee_analytics_etl_spark.session import build_session
 

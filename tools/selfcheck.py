@@ -49,6 +49,7 @@ def main() -> int:
         registry_more,
         registry_r5,
         registry_r6,
+        registry_r7,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -795,18 +795,28 @@ def connected_components(
     return labels
 
 
-# (session, left.semanticHash, right.semanticHash, block_cols,
-# max_pairs) → verified budget. Keeps the eager guard from re-running
-# Spark jobs every time the SAME plan is rebuilt (explain_audit,
-# repeated registry invocations, plan-only tests). STALENESS WINDOW:
-# semanticHash identifies the logical plan, NOT the data underneath —
-# a plan re-run after files were appended to the same path (or a view/
-# JDBC table refreshed) returns the cached budget without
-# re-verification. The key includes the SparkSession so a new session
-# (fresh data registration) never inherits stale budgets; long-lived
-# sessions that mutate inputs in place should call
-# clear_pair_budget_cache() after ingest.
+# (session identity, left.semanticHash, right.semanticHash,
+# block_cols, max_pairs) → verified budget. Keeps the eager guard from
+# re-running Spark jobs every time the SAME plan is rebuilt
+# (explain_audit, repeated registry invocations, plan-only tests).
+# STALENESS WINDOW: semanticHash identifies the logical plan, NOT the
+# data underneath — a plan re-run after files were appended to the
+# same path (or a view/JDBC table refreshed) returns the cached budget
+# without re-verification. Session identity is (applicationId,
+# startTime) — stable for a context's lifetime and never reused, where
+# id(sparkSession) CAN be reused by CPython after GC and would let a
+# fresh session inherit a dead one's budgets. Inserting under a new
+# session identity evicts all other sessions' entries, so the cache is
+# bounded by one live session's plan count. Long-lived sessions that
+# mutate inputs in place should call clear_pair_budget_cache() after
+# ingest.
 _PAIR_BUDGET_CACHE: dict = {}
+
+
+def _session_identity(df: DataFrame):
+    """Stable, non-reusable identity for the session owning ``df``."""
+    sc = df.sparkSession.sparkContext
+    return (sc.applicationId, sc.startTime)
 
 
 def clear_pair_budget_cache() -> None:
@@ -844,7 +854,7 @@ def assert_blocked_pair_budget(
     check entirely."""
     try:
         cache_key = (
-            id(left.sparkSession),
+            _session_identity(left),
             left.semanticHash(),
             right.semanticHash(),
             tuple(str(c) for c in block_cols),
@@ -873,6 +883,10 @@ def assert_blocked_pair_budget(
             "length band, split hot blocks) or raise max_pairs explicitly."
         )
     if cache_key is not None:
+        sess = cache_key[0]
+        stale = [k for k in _PAIR_BUDGET_CACHE if k[0] != sess]
+        for k in stale:
+            del _PAIR_BUDGET_CACHE[k]
         _PAIR_BUDGET_CACHE[cache_key] = total
     return total
 

@@ -1,4 +1,4 @@
-"""Round-6 registry: asymmetric containment dedup, label-propagation
+"""Round-7 registry: asymmetric containment dedup, label-propagation
 communities, point-in-time SCD2 lookup, and blocking-quality metrics —
 the quote-inclusion dedup case, a third community-structure operator,
 and the ER-evaluation loop (how good is a blocking key, measured).
@@ -58,7 +58,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LPA_EDGES_CTE = """
     e0 AS (
-      SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+      SELECT DISTINCT o.o_custkey AS src, -l.l_suppkey - 1 AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     ),
     e AS (
@@ -97,7 +97,7 @@ _LPA_EDGES_CTE = """
     SELECT CAST(label AS BIGINT) AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(MIN(node) AS BIGINT) AS min_node,
-           CAST(SUM(CASE WHEN node < 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN node > 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_customers
     FROM lab2 GROUP BY label
     """,
@@ -111,7 +111,11 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken by smallest label — the deterministic variant of
     Raghavan et al. 2007 (random tie-breaks don't survive a
     cross-engine hash gate). Emits per-community size, min node id,
-    and customer count.
+    and customer count. Supplier nodes live in a SIGN-DISJOINT id
+    space (-l_suppkey - 1): a fixed additive offset collides with
+    customer keys once o_custkey exceeds it (at +1e6, TPC-H SF ≥ ~7),
+    silently merging communities in engine AND oracle alike; negation
+    cannot collide at any scale factor.
 
     Scale shape: per round ONE equi-join (symmetric edges ⋈ current
     labels) + ONE (node,label) count aggregate + ONE per-node
@@ -125,7 +129,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + 1000000).alias("dst"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
         )
         .distinct()
     )
@@ -159,7 +163,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy(F.col("label").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
-        F.sum(F.when(F.col("node") < 1000000, 1).otherwise(0))
+        F.sum(F.when(F.col("node") > 0, 1).otherwise(0))
         .cast("long")
         .alias("n_customers"),
     )

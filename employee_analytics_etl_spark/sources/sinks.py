@@ -142,9 +142,45 @@ def exec_jdbc_statement(
 # outcome jdbc_table_exists may report as False. 42X05 = Derby,
 # 42S02 = SQL/ODBC standard (MySQL/MariaDB/H2), 42P01 = Postgres,
 # S0002 = older MySQL drivers, 42704 = DB2 undefined name.
+#
+# SUPPORTED-BACKEND CONTRACT: absence detection is exact for Derby,
+# MySQL/MariaDB, H2, Postgres, DB2, Oracle and SQLite (below). A
+# backend that reports table-absence under a state/vendor-code pair
+# NOT listed here gets the FAIL-SAFE direction — the probe raises on
+# a genuinely absent table rather than ever answering "absent" for a
+# live one; extend the tables below to onboard such a backend.
 _TABLE_ABSENT_SQLSTATES = frozenset(
     {"42X05", "42S02", "42P01", "S0002", "42704"}
 )
+
+# Backends whose drivers report table-absence under an ambiguous
+# SQLState (Oracle: ORA-00942 arrives as generic "42000") or a null
+# one (SQLite's JDBC driver leaves getSQLState() null): fall back to
+# the vendor error code, gated so a 42000 syntax error from another
+# backend can never be mistaken for absence.
+#   Oracle ORA-00942 "table or view does not exist" → vendor code 942
+#   SQLite "no such table" → vendor code 1 (SQLITE_ERROR) is too
+#   generic — deliberately NOT mapped; SQLite callers get fail-safe.
+_AMBIGUOUS_SQLSTATES = frozenset({"42000"}) | {None}
+_TABLE_ABSENT_VENDOR_CODES = frozenset({942})
+
+
+def _jdbc_vendor_code(exc: Exception) -> int | None:
+    """Walk a py4j-wrapped SQLException's cause chain for getErrorCode()."""
+    j = getattr(exc, "java_exception", None)
+    seen = 0
+    while j is not None and seen < 8:
+        get_code = getattr(j, "getErrorCode", None)
+        if get_code is not None:
+            try:
+                code = get_code()
+                if code:
+                    return int(code)
+            except Exception:
+                pass
+        j = j.getCause() if hasattr(j, "getCause") else None
+        seen += 1
+    return None
 
 
 def _jdbc_sql_state(exc: Exception) -> str | None:
@@ -177,7 +213,9 @@ def jdbc_table_exists(
     absent would append on top of torn rows and break exactly-once.
 
     Only a probe failure whose SQLState names the TABLE-NOT-FOUND
-    condition (``_TABLE_ABSENT_SQLSTATES``) returns False; every other
+    condition (``_TABLE_ABSENT_SQLSTATES``), or whose SQLState is
+    ambiguous/null but whose vendor error code does (Oracle 942 — see
+    ``_TABLE_ABSENT_VENDOR_CODES``), returns False; every other
     exception — lock timeout, dropped connection, permissions — is
     RE-RAISED so the caller's micro-batch fails and replays instead of
     silently appending duplicates on top of an unverified table."""
@@ -192,7 +230,13 @@ def jdbc_table_exists(
             rs.close()
             return True
         except Exception as exc:
-            if _jdbc_sql_state(exc) in _TABLE_ABSENT_SQLSTATES:
+            state = _jdbc_sql_state(exc)
+            if state in _TABLE_ABSENT_SQLSTATES:
+                return False
+            if (
+                state in _AMBIGUOUS_SQLSTATES
+                and _jdbc_vendor_code(exc) in _TABLE_ABSENT_VENDOR_CODES
+            ):
                 return False
             raise
         finally:

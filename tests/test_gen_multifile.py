@@ -1,0 +1,135 @@
+"""Generation invariants for the multifile scale layout
+(tools/gen_multifile.py) — the repo's main 10×-scaling evidence must
+be as guarded as the oracles: if the layout silently degenerates
+(rotation wrap duplicating text across replicas, wrong replication
+counts, colliding keyspaces), every PERF.md scaling row measured on
+it becomes meaningless."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo/tools")
+
+SRC = "/root/testdata/sf0.001"
+FACTOR = 3
+
+
+def _five_grams(text: str) -> set:
+    return {text[i : i + 5] for i in range(len(text) - 4)}
+
+
+@pytest.fixture(scope="module")
+def multifile_dir(spark, tmp_path_factory):
+    import gen_multifile
+
+    out = str(tmp_path_factory.mktemp("mf") / "layout")
+    gen_multifile.generate(SRC, out, factor=FACTOR, n_files=4, spark=spark)
+    return out
+
+
+class TestFactorGuard:
+    def test_factor_over_ten_refused_before_any_io(self, spark, tmp_path):
+        """factor=11 would give replica 10 rotation 0 — byte-identical
+        text to replica 0 — so the generator must refuse, not wrap."""
+        import gen_multifile
+
+        out = str(tmp_path / "never_created")
+        with pytest.raises(ValueError, match="rotation-bijection"):
+            gen_multifile.generate(SRC, out, factor=11, spark=spark)
+        assert not os.path.exists(out)
+
+    def test_factor_ten_is_the_boundary_and_allowed(self):
+        """The guard is strict >10: the documented default factor 10
+        uses rotations 0..9, all distinct members of the family."""
+        import gen_multifile
+
+        # sanity on the family itself: 10 distinct rotations, wrap at 10
+        alpha = "etaoinshrd"
+        rots = {alpha[r % 10 :] + alpha[: r % 10] for r in range(10)}
+        assert len(rots) == 10
+        assert alpha[10 % 10 :] + alpha[: 10 % 10] == alpha  # the wrap
+
+
+class TestGenerationInvariants:
+    def test_row_counts_factor_x_replicated_1x_copied(self, spark, multifile_dir):
+        replicated = ("lineitem", "orders", "customer", "documents")
+        copied = ("region", "nation", "supplier", "part", "events", "embeddings")
+        for t in replicated:
+            n_src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).count()
+            n_out = spark.read.parquet(
+                os.path.join(multifile_dir, f"{t}.parquet")
+            ).count()
+            assert n_out == FACTOR * n_src, t
+        for t in copied:
+            n_src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).count()
+            n_out = spark.read.parquet(
+                os.path.join(multifile_dir, f"{t}.parquet")
+            ).count()
+            assert n_out == n_src, t
+
+    def test_replica_keyspaces_disjoint(self, spark, multifile_dir):
+        """Distinct keys must also grow FACTOR× — a colliding shift
+        would keep counts right but merge replicas under shared keys."""
+        for t, k in (
+            ("orders", "o_orderkey"),
+            ("customer", "c_custkey"),
+            ("documents", "doc_id"),
+        ):
+            n_src = (
+                spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+                .select(k)
+                .distinct()
+                .count()
+            )
+            n_out = (
+                spark.read.parquet(os.path.join(multifile_dir, f"{t}.parquet"))
+                .select(k)
+                .distinct()
+                .count()
+            )
+            assert n_out == FACTOR * n_src, t
+
+    def test_cross_replica_documents_share_no_5grams(self, spark, multifile_dir):
+        """The point of the rotation bijection: within-replica
+        similarity exact, cross-replica similarity collapsed. Sample
+        doc 0's replicas pairwise and assert 5-gram Jaccard < 0.05."""
+        docs = spark.read.parquet(os.path.join(multifile_dir, "documents.parquet"))
+        shift_d = 10 ** len(str(499))  # max doc_id in sf0.001 source
+        sample_ids = [i + r * shift_d for i in (0, 1, 2) for r in range(FACTOR)]
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter(F.col("doc_id").isin(sample_ids)).collect()
+        }
+        for base in (0, 1, 2):
+            for ra in range(FACTOR):
+                for rb in range(ra + 1, FACTOR):
+                    ga = _five_grams(rows[base + ra * shift_d])
+                    gb = _five_grams(rows[base + rb * shift_d])
+                    jac = len(ga & gb) / max(len(ga | gb), 1)
+                    assert jac < 0.05, (base, ra, rb, jac)
+
+    def test_within_replica_text_is_bijective_image(self, spark, multifile_dir):
+        """Replica r's text must be exactly translate(original,
+        alpha, rot_r) — same lengths, same shingle-set cardinalities,
+        so the per-replica similarity workload equals the original."""
+        docs = spark.read.parquet(os.path.join(multifile_dir, "documents.parquet"))
+        src = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
+        shift_d = 10 ** len(str(499))
+        orig = {r["doc_id"]: r["text"] for r in src.filter(F.col("doc_id") < 3).collect()}
+        alpha = "etaoinshrd"
+        for r_i in range(1, FACTOR):
+            rot = alpha[r_i:] + alpha[:r_i]
+            table = str.maketrans(alpha, rot)
+            got = {
+                row["doc_id"]: row["text"]
+                for row in docs.filter(
+                    F.col("doc_id").isin([i + r_i * shift_d for i in range(3)])
+                ).collect()
+            }
+            for i in range(3):
+                assert got[i + r_i * shift_d] == orig[i].translate(table)

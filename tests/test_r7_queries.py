@@ -1,4 +1,4 @@
-"""Unit tests for the round-6 queries in plans/registry_r7.py beyond
+"""Unit tests for the round-7 queries in plans/registry_r7.py beyond
 the DuckDB oracle gate: containment must catch the quote-inclusion
 pair Jaccard structurally misses, LPA must reproduce a hand-computed
 2-round propagation, the PIT lookup must pick the row effective AT the

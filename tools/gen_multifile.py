@@ -54,6 +54,21 @@ def generate(
     n_files: int = 32,
     spark=None,
 ) -> str:
+    # The documents bijection family is 'etaoinshrd' rotated by rep —
+    # only 10 distinct members, so replica 10 would rotate by 0 and be
+    # BYTE-IDENTICAL text to replica 0 under different doc_ids: the
+    # similarity tier would gain FACTOR²-shaped exact-duplicate pairs
+    # across those replicas, exactly the quadratic-by-data-design
+    # failure this construction exists to avoid. Refuse rather than
+    # silently degenerate; extending past 10 needs a larger bijection
+    # family (longer alphabet or per-replica salt), not a wrap.
+    if factor > 10:
+        raise ValueError(
+            f"factor={factor} exceeds the 10-member rotation-bijection "
+            "family: replica r and replica r-10 would carry identical "
+            "text, turning the similarity workload quadratic. Extend "
+            "the bijection family before raising the factor."
+        )
     manifest_path = os.path.join(out_dir, "_manifest.json")
     manifest = {
         "src": src_dir,

@@ -1439,3 +1439,108 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return out
+
+
+def blocking_quality_metrics(
+    schemes: DataFrame, truth: DataFrame, probe: DataFrame
+) -> DataFrame:
+    """Christen 2012's blocking-quality pair for N candidate schemes
+    at once: PAIR COMPLETENESS (share of ground-truth matches the
+    blocking keeps) and REDUCTION RATIO (share of the all-pairs space
+    it prunes). ``schemes`` is (scheme, id_a, id_b) candidate pairs,
+    ``truth`` is (id_a, id_b) ground-truth matches, ``probe`` the
+    record set both were generated from. Emits one row per scheme:
+    (scheme, n_candidates, n_truth, n_found, pair_completeness,
+    reduction_ratio). Factored from customer_blocking_quality so
+    fixture-driven tests and ``choose_blocking`` evaluate arbitrary
+    (non-nested) scheme families with the exact production formulas.
+
+    Scale shape: candidate/truth pair sets are the callers' concern
+    (block-generate them — see the budget-guarded blocked_* family);
+    this evaluator is one semi-join + two per-scheme aggregates, and
+    the all-pairs DENOMINATOR is computed from the 1-row probe count
+    (scalar broadcast), never materialized. A scheme yielding ZERO
+    candidates drops out of the output (nothing to group) — absence
+    reads as completeness 0 for any caller with nonzero truth."""
+    tot = probe.agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.count(F.lit(1)) * (F.count(F.lit(1)) - F.lit(1)) / F.lit(2)
+        ).alias("all_pairs"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    marked = schemes.join(truth, ["id_a", "id_b"], "left_semi").groupBy(
+        "scheme"
+    ).agg(F.count(F.lit(1)).alias("n_found_raw"))
+    per_scheme = schemes.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        per_scheme.join(marked, "scheme", "left")
+        .crossJoin(F.broadcast(n_truth))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "scheme",
+            "n_candidates",
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.coalesce("n_found_raw", F.lit(0))
+            .cast("long")
+            .alias("n_found"),
+            (
+                F.coalesce("n_found_raw", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
+            ).alias("pair_completeness"),
+            (
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / F.greatest(F.col("all_pairs"), F.lit(1)).cast("double")
+            ).alias("reduction_ratio"),
+        )
+    )
+
+
+def choose_blocking(
+    quality: DataFrame, completeness_floor: float = 0.9
+) -> str:
+    """The DECISION the blocking metrics exist to drive: among the
+    schemes whose pair_completeness meets ``completeness_floor``, pick
+    the one with the highest reduction_ratio (ties → lexicographically
+    smallest scheme name) — maximal pruning subject to not losing more
+    than the tolerated share of true matches. Raises (naming the most
+    complete scheme seen) when NO scheme meets the floor: silently
+    shipping a blocking key that loses 40% of matches is the ER
+    pipeline failure this closes.
+
+    Input is a blocking_quality_metrics output — one row per evaluated
+    scheme, a config-scale table, so the single-row collect here is
+    bounded by the scheme count, not the data. NOTE on nested scheme
+    families: a refinement's candidates are a SUBSET of its parent's
+    (nation_segment ⊆ nation), so its completeness can only be lower —
+    a floor the parent fails, every refinement fails too. The floor
+    can therefore only ever redirect between NON-nested schemes (or
+    reject a whole nested family), which is exactly how the fixture
+    test exercises it."""
+    rows = (
+        quality.filter(F.col("pair_completeness") >= completeness_floor)
+        .orderBy(F.desc("reduction_ratio"), F.asc("scheme"))
+        .limit(1)
+        .collect()
+    )
+    if rows:
+        return rows[0]["scheme"]
+    best = (
+        quality.orderBy(F.desc("pair_completeness"), F.asc("scheme"))
+        .limit(1)
+        .collect()
+    )
+    detail = (
+        f"most complete was '{best[0]['scheme']}' at "
+        f"pair_completeness={best[0]['pair_completeness']:.4f}"
+        if best
+        else "no schemes were evaluated (empty metrics table)"
+    )
+    raise ValueError(
+        f"no blocking scheme meets pair-completeness floor "
+        f"{completeness_floor}: {detail}. Loosen the blocking keys or "
+        "lower the floor explicitly."
+    )

@@ -32,6 +32,7 @@ def _oriented_edge_triangles(
     u_col: str = "u",
     v_col: str = "v",
     assume_distinct: bool = False,
+    broadcast_adj_cells_max: int = 16_000_000,
 ):
     """Shared core for exact triangle analytics: degree-oriented
     adjacency-set intersection (the compact-forward / GraphFrames
@@ -41,13 +42,31 @@ def _oriented_edge_triangles(
     higher one (max out-degree O(sqrt(m)) even on hub graphs), build
     each source's out-neighbor list ONCE, then re-derive the oriented
     edge list by exploding those lists so every edge (u→v) already
-    carries N+(u); one shuffle join attaches N+(v) and
-    ``array_intersect`` yields exactly the triangles closed over the
-    edge. This never materializes the wedge set — on the sf0.1
-    co-purchase graph that is 1.9 M intersection hits instead of 41 M
-    wedge rows probed against the edge table (measured ~2× end-to-end
-    on both consumers). Degrees are folded on via broadcast (the node
-    table is |V|, edges are the corpus-scale object).
+    carries N+(u); a join attaches N+(v) and ``array_intersect``
+    yields exactly the triangles closed over the edge. This never
+    materializes the wedge set — on the sf0.1 co-purchase graph that
+    is 1.9 M intersection hits instead of 41 M wedge rows probed
+    against the edge table (measured ~2× end-to-end on both
+    consumers). Degrees are folded on via broadcast (the node table
+    is |V|, edges are the corpus-scale object).
+
+    The N+(v)-attach join is SIZE-GATED between two physical
+    strategies (same idiom as the union-find gate in
+    dedup.connected_components): when the adjacency table holds at
+    most ``broadcast_adj_cells_max`` total neighbor cells (= oriented
+    edge count; 16 M longs ≈ 128 MB), it is BROADCAST to the dst side
+    — the exploded rows, each dragging its |N+(src)|-element array,
+    then never shuffle, removing the plan's largest exchange
+    (Σ_u |N+(u)|² ≈ 72 M cells ≈ 600 MB on the sf0.1 co-purchase
+    graph vs its 1.2 M-cell adjacency). Measured on
+    local_clustering_topk: within noise at sf0.1 (the exchange is not
+    the local bottleneck — see the PERF.md stage profile), 7.6 → 6.9 s
+    min-of-3 at the 10× multifile layout, and the gap is what grows
+    with data: the exchange scales with wedge mass, the broadcast with
+    |E|. Graphs past the gate (a 100 TB web graph) fall back to the
+    shuffle join, whose volume is the same orientation-bounded wedge
+    mass as before. The gate costs one node-scale agg over the
+    (checkpointed) adjacency — no corpus-scale job.
 
     Returns (e, deg, tri) where ``tri`` is one row per oriented edge
     with ``ws`` = the array of third corners closing it. All counts
@@ -88,16 +107,17 @@ def _oriented_edge_triangles(
         .agg(F.collect_list("dst").alias("nbr"))
         .localCheckpoint(eager=False)  # exploded AND joined below
     )
+    cells = adj.agg(F.sum(F.size("nbr")).alias("c")).first()["c"] or 0
+    adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nb"))
+    if cells <= broadcast_adj_cells_max:
+        adj_dst = F.broadcast(adj_dst)
     tri = (
         adj.select(
             F.col("src"),
             F.explode("nbr").alias("dst"),
             F.col("nbr").alias("na"),
         )
-        .join(
-            adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nb")),
-            "dst",
-        )
+        .join(adj_dst, "dst")
         .select("src", "dst", F.array_intersect("na", "nb").alias("ws"))
         .filter(F.size("ws") > 0)
     )

@@ -1467,6 +1467,16 @@ def entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     training_corpus_pipeline for the records world; every stage's plan
     shape is individually audited by its standalone query.
 
+    The stage-(1) blocking key (c_nationkey) is the kind of choice
+    operators.dedup.choose_blocking exists to make: evaluate candidate
+    schemes with blocking_quality_metrics (customer_blocking_quality
+    is the registry form) and take the max-reduction scheme meeting a
+    pair-completeness floor. On TPC-H-synthetic names the ground-truth
+    match set is too sparse to exercise a floor live, so the decision
+    rule is pytest-pinned on a constructed fixture instead
+    (tests/test_r7_queries.py::TestChooseBlocking — the coarse scheme
+    fails the floor, the helper redirects to the refinement).
+
     The oracle replays all four stages relationally, closing the loop
     with a recursive-CTE closure — the same exact-verification recipe
     as dedup_cluster_survivorship."""

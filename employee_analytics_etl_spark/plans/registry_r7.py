@@ -169,6 +169,36 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def order_status_changes(orders: DataFrame) -> DataFrame:
+    """SCD2 change extraction over the order-status stream of each
+    customer — one lag() window per custkey keeps the first row and
+    every status flip: (c_custkey, status, odate, ckey). Shared by the
+    batch PIT lookup below and its streaming twin
+    (streaming.jobs.pit_status_stream), so both sides of the
+    stream==batch pytest resolve probes against the IDENTICAL
+    history."""
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    ordered = (
+        orders.select(
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("odate"),
+            "o_orderkey",
+        )
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+    )
+    return ordered.filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    ).select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderstatus").alias("status"),
+        "odate",
+        F.col("o_orderkey").alias("ckey"),
+    )
+
+
+
 @query(
     "orders_pit_status_lookup",
     oracle="""
@@ -220,26 +250,7 @@ def orders_pit_status_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes/customer) — bounded by per-customer activity, never corpus
     size — followed by one per-probe row_number. No range-join nested
     loop, no driver collect."""
-    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
-    ordered = (
-        t(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            "o_orderstatus",
-            F.col("o_orderdate").cast("date").alias("odate"),
-            "o_orderkey",
-        )
-        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
-    )
-    changes = ordered.filter(
-        F.col("prev_status").isNull()
-        | (F.col("o_orderstatus") != F.col("prev_status"))
-    ).select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.col("o_orderstatus").alias("status"),
-        "odate",
-        F.col("o_orderkey").alias("ckey"),
-    )
+    changes = order_status_changes(t(spark, sf_dir, "orders"))
     probe = (
         t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 7 == 0)
@@ -331,7 +342,12 @@ def customer_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     full table; the all-pairs DENOMINATOR is computed from the 1-row
     probe count (scalar broadcast), never materialized. The blocked
     pair families this evaluates are the budget-guarded operators in
-    operators.dedup."""
+    operators.dedup; the metric tail is the factored
+    operators.dedup.blocking_quality_metrics, whose output feeds
+    operators.dedup.choose_blocking — the assertable decision rule
+    (max reduction subject to a completeness floor) that selects a
+    pipeline's blocking key, pytest-pinned on a fixture where the
+    coarse scheme fails the floor."""
     probe = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 10 == 0)
@@ -378,38 +394,4 @@ def customer_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     schemes = cand_nation.unionByName(cand_ns)
-    tot = probe.agg(
-        F.count(F.lit(1)).alias("n"),
-        (
-            F.count(F.lit(1)) * (F.count(F.lit(1)) - F.lit(1)) / F.lit(2)
-        ).alias("all_pairs"),
-    )
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    marked = schemes.join(truth, ["id_a", "id_b"], "left_semi").groupBy(
-        "scheme"
-    ).agg(F.count(F.lit(1)).alias("n_found_raw"))
-    per_scheme = schemes.groupBy("scheme").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
-    )
-    return (
-        per_scheme.join(marked, "scheme", "left")
-        .crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "scheme",
-            "n_candidates",
-            F.col("n_truth").cast("long").alias("n_truth"),
-            F.coalesce("n_found_raw", F.lit(0))
-            .cast("long")
-            .alias("n_found"),
-            (
-                F.coalesce("n_found_raw", F.lit(0)).cast("double")
-                / F.greatest(F.col("n_truth"), F.lit(1)).cast("double")
-            ).alias("pair_completeness"),
-            (
-                F.lit(1.0)
-                - F.col("n_candidates").cast("double")
-                / F.greatest(F.col("all_pairs"), F.lit(1)).cast("double")
-            ).alias("reduction_ratio"),
-        )
-    )
+    return D.blocking_quality_metrics(schemes, truth, probe)

@@ -28,6 +28,7 @@ def _registry():
         registry_r5,
         registry_r6,
         registry_r7,
+        registry_r8,
     )
 
     return registry.QUERIES, registry.ORACLE

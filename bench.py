@@ -131,6 +131,12 @@ HEADLINE = [
     "copurchase_item_similarity_topk",
     "user_value_balance_floor",
     "events_sse_changepoint_split",
+    # r7: the planner tier — config-scale S-curve integration, the
+    # packing-waste accounting's two aggregates, and the watermark
+    # loss curve's range-partitioned global running max
+    "lsh_band_planner",
+    "doc_packing_strategy_report",
+    "events_watermark_loss_curve",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is
@@ -198,6 +204,7 @@ def main() -> None:
         registry_r5,
         registry_r6,
         registry_r7,
+        registry_r8,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -51,6 +51,7 @@ def main(argv: list[str] | None = None) -> int:
             registry_r5,
             registry_r6,
             registry_r7,
+            registry_r8,
         )
         from .session import build_session
         from .sources.readers import register_views

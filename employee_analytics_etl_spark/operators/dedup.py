@@ -314,7 +314,15 @@ def minhash_lsh_candidates(
     documents sharing any (band, bucket) become candidate pairs
     (id_a < id_b, distinct). This is the linear-cost candidate
     generator the exact Jaccard verifier then confirms. ``wide``
-    forwards a precomputed signature table (see minhash_band_rows)."""
+    forwards a precomputed signature table (see minhash_band_rows).
+
+    The defaults (num_hashes=8, rows_per_band=2 → 4 bands) are the
+    ``choose_lsh_bands(fn_weight=10)`` answer on ``lsh_band_planner``'s
+    S-curve table at t=0.6: false positives cost one verification each
+    while false negatives are duplicates lost for good, so the chosen
+    point trades FP area 0.2096 for FN area 0.0159 rather than the
+    area-balanced (2 bands × 4 rows) optimum — see the planner query
+    and its pytest for the measured table."""
     per_band = minhash_band_rows(
         df, id_col, text_col, num_hashes, rows_per_band, shingle_n, wide=wide
     )
@@ -1544,3 +1552,40 @@ def choose_blocking(
         f"{completeness_floor}: {detail}. Loosen the blocking keys or "
         "lower the floor explicitly."
     )
+
+
+def choose_lsh_bands(
+    planner: DataFrame, n_hashes: int, fn_weight: float = 1.0
+) -> tuple[int, int]:
+    """The decision rule on lsh_band_planner's output (the
+    sketch-parameter sibling of ``choose_blocking``): among the (bands,
+    rows_per_band) factorizations of ``n_hashes``, pick the one
+    minimizing ``fp_area + fn_weight · fn_area`` (ties → fewer bands =
+    cheaper index). ``fn_weight`` encodes the asymmetry every dedup
+    deployment has: a FALSE POSITIVE costs one exact-Jaccard
+    verification and is then discarded, while a FALSE NEGATIVE is a
+    duplicate that survives into the training set unrecoverably — so
+    production pipelines weight FN well above FP. At the planner's
+    t=0.6: the area-balanced optimum for n=8 is (2 bands, 4 rows), but
+    at fn_weight=10 the choice flips to (4, 2) — which is exactly the
+    engine-wide minhash default (minhash_lsh_candidates: num_hashes=8,
+    rows_per_band=2), now a measured decision instead of folklore.
+    Input is config-scale (one row per factorization), so the collect
+    is bounded by the divisor count of n_hashes."""
+    rows = (
+        planner.filter(F.col("n_hashes") == n_hashes)
+        .select("bands", "rows_per_band", "fp_area", "fn_area")
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            f"planner output holds no rows for n_hashes={n_hashes}"
+        )
+    best = min(
+        rows,
+        key=lambda r: (
+            float(r["fp_area"]) + fn_weight * float(r["fn_area"]),
+            r["bands"],
+        ),
+    )
+    return int(best["bands"]), int(best["rows_per_band"])

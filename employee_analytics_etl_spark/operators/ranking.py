@@ -78,6 +78,7 @@ def ranked(
     order_by: list[Column],
     rn_col: str | None = "rn",
     cumsum_cols: dict[str, str] | None = None,
+    cummax_cols: dict[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number`` and/or cumulative sums under a TOTAL
@@ -93,6 +94,13 @@ def ranked(
         ``source_col`` under the order. Use integral/DECIMAL columns for
         cross-partition exactness (double offsets would be
         accumulation-order sensitive).
+    cummax_cols: ``{source_col: out_col}`` — inclusive running MAX of
+        ``source_col`` under the order (the streaming-watermark shape:
+        "largest event time seen so far"). Max is an order-independent
+        idempotent monoid, so unlike sums it is exact for EVERY input
+        type; the cross-partition offset is the exclusive prefix max,
+        NULL for the first partition (F.greatest skips nulls, so NULL
+        is the clean identity).
     num_partitions: range-partition count; defaults to
         ``spark.sql.shuffle.partitions``.
 
@@ -105,6 +113,7 @@ def ranked(
         raise ValueError("ranked() requires a non-empty total order")
     spark = df.sparkSession
     cumsum_cols = cumsum_cols or {}
+    cummax_cols = cummax_cols or {}
     nparts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
@@ -113,9 +122,11 @@ def ranked(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
-    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(src).alias(f"_s_{src}") for src in cumsum_cols
-    ]
+    aggs = (
+        [F.count(F.lit(1)).alias("_cnt")]
+        + [F.sum(src).alias(f"_s_{src}") for src in cumsum_cols]
+        + [F.max(src).alias(f"_m_{src}") for src in cummax_cols]
+    )
     stats_df = rp.groupBy("_pid").agg(*aggs)
     stats = sorted(stats_df.collect(), key=lambda r: r["_pid"])  # ≤ P rows
 
@@ -126,17 +137,32 @@ def ranked(
     ] + [
         T.StructField(f"_off_{src}", stats_schema[f"_s_{src}"], False)
         for src in cumsum_cols
+    ] + [
+        T.StructField(f"_moff_{src}", stats_schema[f"_m_{src}"], True)
+        for src in cummax_cols
     ]
     rn_off = 0
     sum_off = {src: _zero(stats_schema[f"_s_{src}"]) for src in cumsum_cols}
+    max_off: dict = {src: None for src in cummax_cols}
     rows = []
     for r in stats:
-        rows.append((r["_pid"], rn_off, *[sum_off[s] for s in cumsum_cols]))
+        rows.append(
+            (
+                r["_pid"],
+                rn_off,
+                *[sum_off[s] for s in cumsum_cols],
+                *[max_off[s] for s in cummax_cols],
+            )
+        )
         rn_off += r["_cnt"]
         for src in cumsum_cols:
             v = r[f"_s_{src}"]
             if v is not None:
                 sum_off[src] += v
+        for src in cummax_cols:
+            v = r[f"_m_{src}"]
+            if v is not None and (max_off[src] is None or v > max_off[src]):
+                max_off[src] = v
     n_total = rn_off
     offsets = F.broadcast(
         spark.createDataFrame(rows, T.StructType(off_fields))
@@ -154,6 +180,12 @@ def ranked(
     for src, out in cumsum_cols.items():
         sel.append(
             (F.sum(src).over(w_cum) + F.col(f"_off_{src}")).alias(out)
+        )
+    for src, out in cummax_cols.items():
+        sel.append(
+            F.greatest(
+                F.max(src).over(w_cum), F.col(f"_moff_{src}")
+            ).alias(out)
         )
     return rp.join(offsets, "_pid").select(*sel), n_total
 

@@ -1,0 +1,352 @@
+"""Round-7 additions: the PLANNER tier — queries whose output is a
+measured configuration decision rather than a data product. The ER
+loop got its metric round 6 (blocking quality) and its decision rule
+this round (choose_blocking); these close three more loops the same
+way: LSH banding parameters (S-curve error areas → choose_lsh_bands),
+sequence-packing strategy (padding/packing waste accounting), and the
+streaming watermark (lateness loss curve over candidate delays).
+
+Registered into the same QUERIES/ORACLE dicts as plans.registry.
+Import side effects: importing this module populates the registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .registry import query, t
+
+# (n_hashes, bands, rows_per_band) factorization grid the planner
+# scores: the engine's production signature width (8, used by every
+# minhash_* operator) and the literature-standard 64, power-of-two
+# band counts. A Python literal and a SQL VALUES list kept in lockstep.
+_LSH_GRID = [
+    (n, b, n // b)
+    for n in (8, 64)
+    for b in (2**k for k in range(0, 7))
+    if b <= n and n % b == 0
+]
+_LSH_GRID_SQL = ", ".join(f"({n}, {b}, {r})" for n, b, r in _LSH_GRID)
+_LSH_T = 0.6  # target Jaccard threshold (the dedup tier's convention)
+_LSH_STEPS = 200
+
+
+@query(
+    "lsh_band_planner",
+    oracle=f"""
+    WITH grid(n_hashes, bands, rows_per_band) AS (
+      VALUES {_LSH_GRID_SQL}
+    ),
+    terms AS (
+      SELECT n_hashes, bands, rows_per_band,
+             (2 * i.i - 1) / {2 * _LSH_STEPS}.0 AS s
+      FROM grid, UNNEST(range(1, {_LSH_STEPS + 1})) AS i(i)
+    ),
+    probs AS (
+      SELECT n_hashes, bands, rows_per_band, s,
+             1.0 - pow(1.0 - pow(s, rows_per_band), bands) AS p
+      FROM terms
+    ),
+    snapped AS (
+      SELECT n_hashes, bands, rows_per_band,
+        CASE WHEN s < {_LSH_T}
+             THEN CAST(round(p, 12) AS DECIMAL(14,12))
+             ELSE CAST(0 AS DECIMAL(14,12)) END AS fp_term,
+        CASE WHEN s >= {_LSH_T}
+             THEN CAST(round(1.0 - p, 12) AS DECIMAL(14,12))
+             ELSE CAST(0 AS DECIMAL(14,12)) END AS fn_term
+      FROM probs
+    )
+    SELECT n_hashes, bands, rows_per_band,
+           round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50,
+           round(CAST(SUM(fp_term) AS DOUBLE) / {_LSH_STEPS}, 6) AS fp_area,
+           round(CAST(SUM(fn_term) AS DOUBLE) / {_LSH_STEPS}, 6) AS fn_area,
+           round(CAST(SUM(fp_term) + SUM(fn_term) AS DOUBLE)
+                 / {_LSH_STEPS}, 6) AS total_err
+    FROM snapped
+    GROUP BY n_hashes, bands, rows_per_band
+    """,
+)
+def lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH BAND PLANNER: for each factorization n = bands ×
+    rows of the signature width, the S-curve candidate probability
+    p(s) = 1 − (1 − s^r)^b (Leskovec-Rajaraman-Ullman ch.3) scored
+    against the dedup tier's target threshold t=0.6 — FP area
+    (∫₀ᵗ p ds: candidates the verifier must discard), FN area
+    (∫ₜ¹ (1−p) ds: true duplicates the index never surfaces), their
+    sum, and s50 = (1/b)^(1/r), the similarity where the curve crosses
+    ½. operators.dedup.choose_lsh_bands turns this table into the
+    (bands, rows) decision; the engine-wide default (8 hashes, 4×2) is
+    its fn_weight=10 answer — a pytest pins both that and the
+    area-balanced optimum (2×4).
+
+    Determinism across engines: the integral is a fixed 200-step
+    midpoint Riemann sum; each term is ONE pow() chain snapped to
+    DECIMAL(14,12) (the house ln/round idiom) so summation is exact
+    decimal arithmetic in any order, then one rounded division.
+    Scale: the grid is a config-scale literal (11 rows × 200 terms) —
+    the planner reads no corpus data; it plans the job that will."""
+    grid = spark.createDataFrame(
+        _LSH_GRID, "n_hashes int, bands int, rows_per_band int"
+    )
+    s = (2 * F.col("i") - 1) / F.lit(float(2 * _LSH_STEPS))
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(s, F.col("rows_per_band")), F.col("bands")
+    )
+    zero = F.lit(0).cast("decimal(14,12)")
+    snapped = grid.select(
+        "*", F.explode(F.sequence(F.lit(1), F.lit(_LSH_STEPS))).alias("i")
+    ).select(
+        "n_hashes",
+        "bands",
+        "rows_per_band",
+        F.when(s < _LSH_T, F.round(p, 12).cast("decimal(14,12)"))
+        .otherwise(zero)
+        .alias("fp_term"),
+        F.when(s >= _LSH_T, F.round(F.lit(1.0) - p, 12).cast("decimal(14,12)"))
+        .otherwise(zero)
+        .alias("fn_term"),
+    )
+    steps = F.lit(float(_LSH_STEPS))
+    return snapped.groupBy("n_hashes", "bands", "rows_per_band").agg(
+        F.round(
+            F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows_per_band")),
+            6,
+        ).alias("s50"),
+        F.round(F.sum("fp_term").cast("double") / steps, 6).alias("fp_area"),
+        F.round(F.sum("fn_term").cast("double") / steps, 6).alias("fn_area"),
+        F.round(
+            (F.sum("fp_term") + F.sum("fn_term")).cast("double") / steps, 6
+        ).alias("total_err"),
+    )
+
+
+_PACK_CAP = 4096
+_PACK_Q = 256
+
+
+@query(
+    "doc_packing_strategy_report",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT CAST(SUM((n_chars + {_PACK_CAP - 1}) // {_PACK_CAP}) AS BIGINT)
+               AS bins_a,
+             CAST(SUM(n_chars) AS BIGINT) AS payload
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, SUM(n_chars) AS total,
+             SUM(((n_chars + {_PACK_Q - 1}) // {_PACK_Q}) * {_PACK_Q})
+               AS padded_total
+      FROM documents GROUP BY source
+    ),
+    src_bins AS (
+      SELECT CAST(SUM((total + {_PACK_CAP - 1}) // {_PACK_CAP}) AS BIGINT)
+               AS bins_b,
+             CAST(SUM((padded_total + {_PACK_CAP - 1}) // {_PACK_CAP})
+                  AS BIGINT) AS bins_c
+      FROM per_src
+    )
+    SELECT s.strategy, s.n_bins, d.payload AS payload_chars,
+           s.n_bins * {_PACK_CAP} - d.payload AS waste_chars,
+           round(CAST(d.payload AS DOUBLE)
+                 / (s.n_bins * {_PACK_CAP}), 6) AS utilization
+    FROM per_doc d, src_bins b,
+         (SELECT 'pad_per_doc' AS strategy, bins_a AS n_bins FROM per_doc
+          UNION ALL
+          SELECT 'concat_per_source', bins_b FROM src_bins
+          UNION ALL
+          SELECT 'quantized_concat', bins_c FROM src_bins) s
+    """,
+)
+def doc_packing_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE-PACKING STRATEGY accounting — the waste analysis a
+    training pipeline runs before choosing how documents become
+    fixed-size context windows (capacity 4096 chars here), closing the
+    loop on doc_pack_sequential the way blocking-quality closed ER:
+    per strategy, total bins, payload, padding waste, and utilization.
+
+      pad_per_doc       one document per window, padded to capacity
+                        (long docs span ⌈len/cap⌉ windows) — the naive
+                        fine-tuning batcher;
+      concat_per_source doc_pack_sequential's streaming concat within
+                        each source shard — waste is only each shard's
+                        final partial window;
+      quantized_concat  concat of docs padded to the next 256-char
+                        quantum (the alignment/“smart batching” middle
+                        ground: cheap doc boundaries, bounded waste).
+
+    All three are CLOSED-FORM integer aggregates (ceil-divisions under
+    sums) — no packing is simulated row-by-row, so the report costs
+    two groupBys at any corpus size: one over documents, one over the
+    per-source table. Output is exact integers plus one rounded
+    division."""
+    docs = t(spark, sf_dir, "documents").select("source", "n_chars")
+    cap = F.lit(_PACK_CAP)
+    per_doc = docs.agg(
+        F.sum(F.expr(f"(n_chars + {_PACK_CAP - 1}) DIV {_PACK_CAP}"))
+        .cast("long")
+        .alias("bins_a"),
+        F.sum("n_chars").cast("long").alias("payload"),
+    )
+    per_src = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("total"),
+        F.sum(
+            F.expr(f"((n_chars + {_PACK_Q - 1}) DIV {_PACK_Q}) * {_PACK_Q}")
+        ).alias("padded_total"),
+    )
+    src_bins = per_src.agg(
+        F.sum(F.expr(f"(total + {_PACK_CAP - 1}) DIV {_PACK_CAP}"))
+        .cast("long")
+        .alias("bins_b"),
+        F.sum(
+            F.expr(f"(padded_total + {_PACK_CAP - 1}) DIV {_PACK_CAP}")
+        )
+        .cast("long")
+        .alias("bins_c"),
+    )
+    strategies = F.explode(
+        F.array(
+            F.struct(
+                F.lit("pad_per_doc").alias("strategy"),
+                F.col("bins_a").alias("n_bins"),
+            ),
+            F.struct(
+                F.lit("concat_per_source").alias("strategy"),
+                F.col("bins_b").alias("n_bins"),
+            ),
+            F.struct(
+                F.lit("quantized_concat").alias("strategy"),
+                F.col("bins_c").alias("n_bins"),
+            ),
+        )
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(src_bins))  # 1-row x 1-row scalars
+        .select("payload", strategies.alias("s"))
+        .select(
+            F.col("s.strategy").alias("strategy"),
+            F.col("s.n_bins").alias("n_bins"),
+            F.col("payload").alias("payload_chars"),
+            (F.col("s.n_bins") * cap - F.col("payload")).alias("waste_chars"),
+            F.round(
+                F.col("payload").cast("double")
+                / (F.col("s.n_bins") * cap).cast("double"),
+                6,
+            ).alias("utilization"),
+        )
+    )
+
+
+_WM_DELAYS = (0, 60, 300, 900, 3600)  # candidate watermark delays, sec
+
+
+@query(
+    "events_watermark_loss_curve",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, epoch_us(ts) AS ts_us FROM events
+    ),
+    arr AS (
+      SELECT event_id, ts_us,
+             ts_us + (CAST(('0x' || substr(md5(
+                 CAST(event_id AS VARCHAR) || ':'
+                 || CAST(ts_us AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 600) * 1000000 AS arrival_us
+      FROM ev
+    ),
+    scored AS (
+      SELECT ts_us,
+             MAX(ts_us) OVER (
+               ORDER BY arrival_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) - ts_us AS late_us
+      FROM arr
+    ),
+    counts AS (
+      SELECT COUNT(*) AS n,
+        {", ".join(f"SUM(CASE WHEN late_us > {d * 1_000_000} THEN 1 ELSE 0 END) AS d{d}" for d in _WM_DELAYS)}
+      FROM scored
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({d} AS BIGINT) AS watermark_delay_s, "
+        f"CAST(d{d} AS BIGINT) AS n_dropped, "
+        f"round(d{d} * 1.0 / n, 6) AS dropped_share FROM counts"
+        for d in _WM_DELAYS
+    )}
+    """,
+)
+def events_watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK PLANNER for the streaming tier: before picking
+    ``withWatermark(ts, D)``, measure what each candidate delay D
+    would DROP. Arrival order is simulated as event time plus a
+    deterministic per-event jitter (md5-derived, 0–600 s — testdata
+    carries no ingest timestamp, so disorder is synthesized the same
+    reproducible way both engines see); a row's LATENESS is the
+    high-watermark at its arrival (running max of event time over
+    arrival order, inclusive) minus its own event time — exactly
+    Structured Streaming's drop rule: late_us > D ⇒ dropped. Emits one
+    row per candidate delay: (watermark_delay_s, n_dropped,
+    dropped_share) — the loss curve the operator reads before trading
+    state size against completeness.
+
+    Scale shape: the global running max runs through the
+    range-partitioned ranking primitive's new ``cummax_cols`` (max is
+    an idempotent order-independent monoid, so the two-pass offset
+    scheme is exact for ANY type) — no single-partition WindowExec;
+    the curve itself is one conditional aggregate folded to
+    |delays| rows."""
+    from ..operators import ranking as R
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        )
+        .withColumn(
+            "arrival_us",
+            F.col("ts_us")
+            + (
+                F.expr(
+                    "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), "
+                    "':', CAST(ts_us AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+                )
+                % 600
+            )
+            * F.lit(1_000_000),
+        )
+    )
+    scored, _n = R.ranked(
+        ev,
+        [F.asc("arrival_us"), F.asc("event_id")],
+        rn_col=None,
+        cummax_cols={"ts_us": "wm_us"},
+    )
+    late = (F.col("wm_us") - F.col("ts_us")).alias("late_us")
+    counts = scored.select(late).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("late_us") > d * 1_000_000, 1).otherwise(0)
+            ).alias(f"d{d}")
+            for d in _WM_DELAYS
+        ],
+    )
+    curve = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).cast("long").alias("watermark_delay_s"),
+                    F.col(f"d{d}").cast("long").alias("n_dropped"),
+                )
+                for d in _WM_DELAYS
+            ]
+        )
+    )
+    return counts.select("n", curve.alias("c")).select(
+        F.col("c.watermark_delay_s").alias("watermark_delay_s"),
+        F.col("c.n_dropped").alias("n_dropped"),
+        F.round(F.col("c.n_dropped") / F.col("n"), 6).alias("dropped_share"),
+    )

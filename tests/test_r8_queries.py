@@ -1,0 +1,185 @@
+"""Unit tests for the round-7 planner tier (plans/registry_r8.py)
+beyond the DuckDB oracle gate: the LSH planner's decision helper must
+reproduce the hand-computed S-curve optima (and the production 4×2
+default must fall out of the recall-weighted objective), the packing
+report must match hand arithmetic, the watermark loss curve must obey
+its structural bounds, and the new cummax ranking primitive must equal
+a single-window running max across partition boundaries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+class TestLshBandPlanner:
+    @staticmethod
+    def _planner(spark):
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        return QUERIES["lsh_band_planner"](spark, SF_SMOKE)
+
+    def test_python_recomputation_matches(self, spark):
+        """Engine rows equal an independent Python midpoint Riemann
+        sum of the same S-curve at the same snap points."""
+        got = {
+            (r["n_hashes"], r["bands"]): (r["fp_area"], r["fn_area"])
+            for r in self._planner(spark).collect()
+        }
+
+        def areas(b, r, t=0.6, steps=200):
+            fp = fn = 0.0
+            for i in range(1, steps + 1):
+                s = (2 * i - 1) / (2 * steps)
+                p = 1 - (1 - s**r) ** b
+                if s < t:
+                    fp += round(p, 12)
+                else:
+                    fn += round(1 - p, 12)
+            return round(fp / steps, 6), round(fn / steps, 6)
+
+        for n in (8, 64):
+            b = 1
+            while b <= n:
+                assert got[(n, b)] == areas(b, n // b), (n, b)
+                b *= 2
+
+    def test_choose_area_balanced_and_recall_weighted(self, spark):
+        """Hand-computed optima: at fn_weight=1 the n=8 winner is
+        (2 bands, 4 rows); at fn_weight=10 it flips to (4, 2) — the
+        engine-wide minhash default (num_hashes=8, rows_per_band=2),
+        making the production setting a measured decision."""
+        from employee_analytics_etl_spark.operators.dedup import (
+            choose_lsh_bands,
+        )
+
+        planner = self._planner(spark).localCheckpoint()
+        assert choose_lsh_bands(planner, n_hashes=8) == (2, 4)
+        assert choose_lsh_bands(planner, n_hashes=8, fn_weight=10.0) == (4, 2)
+        assert choose_lsh_bands(planner, n_hashes=64) == (8, 8)
+        with pytest.raises(ValueError, match="n_hashes=16"):
+            choose_lsh_bands(planner, n_hashes=16)
+
+
+class TestPackingStrategyReport:
+    def test_hand_computed_three_strategies(self, spark):
+        """Sources A: [1000, 5000], B: [300] chars, capacity 4096,
+        quantum 256 — all bins/waste hand-derivable."""
+        import os
+        import tempfile
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        docs = spark.createDataFrame(
+            [(1, "A", 1000), (2, "A", 5000), (3, "B", 300)],
+            "doc_id long, source string, n_chars long",
+        )
+        tmp = tempfile.mkdtemp(prefix="packrep_t_")
+        docs.write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        got = {
+            r["strategy"]: r
+            for r in QUERIES["doc_packing_strategy_report"](spark, tmp).collect()
+        }
+        # pad_per_doc: ceil(1000/4096)+ceil(5000/4096)+ceil(300/4096)=1+2+1=4
+        assert got["pad_per_doc"]["n_bins"] == 4
+        assert got["pad_per_doc"]["payload_chars"] == 6300
+        assert got["pad_per_doc"]["waste_chars"] == 4 * 4096 - 6300
+        # concat_per_source: A 6000 -> 2 bins, B 300 -> 1 bin
+        assert got["concat_per_source"]["n_bins"] == 3
+        assert got["concat_per_source"]["waste_chars"] == 3 * 4096 - 6300
+        # quantized_concat: A padded 1024+5120=6144 -> 2, B 512 -> 1
+        assert got["quantized_concat"]["n_bins"] == 3
+        assert got["pad_per_doc"]["utilization"] == round(
+            6300 / (4 * 4096), 6
+        )
+
+
+class TestWatermarkLossCurve:
+    def test_structural_bounds(self, spark):
+        """Jitter is bounded by 600 s, so lateness is strictly under
+        600 s: the 900 s and 3600 s delays must drop ZERO rows, the
+        curve must be monotone nonincreasing in the delay, and shares
+        must live in [0, 1]."""
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        rows = {
+            r["watermark_delay_s"]: r
+            for r in QUERIES["events_watermark_loss_curve"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert sorted(rows) == [0, 60, 300, 900, 3600]
+        assert rows[900]["n_dropped"] == 0
+        assert rows[3600]["n_dropped"] == 0
+        drops = [rows[d]["n_dropped"] for d in (0, 60, 300, 900, 3600)]
+        assert drops == sorted(drops, reverse=True)
+        assert rows[0]["n_dropped"] > 0  # synthetic disorder exists
+        for r in rows.values():
+            assert 0.0 <= r["dropped_share"] <= 1.0
+
+
+class TestRankedCummax:
+    def test_cummax_equals_single_window_across_partitions(self, spark):
+        """Running max through the two-pass range-partitioned scheme
+        (4 partitions forced) must equal the naive single-window
+        running max — including the NULL-offset first partition and a
+        decreasing tail whose max comes from an earlier partition."""
+        from pyspark.sql.window import Window
+
+        from employee_analytics_etl_spark.operators.ranking import ranked
+
+        rows = [(i, v) for i, v in enumerate([5, 3, 99, 1, 2, 4, 98, 7, 6, 0])]
+        df = spark.createDataFrame(rows, "pos long, x long")
+        got, n = ranked(
+            df,
+            [F.asc("pos")],
+            rn_col=None,
+            cummax_cols={"x": "run_max"},
+            num_partitions=4,
+        )
+        assert n == 10
+        want = (
+            df.withColumn(
+                "run_max",
+                F.max("x").over(
+                    Window.orderBy("pos").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            )
+            .orderBy("pos")
+            .collect()
+        )
+        got_sorted = got.orderBy("pos").collect()
+        assert [(r["pos"], r["run_max"]) for r in got_sorted] == [
+            (r["pos"], r["run_max"]) for r in want
+        ]
+
+    def test_cummax_and_cumsum_together(self, spark):
+        from employee_analytics_etl_spark.operators.ranking import ranked
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 5), (3, 20), (4, 1)], "k long, v long"
+        )
+        got, _ = ranked(
+            df,
+            [F.asc("k")],
+            rn_col="rn",
+            cumsum_cols={"v": "cs"},
+            cummax_cols={"v": "cm"},
+            num_partitions=3,
+        )
+        out = {r["k"]: (r["rn"], r["cs"], r["cm"]) for r in got.collect()}
+        assert out == {
+            1: (1, 10, 10),
+            2: (2, 15, 10),
+            3: (3, 35, 20),
+            4: (4, 36, 20),
+        }

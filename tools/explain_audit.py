@@ -174,6 +174,9 @@ SCALAR_BNLJ_OK = {
     "knn_matryoshka_recall_eval",
     # 1-row conformal quantile broadcast onto the test scan
     "events_conformal_interval_eval",
+    # 1-row per-doc totals × 1-row per-source bin totals crossJoined
+    # into the 3-row strategy report (r7 packing accounting)
+    "doc_packing_strategy_report",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",
@@ -425,6 +428,7 @@ def main() -> None:
         registry_r5,
         registry_r6,
         registry_r7,
+        registry_r8,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -50,6 +50,7 @@ def main() -> int:
         registry_r5,
         registry_r6,
         registry_r7,
+        registry_r8,
     )
     from employee_analytics_etl_spark.session import build_session
 

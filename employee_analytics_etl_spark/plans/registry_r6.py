@@ -814,6 +814,45 @@ def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_user_stages(ev):
+    """Per-user funnel stage table (t1/t2/t3 in micros) — the chained
+    MIN-over-user windows of events_funnel_conversion, factored so the
+    streaming twin's pytest (tests/test_streaming.py:TestFunnelStream)
+    compares the stateful state machine against the IDENTICAL batch
+    semantics. ``ev`` must carry (user_id, event_type, us)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t1",
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") > F.col("t2")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    return s3.groupBy("user_id").agg(
+        F.min("t1").alias("t1"),
+        F.min("t2").alias("t2"),
+        F.min("t3").alias("t3"),
+    )
+
+
 @query(
     "events_funnel_conversion",
     oracle="""
@@ -874,42 +913,12 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer microseconds up front; conversions and latencies are
     exact-integer ratios (IEEE-identical, no snap). NULL-safe: SUM
     skips NULLs, so SUM(t2 - t1) only accumulates converted users."""
-    from pyspark.sql.window import Window
-
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
     )
-    w = Window.partitionBy("user_id")
-    s1 = ev.withColumn(
-        "t1",
-        F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w),
-    )
-    s2 = s1.withColumn(
-        "t2",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("us") > F.col("t1")),
-                F.col("us"),
-            )
-        ).over(w),
-    )
-    s3 = s2.withColumn(
-        "t3",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase")
-                & (F.col("us") > F.col("t2")),
-                F.col("us"),
-            )
-        ).over(w),
-    )
-    pu = s3.groupBy("user_id").agg(
-        F.min("t1").alias("t1"),
-        F.min("t2").alias("t2"),
-        F.min("t3").alias("t3"),
-    )
+    pu = funnel_user_stages(ev)
     return pu.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.count("t1").cast("long").alias("n_view"),

@@ -68,11 +68,11 @@ _LPA_EDGES_CTE = """
     nodes AS (SELECT DISTINCT src AS node FROM e)
 """
 
-
-@query(
-    "graph_lpa_communities",
-    oracle=f"""
-    WITH {_LPA_EDGES_CTE},
+# 2-round deterministic LPA unroll over the CTEs above; ends at lab2 =
+# (node, label). Shared by the graph_lpa_communities oracle and the
+# graph_modularity_score oracle (registry_r8) so both verify against
+# the IDENTICAL label assignment.
+_LPA_LABELS_CTE = """
     lab0 AS (SELECT node, node AS label FROM nodes),
     v1 AS (
       SELECT e.dst AS node, l.label FROM e JOIN lab0 l ON l.node = e.src
@@ -94,6 +94,62 @@ _LPA_EDGES_CTE = """
         PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk FROM c2
     ),
     lab2 AS (SELECT node, label FROM r2 WHERE rk = 1)
+"""
+
+
+def lpa_trade_graph_labels(spark: SparkSession, sf_dir: str):
+    """Shared LPA core over the customer-supplier trade graph: builds
+    the canonical directed edge set e0 (customer → sign-disjoint
+    supplier node), the symmetric edge table e (checkpointed), and the
+    2-round deterministic label assignment. Returns (e0, e, lab) so
+    graph_lpa_communities (membership rollup) and
+    graph_modularity_score (partition quality) run on the IDENTICAL
+    community structure."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (-F.col("l_suppkey") - 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds e AND the modularity join
+    )
+    e = (
+        e0.unionByName(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = e.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(2):
+        votes = (
+            e.join(lab.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(lab)
+        )
+        counts = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        lab = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+        )
+    return e0, e, lab
+
+
+
+@query(
+    "graph_lpa_communities",
+    oracle=f"""
+    WITH {_LPA_EDGES_CTE},
+    {_LPA_LABELS_CTE}
     SELECT CAST(label AS BIGINT) AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(MIN(node) AS BIGINT) AS min_node,
@@ -123,43 +179,7 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window, no driver round-trip; fixed round count makes the
     job a restartable 2-stage artifact like pagerank/hits. The oracle
     unrolls both rounds as chained CTEs."""
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e0 = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("src"),
-            (-F.col("l_suppkey") - 1).alias("dst"),
-        )
-        .distinct()
-    )
-    e = (
-        e0.unionByName(
-            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    lab = e.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    w = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
-    )
-    for _ in range(2):
-        votes = (
-            e.join(lab.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), "label")
-            .unionByName(lab)
-        )
-        counts = votes.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        lab = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
-        )
+    _e0, _e, lab = lpa_trade_graph_labels(spark, sf_dir)
     return lab.groupBy(F.col("label").cast("long").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),

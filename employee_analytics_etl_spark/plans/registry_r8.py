@@ -350,3 +350,113 @@ def events_watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.n_dropped").alias("n_dropped"),
         F.round(F.col("c.n_dropped") / F.col("n"), 6).alias("dropped_share"),
     )
+
+
+@query(
+    "graph_modularity_score",
+    oracle=None,  # composed below after registry_r7 import
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY of the LPA communities (Newman-Girvan Q) — the
+    quality metric that closes the community loop the way
+    blocking-quality closed ER and recall@k closed ANN: per community,
+    its contribution L_c/m − (d_c/2m)² (internal-edge share minus the
+    share expected under a degree-preserving random rewiring), so
+    Σ contributions = Q and a community with negative contribution is
+    worse-than-random structure. Runs on the IDENTICAL label
+    assignment as graph_lpa_communities
+    (registry_r7.lpa_trade_graph_labels, checkpoint-shared edges).
+
+    Determinism: L_c, d_c, m are exact integers; each contribution is
+    two IEEE divisions + one multiply + one subtract in a fixed
+    expression shape, rounded to 6 — no pow(), no order-sensitive
+    accumulation. Scale shape: two label attaches onto the canonical
+    edge table (equi-joins on node id), one degree aggregate, one
+    per-community rollup — all node/edge-dimension shuffles; m is a
+    1-row scalar broadcast."""
+    from .registry_r7 import lpa_trade_graph_labels
+
+    e0, e, lab = lpa_trade_graph_labels(spark, sf_dir)
+    lab = lab.localCheckpoint(eager=False)  # attached to edges twice
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    # internal edges per community: both endpoints share a label
+    within = (
+        e0.join(
+            lab.select(F.col("node").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            lab.select(F.col("node").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("l_c"))
+    )
+    # degree mass per community over the symmetric edge table
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dmass = (
+        lab.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.sum("d").alias("d_c"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    md = F.col("m").cast("double")
+    frac = F.col("d_c").cast("double") / (F.lit(2.0) * md)
+    return (
+        dmass.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("community").cast("long").alias("community"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.coalesce("l_c", F.lit(0)).cast("long").alias("internal_edges"),
+            F.col("d_c").cast("long").alias("degree_mass"),
+            (
+                F.round(
+                    F.coalesce("l_c", F.lit(0)).cast("double") / md
+                    - frac * frac,
+                    6,
+                )
+                + F.lit(0.0)  # −0.0 + 0.0 = +0.0: IEEE negative-zero snap
+            ).alias("contribution"),
+        )
+    )
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+from .registry_r7 import _LPA_EDGES_CTE, _LPA_LABELS_CTE  # noqa: E402
+
+_ORACLE["graph_modularity_score"] = f"""
+    WITH {_LPA_EDGES_CTE},
+    {_LPA_LABELS_CTE},
+    m AS (SELECT COUNT(*) AS m FROM e0),
+    within AS (
+      SELECT la.label AS community, COUNT(*) AS l_c
+      FROM e0
+      JOIN lab2 la ON la.node = e0.src
+      JOIN lab2 lb ON lb.node = e0.dst
+      WHERE la.label = lb.label
+      GROUP BY la.label
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM e GROUP BY src),
+    dmass AS (
+      SELECT l.label AS community, SUM(d.d) AS d_c, COUNT(*) AS n_members
+      FROM lab2 l JOIN deg d ON d.node = l.node
+      GROUP BY l.label
+    )
+    SELECT CAST(dm.community AS BIGINT) AS community,
+           CAST(dm.n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(w.l_c, 0) AS BIGINT) AS internal_edges,
+           CAST(dm.d_c AS BIGINT) AS degree_mass,
+           round(CAST(COALESCE(w.l_c, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+                 - (CAST(dm.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE)))
+                   * (CAST(dm.d_c AS DOUBLE) / (2.0 * CAST(m.m AS DOUBLE))),
+                 6) + 0.0 AS contribution
+    FROM dmass dm
+    LEFT JOIN within w ON w.community = dm.community
+    CROSS JOIN m
+"""

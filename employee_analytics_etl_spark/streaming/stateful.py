@@ -237,3 +237,149 @@ def sprt_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+# earliest stage timestamps (micros), None = stage not reached yet
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def _update_funnel(key, pdfs, state):
+    import pandas as pd
+
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_micros", "event_id"])
+    for et, us in zip(rows["event_type"], rows["ts_micros"]):
+        us = int(us)
+        if t1 is None:
+            if et == "view":
+                t1 = us
+        elif t2 is None:
+            if et == "click" and us > t1:
+                t2 = us
+        elif t3 is None:
+            if et == "purchase" and us > t2:
+                t3 = us
+    state.update((t1, t2, t3))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "t1_us": [t1],
+            "t2_us": [t2],
+            "t3_us": [t3],
+        }
+    )
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_funnel_conversion's per-user stage
+    table: a per-user FUNNEL STATE MACHINE (view → click → purchase,
+    each stage strictly after the previous) via
+    applyInPandasWithState — the CEP pattern built-in streaming
+    aggregations can't express, because stage N's predicate reads
+    stage N-1's timestamp. State is three micros per user (set-once,
+    monotone), so the state store is strictly key-cardinality-sized
+    no matter how many events flow through.
+
+    EXACTNESS CONTRACT (documented, pytest-pinned): equal to the
+    batch query's chained-MIN windows when events are replayed in
+    EVENT-TIME order across micro-batches (within a batch the kernel
+    sorts by (ts, event_id) itself) — the standard in-order-replay
+    assumption for CEP state machines. Under cross-batch DISORDER the
+    set-once states can diverge from the batch answer (a view
+    arriving after a later click already passed cannot resurrect that
+    click); an out-of-order-tolerant variant needs per-type buffered
+    candidates bounded by the watermark, the trade every streaming
+    CEP engine documents."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+_EWMA_ALPHA = 0.2
+
+
+def _update_ewma(key, pdfs, state):
+    import pandas as pd
+
+    (user_id,) = key
+    n, ewma = state.get if state.exists else (0, 0.0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts_micros", "event_id"])
+    for v in rows["value"]:
+        v = float(v)
+        # identical op sequence to the batch fold (seed = first value,
+        # then a' = x*alpha + a*(1-alpha)) — bit-identical IEEE results
+        ewma = v if n == 0 else v * _EWMA_ALPHA + ewma * (1.0 - _EWMA_ALPHA)
+        n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma": [ewma]}
+    )
+
+
+def ewma_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_value_ewma: the per-user sequential
+    EWMA fold as two doubles of state per key. The kernel executes the
+    SAME IEEE op sequence as the batch query's aggregate() fold (seed
+    with the first value, then x·α + acc·(1−α) in (ts, event_id)
+    order), so under in-order cross-batch replay the twin is
+    bit-identical, not approximately equal — the same exactness
+    contract (and the same disorder caveat) as funnel_state_stream.
+    Segment folds COMPOSE (acc' = acc·(1−α)^k + segment term), which
+    is why one scalar of state suffices across any number of
+    micro-batches."""
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_micros"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

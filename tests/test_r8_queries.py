@@ -183,3 +183,55 @@ class TestRankedCummax:
             3: (3, 35, 20),
             4: (4, 36, 20),
         }
+
+
+class TestModularityScore:
+    def test_hand_computed_two_disjoint_pairs(self, spark):
+        """Two disjoint customer-supplier pairs: each community is one
+        edge, m=2, so each contribution = 1/2 − (2/(2·2))² = 0.25 and
+        Q = 0.5 — hand-derivable end to end through the LPA labels."""
+        import os
+        import tempfile
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        orders = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 1)], "o_orderkey long, o_custkey long"
+        )
+        lineitem = spark.createDataFrame(
+            [(10, 1), (20, 2), (30, 1)], "l_orderkey long, l_suppkey long"
+        )
+        tmp = tempfile.mkdtemp(prefix="modq_t_")
+        orders.write.mode("overwrite").parquet(
+            os.path.join(tmp, "orders.parquet")
+        )
+        lineitem.write.mode("overwrite").parquet(
+            os.path.join(tmp, "lineitem.parquet")
+        )
+        got = {
+            r["community"]: (
+                r["n_members"],
+                r["internal_edges"],
+                r["degree_mass"],
+                r["contribution"],
+            )
+            for r in QUERIES["graph_modularity_score"](spark, tmp).collect()
+        }
+        # LPA tie-break -> min label: {1,-2} -> -2, {2,-3} -> -3
+        assert got == {-2: (2, 1, 2, 0.25), -3: (2, 1, 2, 0.25)}
+
+    def test_members_agree_with_lpa_and_q_bounded(self, spark):
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        mod = QUERIES["graph_modularity_score"](spark, SF_SMOKE).collect()
+        lpa = {
+            r["community"]: r["n_members"]
+            for r in QUERIES["graph_lpa_communities"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert {r["community"]: r["n_members"] for r in mod} == lpa
+        q = sum(r["contribution"] for r in mod)
+        assert -1.0 < q <= 1.0

@@ -3,6 +3,7 @@ twins on the same bounded input (file source + availableNow + memory
 sink)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from employee_analytics_etl_spark.operators.windows import tumbling_window_agg
 from employee_analytics_etl_spark.sources.readers import read_parquet_table
@@ -1415,3 +1416,222 @@ class TestPitStatusStream:
             for r in pit_status_stream(probes, changes).collect()
         }
         assert got == {1: ("O", True), 2: ("F", False), 3: ("F", True)}
+
+
+class TestFunnelStream:
+    def test_single_batch_equals_batch_stage_table(self, spark):
+        """Stateful funnel state machine over the sf0.001 events file
+        (one availableNow batch; the kernel sorts by (ts, event_id)
+        internally) must reproduce the batch query's chained-window
+        per-user stage table cell-for-cell."""
+        from employee_analytics_etl_spark.plans.registry_r6 import (
+            funnel_user_stages,
+        )
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            funnel_state_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            funnel_state_stream(stream), "t_funnel_state", spark,
+            output_mode="update",
+        )
+        # update mode emits once per user per batch; stages are
+        # set-once monotone, so max-per-user = final state
+        final = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max("t1_us").alias("t1"),
+                F.max("t2_us").alias("t2"),
+                F.max("t3_us").alias("t3"),
+            )
+            .collect()
+        }
+        ev = read_parquet_table(spark, SF_SMOKE, "events").select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        want = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in funnel_user_stages(ev).collect()
+        }
+        assert len(final) > 0
+        assert final == want
+
+    def test_cross_batch_in_order_replay(self, spark, tmp_path):
+        """Stage progression SPANNING micro-batches: view in file 1,
+        click in file 2, purchase in file 3 must complete the funnel
+        (state persists across batches); a click-before-view user and
+        a click-at-the-same-instant user must NOT progress (strict
+        order)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            funnel_state_stream,
+        )
+
+        us = lambda m: m * 60_000_000  # noqa: E731
+
+        # (event_id, ts_us, user_id, type) split into 3 ts-ordered files
+        files = [
+            [
+                (1, us(0), 1, "view"),
+                (2, us(0), 2, "click"),   # click before any view
+                (3, us(1), 2, "view"),
+                (4, us(2), 3, "view"),    # user 3: click ties with view
+            ],
+            [
+                (5, us(10), 1, "click"),
+                (6, us(2), 3, "click"),   # DISALLOWED: us == t1, not >
+                (7, us(11), 2, "purchase"),  # no click stage yet
+            ],
+            [
+                (8, us(20), 1, "purchase"),
+                (9, us(30), 2, "click"),
+            ],
+        ]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i, rows in enumerate(files):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000 + 10 * i, 1_000 + 10 * i))
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        got = run_to_memory(
+            funnel_state_stream(stream), "t_funnel_replay", spark,
+            output_mode="update",
+        )
+        final = {
+            r["user_id"]: (r["t1"], r["t2"], r["t3"])
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max("t1_us").alias("t1"),
+                F.max("t2_us").alias("t2"),
+                F.max("t3_us").alias("t3"),
+            )
+            .collect()
+        }
+        assert final[1] == (us(0), us(10), us(20))  # full funnel, 3 batches
+        assert final[2] == (us(1), us(30), None)    # early click ignored
+        assert final[3] == (us(2), None, None)      # tie click rejected
+
+
+class TestEwmaStream:
+    def test_stream_ewma_bit_identical_to_batch_fold(self, spark):
+        """ewma_stream over sf0.001 events must be BIT-identical to
+        events_value_ewma's aggregate() fold — same op sequence, same
+        order — for every user."""
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+        from employee_analytics_etl_spark.plans import registry_funcs  # noqa: F401
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            ewma_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = run_to_memory(
+            ewma_stream(stream), "t_ewma_state", spark, output_mode="update"
+        )
+        # update mode: keep the row with the max n_events per user
+        final = {
+            r["user_id"]: (r["n"], r["ewma"])
+            for r in got.groupBy("user_id")
+            .agg(
+                F.max(F.struct("n_events", "ewma")).alias("s")
+            )
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n"),
+                F.col("s.ewma").alias("ewma"),
+            )
+            .collect()
+        }
+        want = {
+            r["user_id"]: (r["n_events"], r["ewma"])
+            for r in QUERIES["events_value_ewma"](spark, SF_SMOKE).collect()
+        }
+        assert len(final) > 0
+        assert final == want  # exact float equality, not approx
+
+    def test_cross_batch_fold_composes(self, spark, tmp_path):
+        """The fold split across 3 micro-batches equals the fold over
+        the concatenated sequence (hand-computed)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            ewma_stream,
+        )
+
+        vals = [10.0, 2.0, 7.0, 1.0, 9.0, 4.0]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i in range(3):
+            chunk = vals[2 * i : 2 * i + 2]
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([2 * i, 2 * i + 1], pa.int64()),
+                    "ts": pa.array(
+                        [j * 1_000_000 for j in (2 * i, 2 * i + 1)],
+                        pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([7, 7], pa.int64()),
+                    "event_type": pa.array(["view", "view"]),
+                    "value": pa.array(chunk, pa.float64()),
+                    "props": pa.array(["{}", "{}"]),
+                }
+            )
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000 + 10 * i, 1_000 + 10 * i))
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        got = run_to_memory(
+            ewma_stream(stream), "t_ewma_replay", spark, output_mode="update"
+        )
+        rows = sorted(
+            got.filter(F.col("user_id") == 7).collect(),
+            key=lambda r: r["n_events"],
+        )
+        acc = vals[0]
+        for v in vals[1:]:
+            acc = v * 0.2 + acc * 0.8
+        assert rows[-1]["n_events"] == 6
+        assert rows[-1]["ewma"] == acc  # exact
+        # one emission per batch for the key
+        assert [r["n_events"] for r in rows] == [2, 4, 6]

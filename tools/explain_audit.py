@@ -177,6 +177,9 @@ SCALAR_BNLJ_OK = {
     # 1-row per-doc totals × 1-row per-source bin totals crossJoined
     # into the 3-row strategy report (r7 packing accounting)
     "doc_packing_strategy_report",
+    # 1-row edge-count scalar (m) broadcast onto the per-community
+    # table for the L_c/m and (d_c/2m)^2 terms (r7 modularity)
+    "graph_modularity_score",
     # 1-row as-of (max order date) broadcast onto the per-customer
     # last-order row for the censored tail gap
     "customer_km_survival",

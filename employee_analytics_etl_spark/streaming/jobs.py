@@ -853,3 +853,43 @@ def pit_status_stream(probes: DataFrame, changes: DataFrame) -> DataFrame:
             (F.col("pit_status") == F.col("own_status")).alias("matches_own"),
         )
     )
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of events_value_ohlc: per-(user, event-time
+    hour) candlestick — open/close via ``min_by``/``max_by`` on the
+    (ts, event_id) total-order struct, low/high/count as plain
+    min/max/count. Every aggregate here is a MERGEABLE monoid
+    (min_by/max_by merge by comparing order keys), so unlike the
+    funnel/EWMA state machines this twin needs NO in-order-replay
+    contract: state folds correctly under ANY arrival order, and the
+    watermark only bounds how long window state stays open. One row
+    per (user, hour) of state — the candlestick itself."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prepared = events.withWatermark("ts", watermark).select(
+        F.col("ts"),
+        "user_id",
+        "event_id",
+        "value",
+        us.alias("us"),
+    )
+    ordkey = F.struct(F.col("us"), F.col("event_id"))
+    return (
+        prepared.groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(
+            F.min_by("value", ordkey).cast("double").alias("open_value"),
+            F.max_by("value", ordkey).cast("double").alias("close_value"),
+            F.min("value").cast("double").alias("low_value"),
+            F.max("value").cast("double").alias("high_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_sec"),
+            "user_id",
+            "open_value",
+            "close_value",
+            "low_value",
+            "high_value",
+            "n_events",
+        )
+    )

@@ -1635,3 +1635,93 @@ class TestEwmaStream:
         assert rows[-1]["ewma"] == acc  # exact
         # one emission per batch for the key
         assert [r["n_events"] for r in rows] == [2, 4, 6]
+
+
+class TestOhlcStream:
+    def test_stream_candlesticks_equal_batch_twin(self, spark):
+        """Windowed OHLC from the stream must equal events_value_ohlc
+        cell-for-cell: min_by/max_by are mergeable monoids, so this
+        holds under ANY batch split — no in-order-replay contract."""
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            ohlc_stream,
+        )
+
+        stream = build_events_stream(spark, SF_SMOKE)
+        got = {
+            (r["user_id"], r["hour_sec"]): (
+                r["open_value"],
+                r["close_value"],
+                r["low_value"],
+                r["high_value"],
+                r["n_events"],
+            )
+            for r in run_to_memory(
+                ohlc_stream(stream), "t_ohlc", spark
+            ).collect()
+        }
+        want = {
+            (r["user_id"], r["hour_sec"]): (
+                r["open_value"],
+                r["close_value"],
+                r["low_value"],
+                r["high_value"],
+                r["n_events"],
+            )
+            for r in QUERIES["events_value_ohlc"](spark, SF_SMOKE).collect()
+        }
+        assert len(got) > 0
+        assert got == want
+
+    def test_out_of_order_arrival_still_exact(self, spark, tmp_path):
+        """Events split across files in REVERSE time order (late
+        arrivals): the mergeable candlestick must still match the
+        batch answer — the property the funnel state machine cannot
+        have."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            ohlc_stream,
+        )
+
+        # one user, one hour; values arrive newest-first across files
+        rows_by_file = [
+            [(3, 30 * 60_000_000, 5.0)],   # latest event first
+            [(2, 20 * 60_000_000, 9.0)],
+            [(1, 10 * 60_000_000, 2.0)],   # true OPEN arrives last
+        ]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i, rows in enumerate(rows_by_file):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["view"] * len(rows)),
+                    "value": pa.array([r[2] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000 + 10 * i, 1_000 + 10 * i))
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        rows = run_to_memory(ohlc_stream(stream), "t_ohlc_ooo", spark).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (
+            r["open_value"],
+            r["close_value"],
+            r["low_value"],
+            r["high_value"],
+            r["n_events"],
+        ) == (2.0, 5.0, 2.0, 9.0, 3)

@@ -1725,3 +1725,87 @@ class TestOhlcStream:
             r["high_value"],
             r["n_events"],
         ) == (2.0, 5.0, 2.0, 9.0, 3)
+
+
+class TestFunnelStateRecovery:
+    def test_state_survives_query_restart(self, spark, tmp_path):
+        """The funnel state machine must resume from the state store
+        across SEPARATE query runs on one checkpoint: run 1 sees only
+        the view, run 2 (new query object, same checkpoint) sees the
+        click+purchase files and must complete the funnel from
+        restored state — the exactly-once-state contract a nightly
+        availableNow deployment relies on."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+        )
+        from employee_analytics_etl_spark.streaming.stateful import (
+            funnel_state_stream,
+        )
+
+        us = lambda m: m * 60_000_000  # noqa: E731
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        os.makedirs(src)
+
+        def write(name, rows, mtime):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array([r[3] for r in rows]),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            )
+            path = os.path.join(src, name)
+            pq.write_table(tbl, path)
+            os.utime(path, (mtime, mtime))
+
+        out = str(tmp_path / "out")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out}/batch_id={batch_id}"
+            )
+
+        def run_once():
+            stream = build_events_stream(spark, src, glob="*.parquet")
+            q = (
+                funnel_state_stream(stream)
+                .writeStream.outputMode("update")
+                .foreachBatch(write_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # latest emission per user = the one with the most stages
+            # set (stages are set-once monotone)
+            return {
+                r["user_id"]: (r["t1_us"], r["t2_us"], r["t3_us"])
+                for r in spark.read.parquet(out)
+                .groupBy("user_id")
+                .agg(
+                    F.max("t1_us").alias("t1_us"),
+                    F.max("t2_us").alias("t2_us"),
+                    F.max("t3_us").alias("t3_us"),
+                )
+                .collect()
+            }
+
+        write("a.parquet", [(1, us(0), 9, "view")], 1_000)
+        first = run_once()
+        assert first[9] == (us(0), None, None)
+
+        write("b.parquet", [(2, us(5), 9, "click"),
+                            (3, us(9), 9, "purchase")], 2_000)
+        second = run_once()
+        # run 2 processed ONLY the new file, yet completed the funnel —
+        # t1 came from the restored state store, not from reprocessing
+        assert second[9] == (us(0), us(5), us(9))

@@ -554,3 +554,37 @@ def max_sim_vs_reference(
     return corpus.select(id_col, vec_col).mapInPandas(
         score, schema="vec_id long, max_sim double, nearest_ref_id long"
     )
+
+
+def choose_ann_index(
+    recall_eval: DataFrame,
+    recall_floor: float = 0.7,
+    recall_col: str = "recall5",
+) -> str:
+    """The third decision rule of the planner triad (blocking →
+    dedup.choose_blocking, LSH banding → dedup.choose_lsh_bands, ANN
+    index → here): given the per-query recall table an index
+    evaluation emits (knn_ivf_recall_eval's recall@5 against
+    brute-force ground truth), ship the APPROXIMATE index iff its MEAN
+    recall meets ``recall_floor``; otherwise fall back to the exact
+    brute-force scan. Mean (not min) is the deployment criterion —
+    per-query recall over a %-sampled probe set is noisy at small k,
+    while the mean is the quantity the evaluation estimates; a caller
+    with a hard per-query SLA should floor on min(recall) instead and
+    accept the sampling variance.
+
+    The input is the bounded query-subset evaluation (|corpus|/50
+    rows), so the 1-row mean collect is probe-bounded, never
+    corpus-bounded. Raises on an empty evaluation — silently choosing
+    an index with zero evidence is the failure this closes."""
+    row = recall_eval.agg(
+        F.avg(recall_col).alias("mean_recall"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    if not row or not row["n"]:
+        raise ValueError(
+            "choose_ann_index got an EMPTY recall evaluation — refusing "
+            "to pick an index with zero evidence; run the recall eval "
+            "over a non-empty probe set first"
+        )
+    return "ivf" if row["mean_recall"] >= recall_floor else "brute_force"

@@ -235,3 +235,40 @@ class TestModularityScore:
         assert {r["community"]: r["n_members"] for r in mod} == lpa
         q = sum(r["contribution"] for r in mod)
         assert -1.0 < q <= 1.0
+
+
+class TestChooseAnnIndex:
+    def test_floor_decides_between_ivf_and_bruteforce(self, spark):
+        from employee_analytics_etl_spark.operators.similarity import (
+            choose_ann_index,
+        )
+
+        good = spark.createDataFrame(
+            [(1, 1.0), (2, 0.8), (3, 0.9)], "query_id long, recall5 double"
+        )
+        assert choose_ann_index(good, recall_floor=0.85) == "ivf"
+        bad = spark.createDataFrame(
+            [(1, 0.4), (2, 0.6), (3, 0.5)], "query_id long, recall5 double"
+        )
+        assert choose_ann_index(bad, recall_floor=0.85) == "brute_force"
+
+    def test_live_eval_feeds_the_decision(self, spark):
+        """The real knn_ivf_recall_eval output at sf0.001 drives the
+        helper without error and returns one of the two indexes."""
+        from employee_analytics_etl_spark.operators.similarity import (
+            choose_ann_index,
+        )
+        from employee_analytics_etl_spark.plans import registry_ext  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        ev = QUERIES["knn_ivf_recall_eval"](spark, SF_SMOKE)
+        assert choose_ann_index(ev, recall_floor=0.5) in ("ivf", "brute_force")
+
+    def test_empty_eval_refused(self, spark):
+        from employee_analytics_etl_spark.operators.similarity import (
+            choose_ann_index,
+        )
+
+        empty = spark.createDataFrame([], "query_id long, recall5 double")
+        with pytest.raises(ValueError, match="EMPTY recall evaluation"):
+            choose_ann_index(empty)

@@ -289,7 +289,13 @@ def events_watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming's drop rule: late_us > D ⇒ dropped. Emits one
     row per candidate delay: (watermark_delay_s, n_dropped,
     dropped_share) — the loss curve the operator reads before trading
-    state size against completeness.
+    state size against completeness. The row-level rule is the UPPER
+    BOUND on engine drops: Spark filters late input against the
+    PREVIOUS batch's watermark (SPARK-40925 two-watermark semantics),
+    so it drops at most this curve's count, with equality once arrival
+    lag spans a micro-batch —
+    tests/test_streaming.py:TestWatermarkDropSemantics pins the exact
+    correspondence against numRowsDroppedByWatermark on a replay.
 
     Scale shape: the global running max runs through the
     range-partitioned ranking primitive's new ``cummax_cols`` (max is

@@ -1809,3 +1809,79 @@ class TestFunnelStateRecovery:
         # run 2 processed ONLY the new file, yet completed the funnel —
         # t1 came from the restored state store, not from reprocessing
         assert second[9] == (us(0), us(5), us(9))
+
+
+class TestWatermarkDropSemantics:
+    def test_loss_curve_rule_matches_engine_drops(self, spark, tmp_path):
+        """Closes the planner loop on the ENGINE itself: replay events
+        with hand-computed lateness under watermark 60 s and assert
+        Structured Streaming's numRowsDroppedByWatermark matches the
+        loss-curve rule. Two-watermark subtlety (SPARK-40925): Spark
+        filters late INPUT against the watermark as of the PREVIOUS
+        batch (state eviction uses the current one), so a late row is
+        only dropped once a subsequent batch has advanced the previous
+        watermark past it — the engine drops AT MOST what the
+        row-level loss-curve rule predicts, with equality once arrival
+        lags span a batch, as here: the 10:30 row (lateness 150 min >
+        60 s, predicted dropped) arrives two batches after the 13:00
+        high-water row, so even the lagged filter watermark (12:59)
+        exceeds it."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from employee_analytics_etl_spark.streaming.jobs import (
+            build_events_stream,
+            tumbling_counts_stream,
+        )
+
+        H = 3_600_000_000  # one hour in micros
+        # arrival order = file order, one row per micro-batch:
+        #  f0: 10:00  f1: 12:00  f2: 13:00  f3: 10:30 (the late row)
+        rows_by_file = [(1, 10 * H), (2, 12 * H), (3, 13 * H),
+                        (4, 10 * H + H // 2)]
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i, (eid, ts) in enumerate(rows_by_file):
+            tbl = pa.table(
+                {
+                    "event_id": pa.array([eid], pa.int64()),
+                    "ts": pa.array([ts], pa.timestamp("us")),
+                    "user_id": pa.array([1], pa.int64()),
+                    "event_type": pa.array(["view"]),
+                    "value": pa.array([1.0], pa.float64()),
+                    "props": pa.array(["{}"]),
+                }
+            )
+            path = os.path.join(src, f"f{i}.parquet")
+            pq.write_table(tbl, path)
+            os.utime(path, (1_000 + 10 * i, 1_000 + 10 * i))
+
+        stream = build_events_stream(
+            spark, src, glob="*.parquet", max_files_per_trigger=1
+        )
+        q = (
+            tumbling_counts_stream(stream, watermark="1 minute")
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_wm_drops")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped == 1  # exactly the loss-curve prediction for D=60s
+        counts = {
+            r["window_start_sec"]: r["n_events"]
+            for r in spark.table("t_wm_drops")
+            .groupBy("window_start_sec")
+            .agg(F.max("n_events").alias("n_events"))
+            .collect()
+        }
+        # the late row never reaches the 10:00 window's aggregate
+        assert counts == {10 * 3600: 1, 12 * 3600: 1, 13 * 3600: 1}

@@ -22,6 +22,9 @@ production variant would use xxhash64 (cheaper) — semantics identical.
 
 from __future__ import annotations
 
+import uuid
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -821,10 +824,34 @@ def connected_components(
 _PAIR_BUDGET_CACHE: dict = {}
 
 
+# Per-SESSION (not per-context) component of the identity: a uuid
+# stamped on each SparkSession object the first time it is seen. Weak
+# keys mean a dead session's stamp is collected with it and can never
+# be recycled onto a new session (unlike CPython id()).
+_SESSION_UUIDS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _session_identity(df: DataFrame):
-    """Stable, non-reusable identity for the session owning ``df``."""
-    sc = df.sparkSession.sparkContext
-    return (sc.applicationId, sc.startTime)
+    """Stable, non-reusable identity for the SESSION owning ``df``.
+
+    (applicationId, startTime) pins the context — stable across the
+    app's lifetime, never recycled by CPython object reuse. But every
+    ``SparkSession.newSession()`` sibling shares one context (r7
+    ADVICE #2: keying on the context alone silently weakened the
+    per-session isolation contract — a sibling re-registering data
+    under the same path could inherit a stale verified budget), so a
+    weakly-held per-session uuid is appended: siblings get distinct
+    identities, and a collected session's uuid dies with it."""
+    sess = df.sparkSession
+    sc = sess.sparkContext
+    try:
+        stamp = _SESSION_UUIDS.get(sess)
+        if stamp is None:
+            stamp = uuid.uuid4().hex
+            _SESSION_UUIDS[sess] = stamp
+    except TypeError:  # non-weakrefable session impl: context identity only
+        stamp = None
+    return (sc.applicationId, sc.startTime, stamp)
 
 
 def clear_pair_budget_cache() -> None:
@@ -1450,7 +1477,10 @@ def prefix_filter_jaccard_pairs(
 
 
 def blocking_quality_metrics(
-    schemes: DataFrame, truth: DataFrame, probe: DataFrame
+    schemes: DataFrame,
+    truth: DataFrame,
+    probe: DataFrame,
+    scheme_names: list[str] | None = None,
 ) -> DataFrame:
     """Christen 2012's blocking-quality pair for N candidate schemes
     at once: PAIR COMPLETENESS (share of ground-truth matches the
@@ -1468,8 +1498,12 @@ def blocking_quality_metrics(
     this evaluator is one semi-join + two per-scheme aggregates, and
     the all-pairs DENOMINATOR is computed from the 1-row probe count
     (scalar broadcast), never materialized. A scheme yielding ZERO
-    candidates drops out of the output (nothing to group) — absence
-    reads as completeness 0 for any caller with nonzero truth."""
+    candidates contributes no rows to ``schemes`` at all, so without
+    help it drops out of the output (nothing to group) and downstream
+    deciders can't see it (r7 ADVICE #3): pass ``scheme_names`` (the
+    full list of evaluated schemes — config-scale, broadcast) and
+    every listed scheme is guaranteed a row, zero-candidate ones as
+    (scheme, 0 candidates, completeness 0.0, reduction 1.0)."""
     tot = probe.agg(
         F.count(F.lit(1)).alias("n"),
         (
@@ -1483,6 +1517,18 @@ def blocking_quality_metrics(
     per_scheme = schemes.groupBy("scheme").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates")
     )
+    if scheme_names is not None:
+        names = schemes.sparkSession.createDataFrame(
+            [(str(s),) for s in scheme_names], "scheme string"
+        )
+        per_scheme = (
+            F.broadcast(names)
+            .join(per_scheme, "scheme", "left")
+            .withColumn(
+                "n_candidates",
+                F.coalesce("n_candidates", F.lit(0)).cast("long"),
+            )
+        )
     return (
         per_scheme.join(marked, "scheme", "left")
         .crossJoin(F.broadcast(n_truth))
@@ -1545,7 +1591,10 @@ def choose_blocking(
         f"most complete was '{best[0]['scheme']}' at "
         f"pair_completeness={best[0]['pair_completeness']:.4f}"
         if best
-        else "no schemes were evaluated (empty metrics table)"
+        else "the metrics table is empty — either no schemes were "
+        "evaluated, or every evaluated scheme produced ZERO candidate "
+        "pairs (such schemes drop out of blocking_quality_metrics "
+        "unless its scheme_names parameter lists them)"
     )
     raise ValueError(
         f"no blocking scheme meets pair-completeness floor "

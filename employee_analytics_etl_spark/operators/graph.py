@@ -23,8 +23,19 @@ oracle unrolls the fixed iteration count as chained CTEs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _plan_only() -> bool:
+    """Plan-only mode: tools that CONSTRUCT query plans without running
+    them (explain_audit, plan-shape tests) set SPARK_GRAFT_PLAN_ONLY=1
+    so size gates that would otherwise observe the data (an eager Spark
+    job at DataFrame-construction time — r7 ADVICE) instead take their
+    deterministic lazy default."""
+    return os.environ.get("SPARK_GRAFT_PLAN_ONLY", "") == "1"
 
 
 def _oriented_edge_triangles(
@@ -33,6 +44,8 @@ def _oriented_edge_triangles(
     v_col: str = "v",
     assume_distinct: bool = False,
     broadcast_adj_cells_max: int = 16_000_000,
+    broadcast_adj: bool | None = None,
+    adj_cells: int | None = None,
 ):
     """Shared core for exact triangle analytics: degree-oriented
     adjacency-set intersection (the compact-forward / GraphFrames
@@ -65,8 +78,17 @@ def _oriented_edge_triangles(
     with data: the exchange scales with wedge mass, the broadcast with
     |E|. Graphs past the gate (a 100 TB web graph) fall back to the
     shuffle join, whose volume is the same orientation-bounded wedge
-    mass as before. The gate costs one node-scale agg over the
-    (checkpointed) adjacency — no corpus-scale job.
+    mass as before.
+
+    Gate cost + laziness (r7 ADVICE): the adjacency's total cell count
+    equals the oriented edge count equals |distinct E| — so auto mode
+    observes ``e.count()`` on the already-checkpointed distinct edge
+    table (which every consumer materializes anyway; the count warms
+    it) instead of aggregating the adjacency pipeline. Callers that
+    must not run ANY job at plan-construction time either pass
+    ``broadcast_adj`` / ``adj_cells`` explicitly or set
+    SPARK_GRAFT_PLAN_ONLY=1 (explain_audit does), which forces the
+    deterministic shuffle-join default with zero eager work.
 
     Returns (e, deg, tri) where ``tri`` is one row per oriented edge
     with ``ws`` = the array of third corners closing it. All counts
@@ -107,9 +129,17 @@ def _oriented_edge_triangles(
         .agg(F.collect_list("dst").alias("nbr"))
         .localCheckpoint(eager=False)  # exploded AND joined below
     )
-    cells = adj.agg(F.sum(F.size("nbr")).alias("c")).first()["c"] or 0
+    if broadcast_adj is None:
+        if adj_cells is None and not _plan_only():
+            # Σ|N+(u)| == oriented edge count == |distinct E|: count the
+            # checkpointed edge table (warming the checkpoint consumers
+            # reuse) rather than materializing the adjacency pipeline
+            adj_cells = e.count()
+        broadcast_adj = (
+            adj_cells is not None and adj_cells <= broadcast_adj_cells_max
+        )
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nb"))
-    if cells <= broadcast_adj_cells_max:
+    if broadcast_adj:
         adj_dst = F.broadcast(adj_dst)
     tri = (
         adj.select(
@@ -129,6 +159,8 @@ def triangle_stats(
     u_col: str = "u",
     v_col: str = "v",
     assume_distinct: bool = False,
+    broadcast_adj: bool | None = None,
+    adj_cells: int | None = None,
 ) -> DataFrame:
     """Distributed exact triangle counting over an undirected
     canonical edge set (one row per edge, ``u < v``). Returns one
@@ -140,7 +172,12 @@ def triangle_stats(
     exact integers → engine-independent, no float tolerance needed.
     """
     e, deg, tri_sets = _oriented_edge_triangles(
-        edges_canonical, u_col, v_col, assume_distinct
+        edges_canonical,
+        u_col,
+        v_col,
+        assume_distinct,
+        broadcast_adj=broadcast_adj,
+        adj_cells=adj_cells,
     )
     tri = tri_sets.agg(
         F.coalesce(F.sum(F.size("ws")), F.lit(0))
@@ -457,6 +494,8 @@ def local_clustering_topk(
     u_col: str = "u",
     v_col: str = "v",
     assume_distinct: bool = False,
+    broadcast_adj: bool | None = None,
+    adj_cells: int | None = None,
 ) -> DataFrame:
     """Per-node local clustering coefficient, top-k: for each node
     with degree ≥ 2, triangles(v) / C(deg(v), 2) — how close the
@@ -472,7 +511,12 @@ def local_clustering_topk(
     TakeOrdered — no global sort. Counts are exact integers; the
     coefficient is a single IEEE division."""
     _e, deg, tri_sets = _oriented_edge_triangles(
-        edges_canonical, u_col, v_col, assume_distinct
+        edges_canonical,
+        u_col,
+        v_col,
+        assume_distinct,
+        broadcast_adj=broadcast_adj,
+        adj_cells=adj_cells,
     )
     # each closed edge row stands for size(ws) triangles: w is one
     # corner of exactly one of them, but src and dst corner EVERY one

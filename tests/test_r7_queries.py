@@ -291,3 +291,44 @@ class TestChooseBlocking:
         )
         with pytest.raises(ValueError, match="'nation'.*0.0000"):
             choose_blocking(quality, completeness_floor=0.5)
+
+    def test_zero_candidate_scheme_visible_via_scheme_names(self, spark):
+        """r7 ADVICE #3: a scheme producing ZERO candidate pairs
+        contributes no rows to the candidates table, so it silently
+        vanished from the metrics — choose_blocking then misreported
+        'no schemes were evaluated'. With scheme_names, every listed
+        scheme gets a row; zero-candidate ones as
+        (0 candidates, completeness 0.0, reduction 1.0)."""
+        from pyspark.sql import Row
+
+        from employee_analytics_etl_spark.operators.dedup import (
+            blocking_quality_metrics,
+            choose_blocking,
+        )
+
+        probe = spark.createDataFrame([Row(id=i) for i in range(1, 5)])
+        truth = spark.createDataFrame([Row(id_a=1, id_b=2)])
+        # only "pairs" yields candidates; "exact_key" yields none
+        schemes = spark.createDataFrame(
+            [Row(scheme="pairs", id_a=1, id_b=2),
+             Row(scheme="pairs", id_a=3, id_b=4)]
+        )
+        q = blocking_quality_metrics(
+            schemes, truth, probe, scheme_names=["pairs", "exact_key"]
+        )
+        rows = {r["scheme"]: r for r in q.collect()}
+        assert set(rows) == {"pairs", "exact_key"}
+        empty = rows["exact_key"]
+        assert empty["n_candidates"] == 0 and empty["n_found"] == 0
+        assert empty["pair_completeness"] == 0.0
+        assert empty["reduction_ratio"] == 1.0
+        # the decider now SEES the dropped scheme: floor 0 picks it
+        # (max reduction), a real floor redirects to the live scheme
+        assert choose_blocking(q, completeness_floor=0.0) == "exact_key"
+        assert choose_blocking(q, completeness_floor=0.9) == "pairs"
+        # and the all-schemes-empty fallback no longer misreports
+        only_empty = q.filter(F.col("scheme") == "exact_key").filter(
+            F.col("n_candidates") < 0
+        )
+        with pytest.raises(ValueError, match="ZERO candidate"):
+            choose_blocking(only_empty, completeness_floor=0.5)

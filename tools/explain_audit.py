@@ -421,6 +421,11 @@ EXCLUDE_FROM_FULL_RUN = frozenset(
 
 
 def main() -> None:
+    # This tool only CONSTRUCTS plans (explain), never runs them —
+    # plan-only mode keeps data-observing size gates (e.g. the triangle
+    # broadcast-adjacency gate) from launching eager Spark jobs at
+    # DataFrame-construction time (r7 ADVICE #1).
+    os.environ["SPARK_GRAFT_PLAN_ONLY"] = "1"
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from bench import HEADLINE
     from employee_analytics_etl_spark.plans import (  # noqa: F401 — imports register queries

@@ -17,6 +17,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# MEASURED default delay for the event-time jobs below (r8, closing the
+# planner loop the way choose_blocking/choose_lsh_bands/choose_ann_index
+# closed ER/LSH/ANN): choose_watermark_delay on
+# events_watermark_loss_curve's output — smallest candidate delay whose
+# dropped_share clears the loss floor — returns 900 s at BOTH sf0.01
+# and sf0.1 under the curve's synthesized 0–600 s arrival disorder
+# (dropped_share: 0 s → 0.27/0.74, 300 s → 0.04/0.24, 900 s → 0.0/0.0).
+# "15 minutes" therefore replaces the former folklore "2 hours": state
+# is evicted 8× sooner at zero measured completeness cost. Jobs whose
+# delay is part of their JOIN CONTRACT (outer-join null emission
+# horizon, the 8-day sliding KMV) keep their own explicit defaults.
+DEFAULT_WATERMARK = "15 minutes"
+
+
+def choose_watermark_delay(
+    curve: DataFrame, max_dropped_share: float = 0.0
+) -> int:
+    """The decision rule on events_watermark_loss_curve's output: the
+    SMALLEST watermark delay (= freshest results, least state) whose
+    measured ``dropped_share`` does not exceed ``max_dropped_share``.
+    Raises — naming the least-lossy candidate — when no delay clears
+    the floor: silently shipping a watermark that drops 20% of events
+    is the streaming failure this closes.
+
+    Input is config-scale (one row per candidate delay), so the
+    single-row collect is bounded by the candidate count, not the
+    data."""
+    rows = (
+        curve.filter(F.col("dropped_share") <= max_dropped_share)
+        .orderBy(F.asc("watermark_delay_s"))
+        .limit(1)
+        .collect()
+    )
+    if rows:
+        return int(rows[0]["watermark_delay_s"])
+    best = (
+        curve.orderBy(F.asc("dropped_share"), F.asc("watermark_delay_s"))
+        .limit(1)
+        .collect()
+    )
+    detail = (
+        f"least lossy was delay={best[0]['watermark_delay_s']}s at "
+        f"dropped_share={best[0]['dropped_share']:.4f}"
+        if best
+        else "the curve table is empty"
+    )
+    raise ValueError(
+        f"no watermark delay meets dropped-share floor "
+        f"{max_dropped_share}: {detail}. Extend the candidate grid or "
+        "raise the floor explicitly."
+    )
+
 
 def events_schema_nanos():
     """Schema of the raw events parquet when ts is stored as
@@ -142,7 +194,7 @@ def build_events_stream(
 def tumbling_counts_stream(
     events: DataFrame,
     width: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """Streaming tumbling-window counts+sums per event_type.
 
@@ -169,7 +221,7 @@ def tumbling_counts_stream(
 def session_window_stream(
     events: DataFrame,
     gap: str = "30 minutes",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """Streaming sessionization via native session_window (the batch
     twin is operators.windows.sessionize, gaps-and-islands)."""
@@ -192,7 +244,7 @@ def session_window_stream(
 def cms_user_counts_stream(
     events: DataFrame,
     width: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
     depth: int = 4,
     cms_width: int = 256,
 ) -> DataFrame:
@@ -249,7 +301,7 @@ def psi_drift_stream(
     events: DataFrame,
     reference: DataFrame,
     width: str = "6 hours",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
     n_buckets: int = 10,
     bucket_width: float = 50.0,
 ) -> DataFrame:
@@ -318,7 +370,7 @@ def psi_drift_stream(
 
 
 def dedup_events_stream(
-    events: DataFrame, watermark: str = "2 hours"
+    events: DataFrame, watermark: str = DEFAULT_WATERMARK
 ) -> DataFrame:
     """Streaming deduplication by event_id, state bounded by the
     watermark horizon (dropDuplicatesWithinWatermark). Plain
@@ -357,7 +409,7 @@ def run_to_memory(
 def clicks_before_purchase_stream(
     events: DataFrame,
     lookback_sec: int = 3600,
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's clicks in the preceding ``lookback_sec``. The streaming twin
@@ -551,7 +603,7 @@ def near_dup_flag_stream(docs: DataFrame, base_bands: DataFrame) -> DataFrame:
 def json_props_stream(
     events: DataFrame,
     width: str = "6 hours",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
 ) -> DataFrame:
     """Streaming semi-structured extraction: parse the events.props
     JSON bag with a typed ``from_json`` schema inside the stream and
@@ -586,7 +638,7 @@ def json_props_stream(
 def distinct_users_stream(
     events: DataFrame,
     width: str = "6 hours",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
     rsd: float = 0.02,
 ) -> DataFrame:
     """Streaming windowed distinct users via approx_count_distinct
@@ -671,7 +723,7 @@ def run_foreach_batch_jdbc(
 def kmv_distinct_stream(
     events: DataFrame,
     width: str = "1 hour",
-    watermark: str = "2 hours",
+    watermark: str = DEFAULT_WATERMARK,
     k: int = 64,
 ) -> DataFrame:
     """Streaming distinct-user sketch per tumbling window via BUCKETED
@@ -855,7 +907,7 @@ def pit_status_stream(probes: DataFrame, changes: DataFrame) -> DataFrame:
     )
 
 
-def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+def ohlc_stream(events: DataFrame, watermark: str = DEFAULT_WATERMARK) -> DataFrame:
     """Streaming twin of events_value_ohlc: per-(user, event-time
     hour) candlestick — open/close via ``min_by``/``max_by`` on the
     (ts, event_id) total-order struct, low/high/count as plain

@@ -1885,3 +1885,81 @@ class TestWatermarkDropSemantics:
         }
         # the late row never reaches the 10:00 window's aggregate
         assert counts == {10 * 3600: 1, 12 * 3600: 1, 13 * 3600: 1}
+
+
+class TestChooseWatermarkDelay:
+    """choose_watermark_delay: the decision rule on
+    events_watermark_loss_curve's output (verdict r7 #5) — the planner
+    loop closure matching choose_blocking / choose_lsh_bands /
+    choose_ann_index. The streaming jobs' DEFAULT_WATERMARK is this
+    rule's measured answer, pinned below against the live curve."""
+
+    @staticmethod
+    def _fixture_curve(spark):
+        return spark.createDataFrame(
+            [(0, 2748, 0.2748), (60, 2141, 0.2141), (300, 402, 0.0402),
+             (900, 0, 0.0), (3600, 0, 0.0)],
+            "watermark_delay_s long, n_dropped long, dropped_share double",
+        )
+
+    def test_loss_floor_flips_the_chosen_delay(self, spark):
+        from employee_analytics_etl_spark.streaming.jobs import (
+            choose_watermark_delay,
+        )
+
+        curve = self._fixture_curve(spark)
+        # zero tolerance -> smallest zero-loss delay
+        assert choose_watermark_delay(curve, 0.0) == 900
+        # 5% tolerance admits the fresher 300 s point
+        assert choose_watermark_delay(curve, 0.05) == 300
+        # 25% tolerance admits 60 s (but not 0 s at 27%)
+        assert choose_watermark_delay(curve, 0.25) == 60
+
+    def test_raises_naming_least_lossy_when_floor_unmeetable(self, spark):
+        from employee_analytics_etl_spark.streaming.jobs import (
+            choose_watermark_delay,
+        )
+
+        lossy = self._fixture_curve(spark).filter(
+            F.col("watermark_delay_s") <= 60
+        )
+        with pytest.raises(ValueError, match=r"delay=60s.*0\.2141"):
+            choose_watermark_delay(lossy, 0.0)
+        with pytest.raises(ValueError, match="empty"):
+            choose_watermark_delay(lossy.limit(0), 0.0)
+
+    def test_default_watermark_is_the_measured_choice(self, spark):
+        """DEFAULT_WATERMARK must equal choose_watermark_delay(curve, 0)
+        on the LIVE loss curve — if the curve (or testdata) changes,
+        this breaks instead of the default silently going stale."""
+        from employee_analytics_etl_spark.plans import (  # noqa: F401
+            registry,
+            registry_r8,
+        )
+        from employee_analytics_etl_spark.streaming import jobs
+
+        curve = registry.QUERIES["events_watermark_loss_curve"](
+            spark, SF_SMOKE
+        )
+        sec = jobs.choose_watermark_delay(curve, max_dropped_share=0.0)
+        assert sec % 60 == 0
+        assert jobs.DEFAULT_WATERMARK == f"{sec // 60} minutes"
+
+    def test_event_time_jobs_read_the_chosen_default(self):
+        """The aggregation jobs' default delay IS the rule's answer —
+        not a per-job folklore constant. Jobs whose delay is part of
+        their join/window contract keep explicit defaults and are
+        excluded."""
+        import inspect
+
+        from employee_analytics_etl_spark.streaming import jobs
+
+        wired = [
+            jobs.tumbling_counts_stream,
+            jobs.session_window_stream,
+            jobs.dedup_events_stream,
+            jobs.ohlc_stream,
+        ]
+        for fn in wired:
+            got = inspect.signature(fn).parameters["watermark"].default
+            assert got == jobs.DEFAULT_WATERMARK, fn.__name__

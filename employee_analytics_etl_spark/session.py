@@ -46,7 +46,18 @@ def build_session(
     """
     cpus = DEFAULT_CPUS
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or cpus
+    # Shuffle partitions default to the thread count — right for the
+    # sub-GB single-file fixtures — but must SCALE WITH DATA: at the
+    # factor-100 facts layout (60M-row shuffles) 32 partitions put
+    # ~2M rows in one in-flight partition per thread and the shared
+    # local JVM heap OOMs. SPARK_GRAFT_SHUFFLE_PARTITIONS is the
+    # experiment's knob for the cluster discipline (partition count
+    # grows with input, AQE coalesce collapses the excess for free on
+    # small stages — over-provisioning is safe, under-provisioning is
+    # not).
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
 
     builder = (
         SparkSession.builder.master(master)

@@ -54,6 +54,75 @@ class TestFactorGuard:
         assert len(rots) == 10
         assert alpha[10 % 10 :] + alpha[: 10 % 10] == alpha  # the wrap
 
+    def test_unknown_mode_refused(self, spark, tmp_path):
+        import gen_multifile
+
+        with pytest.raises(ValueError, match="unknown multifile mode"):
+            gen_multifile.generate(
+                SRC, str(tmp_path / "x"), factor=2, spark=spark, mode="bogus"
+            )
+
+
+class TestFactsMode:
+    """mode='facts' (judge r7 #1): fact tables replicate at ANY factor
+    — the disjoint-orderkey-shift construction has no bijection limit
+    — while customer/documents are byte-copies."""
+
+    FACTS_FACTOR = 12  # deliberately past the full-mode cap
+
+    @pytest.fixture(scope="class")
+    def facts_dir(self, spark, tmp_path_factory):
+        import gen_multifile
+
+        out = str(tmp_path_factory.mktemp("facts") / "layout")
+        gen_multifile.generate(
+            SRC, out, factor=self.FACTS_FACTOR, n_files=4,
+            spark=spark, mode="facts",
+        )
+        return out
+
+    def test_factor_past_ten_allowed_and_counts_scale(self, spark, facts_dir):
+        for t in ("lineitem", "orders"):
+            n_src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).count()
+            n_out = spark.read.parquet(
+                os.path.join(facts_dir, f"{t}.parquet")
+            ).count()
+            assert n_out == self.FACTS_FACTOR * n_src, t
+        for t in ("customer", "documents", "supplier", "events"):
+            n_src = spark.read.parquet(os.path.join(SRC, f"{t}.parquet")).count()
+            n_out = spark.read.parquet(
+                os.path.join(facts_dir, f"{t}.parquet")
+            ).count()
+            assert n_out == n_src, t
+
+    def test_orderkey_replicas_disjoint_and_join_consistent(
+        self, spark, facts_dir
+    ):
+        """Distinct orderkeys grow factor× (no collisions), and every
+        lineitem orderkey still has its orders row — the fact-fact
+        join stays total, which is what makes the layout a fair
+        scaling measurement instead of a join-miss shrinkage."""
+        o = spark.read.parquet(os.path.join(facts_dir, "orders.parquet"))
+        li = spark.read.parquet(os.path.join(facts_dir, "lineitem.parquet"))
+        n_src = (
+            spark.read.parquet(os.path.join(SRC, "orders.parquet"))
+            .select("o_orderkey").distinct().count()
+        )
+        assert o.select("o_orderkey").distinct().count() == (
+            self.FACTS_FACTOR * n_src
+        )
+        orphans = (
+            li.select(F.col("l_orderkey").alias("k"))
+            .distinct()
+            .join(
+                o.select(F.col("o_orderkey").alias("k")),
+                "k",
+                "left_anti",
+            )
+            .count()
+        )
+        assert orphans == 0
+
 
 class TestGenerationInvariants:
     def test_row_counts_factor_x_replicated_1x_copied(self, spark, multifile_dir):

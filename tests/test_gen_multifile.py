@@ -33,26 +33,31 @@ def multifile_dir(spark, tmp_path_factory):
 
 
 class TestFactorGuard:
-    def test_factor_over_ten_refused_before_any_io(self, spark, tmp_path):
-        """factor=11 would give replica 10 rotation 0 — byte-identical
-        text to replica 0 — so the generator must refuse, not wrap."""
+    def test_factor_over_family_size_refused_before_any_io(self, spark, tmp_path):
+        """factor=37 would give replica 36 rotation 0 — byte-identical
+        text to replica 0 — so the generator must refuse, not wrap.
+        (r8: the family grew from 10 'etaoinshrd' rotations to 36
+        full-alphabet rotations, moving the guard from 10 to 36.)"""
         import gen_multifile
 
         out = str(tmp_path / "never_created")
+        n = len(gen_multifile.ROTATION_ALPHABET)
         with pytest.raises(ValueError, match="rotation-bijection"):
-            gen_multifile.generate(SRC, out, factor=11, spark=spark)
+            gen_multifile.generate(SRC, out, factor=n + 1, spark=spark)
         assert not os.path.exists(out)
 
-    def test_factor_ten_is_the_boundary_and_allowed(self):
-        """The guard is strict >10: the documented default factor 10
-        uses rotations 0..9, all distinct members of the family."""
+    def test_family_size_is_the_boundary(self):
+        """The guard is strict >len(alphabet): all rotations below it
+        are distinct members; the wrap lands exactly at the size."""
         import gen_multifile
 
-        # sanity on the family itself: 10 distinct rotations, wrap at 10
-        alpha = "etaoinshrd"
-        rots = {alpha[r % 10 :] + alpha[: r % 10] for r in range(10)}
-        assert len(rots) == 10
-        assert alpha[10 % 10 :] + alpha[: 10 % 10] == alpha  # the wrap
+        alpha = gen_multifile.ROTATION_ALPHABET
+        n = len(alpha)
+        assert n == 36  # full [a-z0-9] token alphabet
+        assert sorted(alpha) == sorted(set(alpha))  # no repeated chars
+        rots = {alpha[r % n :] + alpha[: r % n] for r in range(n)}
+        assert len(rots) == n
+        assert alpha[n % n :] + alpha[: n % n] == alpha  # the wrap
 
     def test_unknown_mode_refused(self, spark, tmp_path):
         import gen_multifile
@@ -186,11 +191,13 @@ class TestGenerationInvariants:
         """Replica r's text must be exactly translate(original,
         alpha, rot_r) — same lengths, same shingle-set cardinalities,
         so the per-replica similarity workload equals the original."""
+        import gen_multifile
+
         docs = spark.read.parquet(os.path.join(multifile_dir, "documents.parquet"))
         src = spark.read.parquet(os.path.join(SRC, "documents.parquet"))
         shift_d = 10 ** len(str(499))
         orig = {r["doc_id"]: r["text"] for r in src.filter(F.col("doc_id") < 3).collect()}
-        alpha = "etaoinshrd"
+        alpha = gen_multifile.ROTATION_ALPHABET
         for r_i in range(1, FACTOR):
             rot = alpha[r_i:] + alpha[:r_i]
             table = str.maketrans(alpha, rot)
@@ -202,3 +209,35 @@ class TestGenerationInvariants:
             }
             for i in range(3):
                 assert got[i + r_i * shift_d] == orig[i].translate(table)
+
+    def test_cross_replica_word_shingles_disjoint_at_high_rotation(
+        self, spark, tmp_path_factory
+    ):
+        """r8 family extension: a factor PAST the old 10-member cap
+        must still give cross-replica divergence — word 3-gram shingle
+        sets of the same base doc in replicas 0, 11, and 23 share
+        nothing (every token character is rotated)."""
+        import re
+
+        import gen_multifile
+
+        out = str(tmp_path_factory.mktemp("mf36") / "layout")
+        gen_multifile.generate(SRC, out, factor=24, n_files=4, spark=spark)
+        docs = spark.read.parquet(os.path.join(out, "documents.parquet"))
+        shift_d = 10 ** len(str(499))
+        reps = (0, 11, 23)
+        ids = [0 + r * shift_d for r in reps]
+        rows = {
+            r["doc_id"]: r["text"]
+            for r in docs.filter(F.col("doc_id").isin(ids)).collect()
+        }
+
+        def word3(text):
+            tk = re.findall(r"[a-z0-9]+", text.lower())
+            return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+        for i, ra in enumerate(reps):
+            for rb in reps[i + 1 :]:
+                assert not (
+                    word3(rows[ra * shift_d]) & word3(rows[rb * shift_d])
+                ), (ra, rb)

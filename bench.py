@@ -137,6 +137,10 @@ HEADLINE = [
     "lsh_band_planner",
     "doc_packing_strategy_report",
     "events_watermark_loss_curve",
+    # r8: the watermark decision table (choose_watermark_delay under
+    # the oracle gate) and the Gopher rule-filter audit
+    "events_watermark_delay_choice",
+    "doc_gopher_quality_flags",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

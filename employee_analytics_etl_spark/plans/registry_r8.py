@@ -241,10 +241,9 @@ def doc_packing_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WM_DELAYS = (0, 60, 300, 900, 3600)  # candidate watermark delays, sec
 
-
-@query(
-    "events_watermark_loss_curve",
-    oracle=f"""
+# Shared by events_watermark_loss_curve and (as a derived table)
+# events_watermark_delay_choice below.
+_WM_CURVE_ORACLE = f"""
     WITH ev AS (
       SELECT event_id, epoch_us(ts) AS ts_us FROM events
     ),
@@ -275,8 +274,10 @@ _WM_DELAYS = (0, 60, 300, 900, 3600)  # candidate watermark delays, sec
         f"round(d{d} * 1.0 / n, 6) AS dropped_share FROM counts"
         for d in _WM_DELAYS
     )}
-    """,
-)
+"""
+
+
+@query("events_watermark_loss_curve", oracle=_WM_CURVE_ORACLE)
 def events_watermark_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WATERMARK PLANNER for the streaming tier: before picking
     ``withWatermark(ts, D)``, measure what each candidate delay D
@@ -466,3 +467,248 @@ _ORACLE["graph_modularity_score"] = f"""
     LEFT JOIN within w ON w.community = dm.community
     CROSS JOIN m
 """
+
+
+_WM_FLOORS = (0.0, 0.01, 0.05, 0.1, 0.25)  # candidate loss floors
+
+
+@query(
+    "events_watermark_delay_choice",
+    oracle=f"""
+    WITH curve AS MATERIALIZED ({_WM_CURVE_ORACLE}),
+    floors(max_dropped_share) AS (
+      VALUES {", ".join(f"(CAST({f} AS DOUBLE))" for f in _WM_FLOORS)}
+    ),
+    choice AS (
+      SELECT f.max_dropped_share,
+             MIN(c.watermark_delay_s) AS chosen_delay_s
+      FROM floors f JOIN curve c ON c.dropped_share <= f.max_dropped_share
+      GROUP BY f.max_dropped_share
+    )
+    SELECT CAST(ch.max_dropped_share AS DOUBLE) AS max_dropped_share,
+           CAST(ch.chosen_delay_s AS BIGINT) AS chosen_delay_s,
+           c.n_dropped, c.dropped_share
+    FROM choice ch
+    JOIN curve c ON c.watermark_delay_s = ch.chosen_delay_s
+    """,
+)
+def events_watermark_delay_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark DECISION TABLE — choose_watermark_delay
+    (streaming/jobs.py) materialized as an oracle-gated query: for
+    each loss floor in a config grid, the smallest candidate delay
+    whose measured dropped_share clears it, with the achieved drop
+    stats. One row per floor: (max_dropped_share, chosen_delay_s,
+    n_dropped, dropped_share). This puts the decision rule itself
+    under the DuckDB value-hash gate (the same loop closure the
+    blocking-quality → choose_blocking pair has), and documents the
+    measured provenance of streaming.jobs.DEFAULT_WATERMARK (floor
+    0.0 → 900 s at every SF of this testdata).
+
+    Scale shape: the loss curve is |delays| aggregated rows and the
+    floor grid is |floors| literal rows — the theta join (share ≤
+    floor) is a bounded-by-construction 5×5 broadcast nested loop on
+    AGGREGATED inputs, the documented scalar-BNLJ idiom (never
+    data-scale on either side); everything upstream is the curve's
+    one range-partitioned pass over events. dropped_share is rounded
+    to 6dp on both engines BEFORE the ≤ comparison, so the join
+    predicate sees bit-identical doubles."""
+    curve = events_watermark_loss_curve(spark, sf_dir).localCheckpoint(
+        eager=False  # consumed twice: the floor join and the stats join-back
+    )
+    floors = F.explode(
+        F.array(*[F.lit(f).cast("double") for f in _WM_FLOORS])
+    ).alias("max_dropped_share")
+    choice = (
+        curve.sparkSession.range(1)
+        .select(floors)
+        .join(curve, F.col("dropped_share") <= F.col("max_dropped_share"))
+        .groupBy("max_dropped_share")
+        .agg(F.min("watermark_delay_s").alias("chosen_delay_s"))
+    )
+    return choice.join(
+        curve.select(
+            F.col("watermark_delay_s").alias("chosen_delay_s"),
+            "n_dropped",
+            "dropped_share",
+        ),
+        "chosen_delay_s",
+    ).select(
+        "max_dropped_share",
+        F.col("chosen_delay_s").cast("long").alias("chosen_delay_s"),
+        "n_dropped",
+        "dropped_share",
+    )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1), restricted to the rules
+# meaningful for single-line ASCII documents (no line-level bullet/
+# ellipsis-start rules). Kept as integers so every rule evaluates in
+# exact integer arithmetic — see the docstring.
+_GOPHER_STOPWORDS = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+@query(
+    "doc_gopher_quality_flags",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS tk,
+             len(text) - len(replace(text, '#', '')) AS n_hash,
+             (len(text) - len(replace(text, '...', ''))) // 3 AS n_ell
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n,
+             CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT)
+               AS sum_len,
+             len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+               AS n_alpha,
+             len(list_intersect(list_distinct(tk),
+                 [{", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)}]))
+               AS n_stop,
+             n_hash + n_ell AS n_sym
+      FROM feats
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN n < 50 OR n > 100000 THEN 1 ELSE 0 END AS f_wc,
+             CASE WHEN sum_len < 3 * n OR sum_len > 10 * n
+                  THEN 1 ELSE 0 END AS f_mwl,
+             CASE WHEN 5 * n_alpha < 4 * n THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN 10 * n_sym > n THEN 1 ELSE 0 END AS f_sym
+      FROM m
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(f_wc) AS c_wc, SUM(f_mwl) AS c_mwl,
+             SUM(f_alpha) AS c_alpha, SUM(f_stop) AS c_stop,
+             SUM(f_sym) AS c_sym,
+             SUM(CASE WHEN f_wc + f_mwl + f_alpha + f_stop + f_sym > 0
+                      THEN 1 ELSE 0 END) AS c_any
+      FROM flags
+    )
+    SELECT rule, CAST(n_flagged AS BIGINT) AS n_flagged,
+           round(n_flagged * 1.0 / n_docs, 6) AS flagged_share
+    FROM (
+      SELECT 'word_count' AS rule, c_wc AS n_flagged, n_docs FROM agg
+      UNION ALL SELECT 'mean_word_length', c_mwl, n_docs FROM agg
+      UNION ALL SELECT 'alpha_word_share', c_alpha, n_docs FROM agg
+      UNION ALL SELECT 'stopword_presence', c_stop, n_docs FROM agg
+      UNION ALL SELECT 'symbol_ratio', c_sym, n_docs FROM agg
+      UNION ALL SELECT 'any_rule', c_any, n_docs FROM agg
+    )
+    """,
+)
+def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER QUALITY RULES (Rae et al. 2021, Appendix A1.1) as a
+    corpus report: for each rule, how many documents it would drop —
+    word count outside [50, 100k], mean word length outside [3, 10],
+    <80% of words containing an alphabetic character, fewer than two
+    distinct Gopher stopwords, and a hash/ellipsis symbol-to-word
+    ratio over 0.1 — plus the union row ('any_rule'). The standard
+    pretraining heuristic-filter audit, complementing the continuous
+    doc_quality_score: that ranks, this reports exactly what a
+    rule-based C4/Gopher-style gate would remove.
+
+    Determinism: every rule threshold is evaluated in EXACT integer
+    arithmetic on token counts (mean length < 3 ⟺ sum_len < 3·n,
+    alpha share < 0.8 ⟺ 5·n_alpha < 4·n, symbol ratio > 0.1 ⟺
+    10·n_sym > n) — no float comparisons anywhere; the output share is
+    one rounded division per rule. Both engines count non-overlapping
+    '...' occurrences via the same replace()-length idiom.
+
+    Scale shape: token features are in-row array expressions (zero
+    shuffle); ONE map-side-combined aggregate folds the corpus to a
+    single row of rule counters, and the 6-rule report is an explode
+    of that row — corpus touched once, nothing keyed, nothing
+    driver-side."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias(
+            "_tk"
+        ),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ).alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+            )
+            / F.lit(3)
+        ).cast("long").alias("n_ell"),
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    m = docs.select(
+        F.size("_tk").cast("long").alias("n"),
+        F.expr(
+            "aggregate(_tk, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        ).alias("sum_len"),
+        F.size(F.expr("filter(_tk, t -> t rlike '[a-z]')"))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.array_intersect(F.array_distinct("_tk"), stop_arr))
+        .cast("long")
+        .alias("n_stop"),
+        (F.col("n_hash") + F.col("n_ell")).cast("long").alias("n_sym"),
+    )
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = m.select(
+        flag((F.col("n") < 50) | (F.col("n") > 100000)).alias("f_wc"),
+        flag(
+            (F.col("sum_len") < 3 * F.col("n"))
+            | (F.col("sum_len") > 10 * F.col("n"))
+        ).alias("f_mwl"),
+        flag(5 * F.col("n_alpha") < 4 * F.col("n")).alias("f_alpha"),
+        flag(F.col("n_stop") < 2).alias("f_stop"),
+        flag(10 * F.col("n_sym") > F.col("n")).alias("f_sym"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wc").alias("c_wc"),
+        F.sum("f_mwl").alias("c_mwl"),
+        F.sum("f_alpha").alias("c_alpha"),
+        F.sum("f_stop").alias("c_stop"),
+        F.sum("f_sym").alias("c_sym"),
+        F.sum(
+            F.when(
+                F.col("f_wc")
+                + F.col("f_mwl")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                + F.col("f_sym")
+                > 0,
+                1,
+            ).otherwise(0)
+        ).alias("c_any"),
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.col(col).cast("long").alias("n_flagged"),
+                )
+                for rule, col in [
+                    ("word_count", "c_wc"),
+                    ("mean_word_length", "c_mwl"),
+                    ("alpha_word_share", "c_alpha"),
+                    ("stopword_presence", "c_stop"),
+                    ("symbol_ratio", "c_sym"),
+                    ("any_rule", "c_any"),
+                ]
+            ]
+        )
+    )
+    return agg.select("n_docs", rows.alias("r")).select(
+        F.col("r.rule").alias("rule"),
+        F.col("r.n_flagged").alias("n_flagged"),
+        F.round(F.col("r.n_flagged") / F.col("n_docs"), 6).alias(
+            "flagged_share"
+        ),
+    )

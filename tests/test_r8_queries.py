@@ -272,3 +272,103 @@ class TestChooseAnnIndex:
         empty = spark.createDataFrame([], "query_id long, recall5 double")
         with pytest.raises(ValueError, match="EMPTY recall evaluation"):
             choose_ann_index(empty)
+
+
+class TestGopherQualityFlags:
+    """doc_gopher_quality_flags: every rule threshold is evaluated in
+    exact integer arithmetic — pin each rule on hand-built documents
+    (the 3-SF oracle MATCH covers the corpus path)."""
+
+    def test_each_rule_fires_on_its_violation(self, spark, tmp_path):
+        import os
+
+        # 60 common words, >=2 stopwords, mean len in [3,10], all
+        # alphabetic, no symbols -> passes every rule
+        clean = "the quick brown fox jumps over that lazy dog with " * 6
+        docs = [
+            (1, clean, "src0", "en"),                       # clean
+            (2, "the of and short words here", "src0", "en"),  # <50 words
+            (3, " ".join(["the", "of"] + ["a"] * 58), "src0", "en"),  # mean len < 3
+            (4, " ".join(["the", "of"] + ["1234"] * 58), "src0", "en"),  # alpha share < 0.8
+            (5, " ".join(["zz"] * 30 + ["wordy"] * 30), "src0", "en"),  # <2 stopwords
+            (6, clean + " " + "#" * 12, "src0", "en"),      # symbol ratio > 0.1
+        ]
+        out = os.path.join(tmp_path, "documents.parquet")
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string, lang string"
+        ).coalesce(1).write.parquet(out)
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        got = {
+            r["rule"]: (r["n_flagged"], r["flagged_share"])
+            for r in QUERIES["doc_gopher_quality_flags"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        # doc 2 violates word_count AND (only 6 words, mean fine);
+        # docs 3/4 are 60 words so only their targeted rule fires;
+        # doc 5: 60 words, mean len ok ((2*30+5*30)/60=3.5), alpha ok
+        assert got["word_count"][0] == 1
+        assert got["mean_word_length"][0] == 1
+        assert got["alpha_word_share"][0] == 1
+        assert got["stopword_presence"][0] == 1
+        assert got["symbol_ratio"][0] == 1
+        assert got["any_rule"][0] == 5  # every doc except the clean one
+        assert got["any_rule"][1] == pytest.approx(5 / 6, abs=1e-6)
+
+    def test_boundaries_are_exact(self, spark, tmp_path):
+        """50 words is NOT a violation (rule is n < 50); exactly 10%
+        symbols is NOT a violation (rule is strict >)."""
+        import os
+
+        w49 = "the of " + " ".join(["word"] * 47)   # 49 words -> flagged
+        w50 = "the of " + " ".join(["word"] * 48)   # 50 words -> clean
+        # 60 words + exactly 6 hashes = 10% -> clean (strict >)
+        sym_edge = "the quick brown fox jumps over that lazy dog with " * 6
+        sym_edge += "#" * 6
+        docs = [
+            (1, w49, "s", "en"),
+            (2, w50, "s", "en"),
+            (3, sym_edge, "s", "en"),
+        ]
+        out = os.path.join(tmp_path, "documents.parquet")
+        spark.createDataFrame(
+            docs, "doc_id long, text string, source string, lang string"
+        ).coalesce(1).write.parquet(out)
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        got = {
+            r["rule"]: r["n_flagged"]
+            for r in QUERIES["doc_gopher_quality_flags"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert got["word_count"] == 1      # only the 49-word doc
+        assert got["symbol_ratio"] == 0    # 10% exactly is not > 10%
+
+
+class TestWatermarkDelayChoiceQuery:
+    def test_choice_rows_agree_with_the_rule(self, spark):
+        """The oracle-gated decision TABLE must agree row-for-row with
+        choose_watermark_delay applied to the live curve — the query
+        and the rule can never drift apart."""
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+        from employee_analytics_etl_spark.streaming.jobs import (
+            choose_watermark_delay,
+        )
+
+        curve = QUERIES["events_watermark_loss_curve"](spark, SF_SMOKE)
+        table = {
+            r["max_dropped_share"]: r["chosen_delay_s"]
+            for r in QUERIES["events_watermark_delay_choice"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        assert set(table) == {0.0, 0.01, 0.05, 0.1, 0.25}
+        for floor, chosen in table.items():
+            assert chosen == choose_watermark_delay(curve, floor), floor

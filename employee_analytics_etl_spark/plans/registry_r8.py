@@ -1,10 +1,13 @@
-"""Round-7 additions: the PLANNER tier — queries whose output is a
+"""Round-7/8 additions: the PLANNER tier — queries whose output is a
 measured configuration decision rather than a data product. The ER
 loop got its metric round 6 (blocking quality) and its decision rule
-this round (choose_blocking); these close three more loops the same
-way: LSH banding parameters (S-curve error areas → choose_lsh_bands),
-sequence-packing strategy (padding/packing waste accounting), and the
-streaming watermark (lateness loss curve over candidate delays).
+round 7 (choose_blocking); these close more loops the same way: LSH
+banding parameters (S-curve error areas → choose_lsh_bands),
+sequence-packing strategy (padding/packing waste accounting), the
+streaming watermark (lateness loss curve over candidate delays, plus
+— r8 — the per-floor decision table that choose_watermark_delay and
+streaming.jobs.DEFAULT_WATERMARK are pinned against), and the Gopher
+heuristic-filter audit (r8).
 
 Registered into the same QUERIES/ORACLE dicts as plans.registry.
 Import side effects: importing this module populates the registry.

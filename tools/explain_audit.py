@@ -117,6 +117,11 @@ SCALAR_BNLJ_OK = {
     # three 1-row aggregates (boot mean, CI pair, sample mean)
     # crossJoined into the single report row
     "orders_bootstrap_mean_ci",
+    # |floors|-row literal grid theta-joined (share <= floor) against
+    # the |delays|-row aggregated loss curve — 5x5 on AGGREGATED
+    # inputs, bounded by the two config grids, never data-scale (r8
+    # watermark decision table)
+    "events_watermark_delay_choice",
     # 1-row (nt, nr) token totals crossJoined onto the 256-row bucket
     # table before the log-ratio projection
     "doc_dsir_importance_select",

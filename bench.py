@@ -265,6 +265,17 @@ def main() -> None:
             layout = "multifile"
         elif "facts" in sys.argv:
             layout = "facts"
+    if layout == "facts":
+        # Shuffle partitions must scale with the replicated fact volume
+        # or the wide shuffles OOM the shared local JVM (measured:
+        # factor 100 at 32 partitions/8g heap dies; 512 partitions at
+        # the same heap completes — BENCH_facts_r08.json). 5×factor
+        # keeps per-partition rows roughly constant as the factor
+        # grows; AQE coalesce collapses the excess on small stages.
+        f = int(os.environ.get("SPARK_GRAFT_MULTIFILE_FACTOR", "100"))
+        os.environ.setdefault(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, min(5 * f, 1024)))
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -311,3 +311,55 @@ def bigram_lm_score(
             (F.sum("lp").cast("double") / F.count(F.lit(1))).alias("avg_logp"),
         )
     )
+
+
+def choose_packing(
+    report: DataFrame,
+    min_utilization: float = 0.0,
+    require_cheap_boundaries: bool = False,
+) -> str:
+    """The decision rule on doc_packing_strategy_report's output,
+    completing the measured-decision family (choose_blocking /
+    choose_lsh_bands / choose_ann_index / choose_watermark_delay):
+    pick the HIGHEST-utilization packing strategy whose measured
+    utilization clears ``min_utilization``; with
+    ``require_cheap_boundaries`` the raw cross-document concat
+    (``concat_per_source``) is excluded, because its windows need
+    per-token attention-mask resets at arbitrary offsets — the two
+    boundary-aligned strategies (one-doc-per-window padding and the
+    256-char quantized concat) keep document starts addressable.
+
+    Raises — naming the best rejected candidate — when nothing clears
+    the floor, so a corpus whose every strategy wastes half the
+    context window fails loudly instead of silently burning FLOPs.
+
+    Input is config-scale (one row per strategy); the collect is
+    bounded by the strategy count, not the corpus.
+    """
+    pool = report
+    if require_cheap_boundaries:
+        pool = pool.filter(F.col("strategy") != "concat_per_source")
+    rows = (
+        pool.filter(F.col("utilization") >= min_utilization)
+        .orderBy(F.desc("utilization"), F.asc("strategy"))
+        .limit(1)
+        .collect()
+    )
+    if rows:
+        return str(rows[0]["strategy"])
+    best = (
+        pool.orderBy(F.desc("utilization"), F.asc("strategy"))
+        .limit(1)
+        .collect()
+    )
+    detail = (
+        f"best candidate was {best[0]['strategy']} at "
+        f"utilization={best[0]['utilization']:.4f}"
+        if best
+        else "the report table is empty"
+    )
+    raise ValueError(
+        f"no packing strategy meets utilization floor "
+        f"{min_utilization}: {detail}. Lower the floor, admit "
+        "concat_per_source, or shrink the window capacity."
+    )

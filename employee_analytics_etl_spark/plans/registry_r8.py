@@ -715,3 +715,193 @@ def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flagged_share"
         ),
     )
+
+
+@query(
+    "doc_ccnet_perplexity_bucket",
+    oracle=None,  # composed below from the doc_bigram_lm_score oracle
+)
+def doc_ccnet_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al., LREC 2020):
+    rank every document by its corpus-trained bigram-LM mean log-prob
+    (doc_bigram_lm_score — higher = more fluent = lower perplexity)
+    and split the corpus into three equal-rank buckets, head/middle/
+    tail; report each bucket's size and score envelope. The standard
+    pretraining triage: keep head, LM-filter middle, drop tail.
+
+    Bucket assignment is the INTEGER formula 1 + ((r−1)·3) ÷ n over
+    the exact global rank r (order: avg_logp DESC, doc_id ASC) — both
+    engines compute the identical expression, sidestepping NTILE's
+    engine-specific remainder placement. The rank comes from the
+    range-partitioned ranking primitive (no single-partition window);
+    avg_logp itself is the established decimal-summed score, so the
+    cross-engine order is total and identical.
+
+    Scale shape: the LM scoring is doc_bigram_lm_score's one-pass
+    vocab-scale aggregation; ranking is the two-pass range-partition
+    scheme; the report is one groupBy over three keys."""
+    from ..operators import ranking as R
+    from .registry_ext import doc_bigram_lm_score
+
+    scores = doc_bigram_lm_score(spark, sf_dir)
+    ranked_df, n = R.ranked(
+        scores,
+        [F.desc("avg_logp"), F.asc("doc_id")],
+        rn_col="r",
+    )
+    # integer division: ((r-1)*3) DIV n, then +1 — express exactly
+    bucket = (
+        F.lit(1)
+        + F.floor(((F.col("r") - 1) * 3).cast("double") / F.lit(float(n)))
+    ).cast("long")
+    return (
+        ranked_df.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("avg_logp"), 6).alias("mean_logp"),
+            F.round(F.max("avg_logp"), 6).alias("best_logp"),
+            F.round(F.min("avg_logp"), 6).alias("worst_logp"),
+        )
+    )
+
+
+from .registry import ORACLE as _ORACLE2  # noqa: E402
+from . import registry_ext as _rext  # noqa: E402,F401 — registers the LM oracle
+
+_ORACLE2["doc_ccnet_perplexity_bucket"] = f"""
+    WITH scores AS ({_ORACLE2["doc_bigram_lm_score"]}),
+    ranked AS (
+      SELECT doc_id, avg_logp,
+             ROW_NUMBER() OVER (ORDER BY avg_logp DESC, doc_id ASC) AS r,
+             COUNT(*) OVER () AS n
+      FROM scores
+    )
+    SELECT CAST(1 + ((r - 1) * 3) // n AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(avg_logp), 6) AS mean_logp,
+           round(MAX(avg_logp), 6) AS best_logp,
+           round(MIN(avg_logp), 6) AS worst_logp
+    FROM ranked
+    GROUP BY 1
+"""
+
+
+_EPOCH_RMAX = 4  # Muennighoff et al. 2023: returns decay fast past ~4 epochs
+# 3.5-epoch-equivalent training budget: strictly inside (0, RMAX·Σt), so
+# the water-filling always has an interior solution (integer DIV keeps
+# the budget exact in both engines).
+_EPOCH_BUDGET_SQL = "(7 * tot) // 2"
+
+
+@query(
+    "doc_epoch_mix_waterfill",
+    oracle=f"""
+    WITH per_lang AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t FROM documents
+      GROUP BY lang
+    ),
+    scal AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(t) AS BIGINT) AS tot,
+             CAST({_EPOCH_BUDGET_SQL.replace("tot", "SUM(t)")} AS BIGINT)
+               AS b
+      FROM per_lang
+    ),
+    seg AS (
+      SELECT lang, t, {_EPOCH_RMAX} * t AS cap,
+             ROW_NUMBER() OVER (ORDER BY {_EPOCH_RMAX} * t, lang) AS j,
+             SUM({_EPOCH_RMAX} * t) OVER (ORDER BY {_EPOCH_RMAX} * t, lang)
+               - {_EPOCH_RMAX} * t AS prev_prefix,
+             COALESCE(LAG({_EPOCH_RMAX} * t)
+               OVER (ORDER BY {_EPOCH_RMAX} * t, lang), 0) AS prev_cap
+      FROM per_lang
+    ),
+    lvl AS (
+      SELECT MAX(l_cand) AS l FROM (
+        SELECT CAST(s.b - g.prev_prefix AS DOUBLE) / (s.k - g.j + 1)
+                 AS l_cand,
+               g.prev_cap, g.cap
+        FROM seg g, scal s
+      ) WHERE prev_cap <= l_cand AND l_cand <= cap
+    ),
+    alloc AS (
+      SELECT g.lang, g.t, g.cap,
+             LEAST(CAST(g.cap AS DOUBLE), lvl.l) AS a, lvl.l
+      FROM seg g, lvl
+    )
+    SELECT lang, t AS unique_chars, CAST(cap AS BIGINT) AS cap_chars,
+           round(a, 6) AS alloc_chars,
+           round(a / t, 6) AS epochs,
+           CAST(CASE WHEN CAST(cap AS DOUBLE) <= l THEN 1 ELSE 0 END
+                AS INT) AS at_cap
+    FROM alloc
+    """,
+)
+def doc_epoch_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-CONSTRAINED EPOCH ALLOCATION (Muennighoff et al., NeurIPS
+    2023 "Scaling Data-Constrained Language Models"): split a fixed
+    training-token budget (3.5 epoch-equivalents of the corpus, char
+    proxy) across languages as EVENLY as possible — the α→0 limit of
+    multilingual temperature sampling that up-weights low-resource
+    languages — subject to the paper's repetition ceiling of
+    4 (_EPOCH_RMAX) epochs per language. The unique max-min solution is
+    exact WATER-FILLING: a level L with every language receiving
+    min(cap, L), Σ alloc = budget. Low-resource languages hit the
+    4-epoch cap (repeat their data); the head language absorbs the
+    remainder at fewer epochs — the measured answer to "how many
+    epochs of each language do we train on?".
+
+    One row per language: (lang, unique_chars, cap_chars,
+    alloc_chars, epochs, at_cap).
+
+    Exactness: the level has the closed form L_j = (B − prefix_(j−1))
+    / (k − j + 1) on the capacity-sorted segment j where
+    prev_cap ≤ L_j ≤ cap_j; every feasible segment yields the SAME L
+    (boundary ties collapse), so MAX over valid candidates is
+    deterministic, and both engines evaluate the identical
+    integer-exact prefix sums and one IEEE double division.
+
+    Scale shape: one groupBy over the corpus → a CONSTANT-cardinality
+    language rollup (the window runs on ≤|langs| rows — allowlisted
+    like source_mixture_weights); everything downstream is arithmetic
+    on config-scale tables, so the query costs one corpus scan at any
+    size."""
+    from pyspark.sql.window import Window
+
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("t")
+    )
+    scal = per_lang.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("t").cast("long").alias("tot"),
+    ).select("k", "tot", F.expr("(7 * tot) DIV 2").alias("b"))
+    cap = (F.lit(_EPOCH_RMAX) * F.col("t")).alias("cap")
+    w = Window.orderBy("cap", "lang")
+    seg = (
+        per_lang.select("lang", "t", cap)
+        .withColumn("j", F.row_number().over(w))
+        .withColumn("prev_prefix", F.sum("cap").over(w) - F.col("cap"))
+        .withColumn("prev_cap", F.lag("cap", 1, 0).over(w))
+    )
+    cand = seg.crossJoin(F.broadcast(scal)).withColumn(
+        "l_cand",
+        (F.col("b") - F.col("prev_prefix")).cast("double")
+        / (F.col("k") - F.col("j") + 1),
+    )
+    lvl = cand.filter(
+        (F.col("prev_cap") <= F.col("l_cand"))
+        & (F.col("l_cand") <= F.col("cap"))
+    ).agg(F.max("l_cand").alias("l"))
+    a = F.least(F.col("cap").cast("double"), F.col("l"))
+    return seg.crossJoin(F.broadcast(lvl)).select(
+        "lang",
+        F.col("t").alias("unique_chars"),
+        F.col("cap").cast("long").alias("cap_chars"),
+        F.round(a, 6).alias("alloc_chars"),
+        F.round(a / F.col("t"), 6).alias("epochs"),
+        F.when(F.col("cap").cast("double") <= F.col("l"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("at_cap"),
+    )

@@ -372,3 +372,118 @@ class TestWatermarkDelayChoiceQuery:
         assert set(table) == {0.0, 0.01, 0.05, 0.1, 0.25}
         for floor, chosen in table.items():
             assert chosen == choose_watermark_delay(curve, floor), floor
+
+
+class TestChoosePacking:
+    """choose_packing: the measured-decision rule over the packing
+    report (completing the chooser family). Fixture: raw concat wins
+    on utilization, but the cheap-boundaries constraint and the
+    utilization floor must each redirect or fail loudly."""
+
+    @staticmethod
+    def _report(spark):
+        return spark.createDataFrame(
+            [
+                ("pad_per_doc", 4, 6300, 10084, 0.384521),
+                ("concat_per_source", 3, 6300, 5988, 0.512695),
+                ("quantized_concat", 3, 6300, 5988, 0.512695),
+            ],
+            "strategy string, n_bins long, payload_chars long, "
+            "waste_chars long, utilization double",
+        )
+
+    def test_picks_max_utilization_with_name_tiebreak(self, spark):
+        from employee_analytics_etl_spark.operators.text import choose_packing
+
+        # concat_per_source and quantized_concat tie on utilization;
+        # the asc(strategy) tiebreak makes the pick deterministic
+        assert choose_packing(self._report(spark)) == "concat_per_source"
+
+    def test_cheap_boundaries_constraint_redirects(self, spark):
+        from employee_analytics_etl_spark.operators.text import choose_packing
+
+        assert (
+            choose_packing(
+                self._report(spark), require_cheap_boundaries=True
+            )
+            == "quantized_concat"
+        )
+
+    def test_floor_redirect_and_loud_failure(self, spark):
+        from employee_analytics_etl_spark.operators.text import choose_packing
+
+        report = self._report(spark)
+        # a floor between the two utilization levels keeps the concats
+        assert choose_packing(report, min_utilization=0.5) == "concat_per_source"
+        with pytest.raises(ValueError, match="quantized_concat"):
+            # boundaries constraint + impossible floor: the error must
+            # name the best REMAINING candidate, not the excluded one
+            choose_packing(
+                report, min_utilization=0.9, require_cheap_boundaries=True
+            )
+
+
+class TestEpochMixWaterfill:
+    def test_hand_computed_waterfill(self, spark, tmp_path):
+        """aa:100 / bb:200 / en:1000 chars, budget = (7·1300) DIV 2 =
+        4550, caps 4t. Segments: L=4550/3 and (4550−400)/2 both
+        overshoot their caps; the valid segment gives L = 4550−1200 =
+        3350 → aa and bb pinned at exactly 4 epochs, en absorbs the
+        rest at 3.35, and the allocation spends the budget exactly."""
+        import os
+
+        docs = [
+            (1, "aa", 100),
+            (2, "bb", 120),
+            (3, "bb", 80),
+            (4, "en", 600),
+            (5, "en", 400),
+        ]
+        spark.createDataFrame(
+            docs, "doc_id long, lang string, n_chars long"
+        ).coalesce(1).write.parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        rows = {
+            r["lang"]: r
+            for r in QUERIES["doc_epoch_mix_waterfill"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        assert rows["aa"]["cap_chars"] == 400
+        assert (rows["aa"]["alloc_chars"], rows["aa"]["epochs"]) == (400.0, 4.0)
+        assert (rows["bb"]["alloc_chars"], rows["bb"]["epochs"]) == (800.0, 4.0)
+        assert (rows["en"]["alloc_chars"], rows["en"]["epochs"]) == (
+            3350.0,
+            3.35,
+        )
+        assert [rows[lang]["at_cap"] for lang in ("aa", "bb", "en")] == [1, 1, 0]
+        # water-filling identity: the budget is spent exactly
+        assert sum(r["alloc_chars"] for r in rows.values()) == 4550.0
+
+    def test_no_cap_binds_means_uniform_split(self, spark, tmp_path):
+        """Near-equal languages: level = B/k below every cap → equal
+        allocations, nobody at the repetition ceiling."""
+        import os
+
+        spark.createDataFrame(
+            [(1, "aa", 500), (2, "bb", 500), (3, "cc", 500)],
+            "doc_id long, lang string, n_chars long",
+        ).coalesce(1).write.parquet(
+            os.path.join(str(tmp_path), "documents.parquet")
+        )
+
+        from employee_analytics_etl_spark.plans import registry_r8  # noqa: F401
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        rows = QUERIES["doc_epoch_mix_waterfill"](
+            spark, str(tmp_path)
+        ).collect()
+        # B = (7·1500) DIV 2 = 5250, L = 1750 < cap 2000
+        assert {r["alloc_chars"] for r in rows} == {1750.0}
+        assert {r["epochs"] for r in rows} == {3.5}
+        assert {r["at_cap"] for r in rows} == {0}

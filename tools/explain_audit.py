@@ -85,6 +85,8 @@ SCALAR_BNLJ_OK = {
     "idle_rich_customers",
     # bounds-style envelope row: three 1-row aggregates crossJoined
     "knn_lsh_hyperplane",
+    # (k, tot, B) and water-level 1-row scalars onto the ≤|langs| rollup
+    "doc_epoch_mix_waterfill",
     # same envelope shape (n_q × stats 1-row aggregates)
     "knn_ivf_kmeans",
     # vocab-size scalar V joined onto the vocab-sized unigram table
@@ -244,6 +246,8 @@ GLOBAL_WINDOW_OK = {
     "orders_priority_status_chi2": "≤15-row contingency cells",
     # rank window over exactly 24 bootstrap replicate means
     "orders_bootstrap_mean_ci": "24 replicate means (constant B)",
+    # water-filling segments over the per-language rollup
+    "doc_epoch_mix_waterfill": "per-lang rollup (constant language set)",
 }
 
 

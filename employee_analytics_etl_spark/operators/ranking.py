@@ -219,3 +219,97 @@ def cume_dist_from_rn(rn: Column, n_total: int) -> Column:
     """``CUME_DIST`` = rows_with_key≤current / n ≡ rn/n under a total
     order (see ``percent_rank_from_rn``)."""
     return rn.cast("double") / F.lit(float(max(n_total, 1)))
+
+
+def multi_ranked(
+    df: DataFrame,
+    legs: dict[str, list[Column]],
+    rn_col: str = "rn",
+    leg_col: str = "leg",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Exact global ``row_number`` under SEVERAL total orders in ONE
+    two-pass round — the multi-rank fusion of :func:`ranked`.
+
+    A caller that needs k independent rankings of the same input (RFM:
+    recency, frequency, monetary) pays, with k ``ranked`` calls, k
+    sequential blocking rounds — each a range shuffle, a checkpoint
+    materialization, and a driver collect. This fuses them: the input
+    is unioned once with a leg tag, range-partitioned ONCE on
+    ``(leg, keys...)``, and ONE ≤(k·P)-row stats collect prices every
+    leg's partition offsets — the k shuffles become parallel stages of
+    a single job instead of k serial jobs, and the driver round-trips
+    once. Same exactness argument as ``ranked``: within a leg, range
+    partitioning on the leg-first composite key keeps every partition's
+    key range disjoint and ordered, so rank = per-(leg, partition)
+    offset + partition-local row_number.
+
+    Parameters
+    ----------
+    legs: ``{leg_name: [ascending sort key Columns]}``. Every leg must
+        supply the SAME NUMBER of keys, each ASCENDING and non-null,
+        together forming a total order (include the unique tiebreak).
+        Express a descending numeric/date order by negating the key
+        (``-col``, exact for ints/decimals/dates-as-days; for doubles
+        exact absent NaN).
+    Returns ``(out_df, n_totals)``: the union of all legs — original
+    columns plus ``leg_col`` (leg name) and ``rn_col`` (1-based global
+    rank within the leg) — and each leg's exact row count.
+    """
+    if not legs:
+        raise ValueError("multi_ranked() requires at least one leg")
+    widths = {name: len(keys) for name, keys in legs.items()}
+    if len(set(widths.values())) != 1 or 0 in widths.values():
+        raise ValueError(
+            f"every leg needs the same non-zero key count, got {widths}"
+        )
+    nkeys = next(iter(widths.values()))
+    spark = df.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    key_names = [f"_mk{i}" for i in range(nkeys)]
+    tagged = None
+    for name, keys in legs.items():
+        leg_df = df.select(
+            F.lit(name).alias(leg_col),
+            *[k.alias(kn) for k, kn in zip(keys, key_names)],
+            *df.columns,
+        )
+        tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
+    rp = (
+        tagged.repartitionByRange(nparts, leg_col, *key_names)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    stats = rp.groupBy(leg_col, "_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).collect()  # ≤ legs·P rows — bounded by config, never data-sized
+    n_totals = {name: 0 for name in legs}
+    rows = []
+    for r in sorted(stats, key=lambda r: (r[leg_col], r["_pid"])):
+        rows.append((r[leg_col], r["_pid"], n_totals[r[leg_col]]))
+        n_totals[r[leg_col]] += r["_cnt"]
+    offsets = F.broadcast(
+        spark.createDataFrame(
+            rows,
+            T.StructType(
+                [
+                    T.StructField(leg_col, T.StringType(), False),
+                    T.StructField("_pid", T.IntegerType(), False),
+                    T.StructField("_rn_off", T.LongType(), False),
+                ]
+            ),
+        )
+    )
+    w = Window.partitionBy("_pid", leg_col).orderBy(
+        *[F.asc(kn) for kn in key_names]
+    )
+    out = rp.join(offsets, ["_pid", leg_col]).select(
+        leg_col,
+        *df.columns,
+        (F.row_number().over(w) + F.col("_rn_off"))
+        .cast("long")
+        .alias(rn_col),
+    )
+    return out, n_totals

@@ -219,3 +219,76 @@ def test_explicit_name_audit_matches_full_run_policy():
     assert audit("some_random_query", bnlj_plan, cg) == [
         "forbidden operator BroadcastNestedLoopJoin"
     ]
+
+
+class TestMultiRanked:
+    """multi_ranked: every leg's rank must equal the single-window
+    row_number under that leg's order, at any partition count."""
+
+    @staticmethod
+    def _legs():
+        return {
+            "by_grp": [F.col("grp"), F.col("id")],
+            "by_amount_desc": [-F.col("amount"), F.col("id")],
+        }
+
+    @pytest.mark.parametrize("nparts", [1, 3, 8, 64])
+    def test_matches_single_window_per_leg(self, spark, src, nparts):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked,
+        )
+
+        out, n_totals = multi_ranked(
+            src, self._legs(), num_partitions=nparts
+        )
+        got = {
+            (r["leg"], r["id"]): r["rn"] for r in out.collect()
+        }
+        n = src.count()
+        assert n_totals == {"by_grp": n, "by_amount_desc": n}
+        assert len(got) == 2 * n
+        ref_g = {
+            r["id"]: r["rn"]
+            for r in src.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(F.asc("grp"), F.asc("id")))
+                .alias("rn"),
+            ).collect()
+        }
+        ref_a = {
+            r["id"]: r["rn"]
+            for r in src.select(
+                "id",
+                F.row_number()
+                .over(Window.orderBy(F.desc("amount"), F.asc("id")))
+                .alias("rn"),
+            ).collect()
+        }
+        for i, rn in ref_g.items():
+            assert got[("by_grp", i)] == rn
+        for i, rn in ref_a.items():
+            assert got[("by_amount_desc", i)] == rn
+
+    def test_no_unpartitioned_window(self, spark, src):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked,
+        )
+
+        out, _ = multi_ranked(src, self._legs())
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line.lower():
+                assert "_pid" in line  # every window keyed by partition id
+
+    def test_rejects_mismatched_key_counts_and_empty(self, spark, src):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked,
+        )
+
+        with pytest.raises(ValueError, match="same non-zero key count"):
+            multi_ranked(
+                src, {"a": [F.col("id")], "b": [F.col("grp"), F.col("id")]}
+            )
+        with pytest.raises(ValueError, match="at least one leg"):
+            multi_ranked(src, {})

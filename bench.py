@@ -141,6 +141,10 @@ HEADLINE = [
     # the oracle gate) and the Gopher rule-filter audit
     "events_watermark_delay_choice",
     "doc_gopher_quality_flags",
+    # r8 late additions: CCNet-style perplexity triage (rank-bucketed
+    # LM scores) and the data-constrained epoch water-filling planner
+    "doc_ccnet_perplexity_bucket",
+    "doc_epoch_mix_waterfill",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -264,10 +264,6 @@ def multi_ranked(
             f"every leg needs the same non-zero key count, got {widths}"
         )
     nkeys = next(iter(widths.values()))
-    spark = df.sparkSession
-    nparts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
     key_names = [f"_mk{i}" for i in range(nkeys)]
     tagged = None
     for name, keys in legs.items():
@@ -277,6 +273,65 @@ def multi_ranked(
             *df.columns,
         )
         tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
+    return _multi_ranked_core(
+        tagged, df.columns, key_names, set(legs), rn_col, leg_col,
+        num_partitions,
+    )
+
+
+def multi_ranked_frames(
+    frames: dict[str, DataFrame],
+    keys: list[Column],
+    rn_col: str = "rn",
+    leg_col: str = "leg",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """The frames variant of :func:`multi_ranked`: exact global
+    ``row_number`` over SEVERAL same-schema inputs under ONE total
+    order, in one two-pass round — for callers whose legs differ by
+    FILTER rather than by sort order (KMV bottom-k over set A / set B
+    / their union). Same single-job, single-collect shape and the
+    same exactness argument; ``keys`` are ascending non-null Columns
+    resolvable against every frame and must total-order each leg."""
+    if not frames:
+        raise ValueError("multi_ranked_frames() requires at least one leg")
+    if not keys:
+        raise ValueError("multi_ranked_frames() requires sort keys")
+    cols0 = None
+    key_names = [f"_mk{i}" for i in range(len(keys))]
+    tagged = None
+    for name, df in frames.items():
+        if cols0 is None:
+            cols0 = df.columns
+        elif df.columns != cols0:
+            raise ValueError(
+                f"leg {name!r} schema {df.columns} != first leg {cols0}"
+            )
+        leg_df = df.select(
+            F.lit(name).alias(leg_col),
+            *[k.alias(kn) for k, kn in zip(keys, key_names)],
+            *cols0,
+        )
+        tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
+    return _multi_ranked_core(
+        tagged, cols0, key_names, set(frames), rn_col, leg_col,
+        num_partitions,
+    )
+
+
+def _multi_ranked_core(
+    tagged: DataFrame,
+    out_cols: list[str],
+    key_names: list[str],
+    leg_names: set,
+    rn_col: str,
+    leg_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, dict[str, int]]:
+    spark = tagged.sparkSession
+    nparts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
     rp = (
         tagged.repartitionByRange(nparts, leg_col, *key_names)
         .withColumn("_pid", F.spark_partition_id())
@@ -285,7 +340,7 @@ def multi_ranked(
     stats = rp.groupBy(leg_col, "_pid").agg(
         F.count(F.lit(1)).alias("_cnt")
     ).collect()  # ≤ legs·P rows — bounded by config, never data-sized
-    n_totals = {name: 0 for name in legs}
+    n_totals = {name: 0 for name in leg_names}
     rows = []
     for r in sorted(stats, key=lambda r: (r[leg_col], r["_pid"])):
         rows.append((r[leg_col], r["_pid"], n_totals[r[leg_col]]))
@@ -307,7 +362,7 @@ def multi_ranked(
     )
     out = rp.join(offsets, ["_pid", leg_col]).select(
         leg_col,
-        *df.columns,
+        *out_cols,
         (F.row_number().over(w) + F.col("_rn_off"))
         .cast("long")
         .alias(rn_col),

@@ -745,12 +745,14 @@ def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 decimals.
 
     Scale shape: the fact table aggregates once to per-user flags;
-    each bottom-k runs through operators.ranking.ranked (range-
-    repartition + offsets — no single-partition sort of the user
-    dimension); everything downstream is 1-row scalar broadcasts. At
-    100 TB you'd keep ONLY the k smallest per partition before
-    ranking (a TakeOrdered-shaped refinement the rank primitive
-    subsumes)."""
+    the three bottom-k legs (A, B, union) run through ONE
+    operators.ranking.multi_ranked_frames round (one range shuffle,
+    one offsets collect — no single-partition sort of the user
+    dimension, no serial per-leg rounds), and a single global
+    aggregate over the tagged union extracts every scalar the
+    estimators need. At 100 TB you'd keep ONLY the k smallest per
+    partition before ranking (a TakeOrdered-shaped refinement the
+    rank primitive subsumes)."""
     K = 32
     ev = t(spark, sf_dir, "events")
     flags = (
@@ -772,27 +774,51 @@ def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.lit(1152921504606846976.0),
         )
-        .localCheckpoint(eager=False)  # ranked 3x + exact counts
+        .localCheckpoint(eager=False)  # 3 legs of one multi-rank round
     )
-    order = [F.col("h").asc(), F.col("user_id").asc()]
-    ra, n_a = ranked(flags.filter(F.col("in_a") == 1), order, rn_col="rn")
-    rb, n_b = ranked(flags.filter(F.col("in_b") == 1), order, rn_col="rn")
-    ru, n_union = ranked(flags, order, rn_col="rn")
-    u_a = ra.agg(F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_a"))
-    u_b = rb.agg(F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_b"))
-    uu_c = ru.agg(
-        F.max(F.when(F.col("rn") == K, F.col("h"))).alias("u_u"),
+    # one multi_ranked_frames round ranks A, B and the union together
+    # (one range shuffle, one offsets collect — was 3 serial ranked()
+    # rounds), and ONE global aggregate over the tagged union replaces
+    # the four crossJoined 1-row scalars (u_a/u_b/u_u+c/n_inter)
+    from ..operators.ranking import multi_ranked_frames
+
+    ru, n_totals = multi_ranked_frames(
+        {
+            "a": flags.filter(F.col("in_a") == 1),
+            "b": flags.filter(F.col("in_b") == 1),
+            "u": flags,
+        },
+        [F.col("h"), F.col("user_id")],
+        rn_col="rn",
+        leg_col="_leg",
+    )
+    n_a, n_b, n_union = n_totals["a"], n_totals["b"], n_totals["u"]
+
+    def kth(leg: str, out: str):
+        return F.max(
+            F.when((F.col("_leg") == leg) & (F.col("rn") == K), F.col("h"))
+        ).alias(out)
+
+    scalars = ru.agg(
+        kth("a", "u_a"),
+        kth("b", "u_b"),
+        kth("u", "u_u"),
         F.sum(
             F.when(
-                (F.col("rn") <= K)
+                (F.col("_leg") == "u")
+                & (F.col("rn") <= K)
                 & (F.col("in_a") == 1)
                 & (F.col("in_b") == 1),
                 1,
             ).otherwise(0)
         ).alias("c"),
-    )
-    n_inter_row = flags.agg(
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter")
+        F.sum(
+            F.when(
+                F.col("_leg") == "u", F.col("in_a") * F.col("in_b")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_inter"),
     )
 
     def est(n: int, u) -> F.Column:
@@ -813,9 +839,7 @@ def events_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         else F.round(F.col("n_inter").cast("double"), 6)
     )
     return (
-        u_a.crossJoin(u_b)
-        .crossJoin(uu_c)
-        .crossJoin(n_inter_row)
+        scalars
         .select(
             F.lit(K).cast("int").alias("k"),
             F.lit(n_a).cast("long").alias("n_a"),

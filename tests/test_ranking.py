@@ -292,3 +292,63 @@ class TestMultiRanked:
             )
         with pytest.raises(ValueError, match="at least one leg"):
             multi_ranked(src, {})
+
+
+class TestMultiRankedFrames:
+    """multi_ranked_frames: filter-differing legs under one order must
+    each equal the single-window row_number over that leg."""
+
+    def test_filtered_legs_match_single_window(self, spark, src):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked_frames,
+        )
+
+        legs = {
+            "evens": src.filter(F.col("id") % 2 == 0),
+            "all": src,
+        }
+        out, n_totals = multi_ranked_frames(
+            legs,
+            [F.col("grp"), F.col("id")],
+            num_partitions=5,
+        )
+        got = {(r["leg"], r["id"]): r["rn"] for r in out.collect()}
+        for name, leg_df in legs.items():
+            ref = {
+                r["id"]: r["rn"]
+                for r in leg_df.select(
+                    "id",
+                    F.row_number()
+                    .over(Window.orderBy(F.asc("grp"), F.asc("id")))
+                    .alias("rn"),
+                ).collect()
+            }
+            assert n_totals[name] == len(ref)
+            for i, rn in ref.items():
+                assert got[(name, i)] == rn
+
+    def test_rejects_schema_mismatch_and_missing_keys(self, spark, src):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked_frames,
+        )
+
+        with pytest.raises(ValueError, match="schema"):
+            multi_ranked_frames(
+                {"a": src, "b": src.select("id", "grp")},
+                [F.col("id")],
+            )
+        with pytest.raises(ValueError, match="sort keys"):
+            multi_ranked_frames({"a": src}, [])
+
+    def test_empty_leg_gets_zero_total(self, spark, src):
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked_frames,
+        )
+
+        out, n_totals = multi_ranked_frames(
+            {"none": src.filter(F.lit(False)), "all": src},
+            [F.col("grp"), F.col("id")],
+        )
+        assert n_totals["none"] == 0
+        assert n_totals["all"] == src.count()
+        assert out.filter(F.col("leg") == "none").count() == 0

@@ -262,6 +262,38 @@ def build_output(
     return out
 
 
+def apply_facts_env_defaults(environ=None) -> None:
+    """Scale the facts layout's session knobs with the replication
+    factor (explicit env settings always win).
+
+    Shuffle partitions grow 5×factor (clamped to [32, 1024]) so
+    per-partition rows stay roughly constant — at factor 100 the
+    default 32 partitions put ~2M rows in one in-flight partition per
+    thread and the shared local JVM heap OOMs (BENCH_facts_r08.json);
+    AQE coalesce collapses the excess on small stages, so
+    over-provisioning is free while under-provisioning is a crash.
+
+    Partition scaling alone is MARGINAL in ONE shared local JVM:
+    identical factor-100 runs at 500 partitions split completions
+    (72.2 s at 8g) vs GC-death-spiral JVM crashes (once at 8g, once
+    at 16g, both inside the weighted-median's wide range shuffle) —
+    GC timing variance, not data. All 32 concurrent tasks' shuffle
+    state plus the checkpoint blocks share one heap here; a cluster
+    spreads the same 500 partitions over executors with ordinary
+    heaps. So the facts layout also floors the local heap by factor
+    (committed default-path record: BENCH_facts_r08b.json, 52.7 s,
+    7/7, load_warning false)."""
+    env = environ if environ is not None else os.environ
+    f = int(env.get("SPARK_GRAFT_MULTIFILE_FACTOR", "100"))
+    env.setdefault(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, min(5 * f, 1024)))
+    )
+    if f >= 100:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    elif f >= 30:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+
 def main() -> None:
     layout = "single"
     if "--layout" in sys.argv:
@@ -270,16 +302,7 @@ def main() -> None:
         elif "facts" in sys.argv:
             layout = "facts"
     if layout == "facts":
-        # Shuffle partitions must scale with the replicated fact volume
-        # or the wide shuffles OOM the shared local JVM (measured:
-        # factor 100 at 32 partitions/8g heap dies; 512 partitions at
-        # the same heap completes — BENCH_facts_r08.json). 5×factor
-        # keeps per-partition rows roughly constant as the factor
-        # grows; AQE coalesce collapses the excess on small stages.
-        f = int(os.environ.get("SPARK_GRAFT_MULTIFILE_FACTOR", "100"))
-        os.environ.setdefault(
-            "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, min(5 * f, 1024)))
-        )
+        apply_facts_env_defaults()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:

@@ -222,3 +222,47 @@ class TestBenchEmission:
             assert key in tail, f"{key} missing from the last 500 chars"
         # and the whole line still parses as one JSON object
         assert json.loads(emitted)["value"] == 69.013
+
+
+class TestFactsEnvDefaults:
+    def test_factor_scaled_defaults_and_explicit_wins(self):
+        """The facts layout must scale shuffle partitions 5x factor
+        (clamped) and floor the local heap by factor — and never
+        override explicit env settings (the OOM-repro discipline,
+        PERF.md r8 / BENCH_facts_r08b.json)."""
+        import importlib.util as ilu
+        import os
+
+        spec = ilu.spec_from_file_location(
+            "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+        )
+        bench = ilu.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        env = {"SPARK_GRAFT_MULTIFILE_FACTOR": "100"}
+        bench.apply_facts_env_defaults(env)
+        assert env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "500"
+        assert env["SPARK_GRAFT_DRIVER_MEM"] == "32g"
+
+        env = {"SPARK_GRAFT_MULTIFILE_FACTOR": "30"}
+        bench.apply_facts_env_defaults(env)
+        assert env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "150"
+        assert env["SPARK_GRAFT_DRIVER_MEM"] == "16g"
+
+        env = {"SPARK_GRAFT_MULTIFILE_FACTOR": "10"}
+        bench.apply_facts_env_defaults(env)
+        assert env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "50"
+        assert "SPARK_GRAFT_DRIVER_MEM" not in env
+
+        env = {"SPARK_GRAFT_MULTIFILE_FACTOR": "400"}
+        bench.apply_facts_env_defaults(env)
+        assert env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "1024"  # clamp
+
+        env = {
+            "SPARK_GRAFT_MULTIFILE_FACTOR": "100",
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS": "64",
+            "SPARK_GRAFT_DRIVER_MEM": "8g",
+        }
+        bench.apply_facts_env_defaults(env)
+        assert env["SPARK_GRAFT_SHUFFLE_PARTITIONS"] == "64"
+        assert env["SPARK_GRAFT_DRIVER_MEM"] == "8g"

@@ -142,9 +142,11 @@ HEADLINE = [
     "events_watermark_delay_choice",
     "doc_gopher_quality_flags",
     # r8 late additions: CCNet-style perplexity triage (rank-bucketed
-    # LM scores) and the data-constrained epoch water-filling planner
+    # LM scores), the data-constrained epoch water-filling planner,
+    # and the packing decision table (choose_packing under the gate)
     "doc_ccnet_perplexity_bucket",
     "doc_epoch_mix_waterfill",
+    "doc_packing_choice",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -129,9 +129,7 @@ _PACK_CAP = 4096
 _PACK_Q = 256
 
 
-@query(
-    "doc_packing_strategy_report",
-    oracle=f"""
+_PACK_REPORT_ORACLE = f"""
     WITH per_doc AS (
       SELECT CAST(SUM((n_chars + {_PACK_CAP - 1}) // {_PACK_CAP}) AS BIGINT)
                AS bins_a,
@@ -161,7 +159,12 @@ _PACK_Q = 256
           SELECT 'concat_per_source', bins_b FROM src_bins
           UNION ALL
           SELECT 'quantized_concat', bins_c FROM src_bins) s
-    """,
+    """
+
+
+@query(
+    "doc_packing_strategy_report",
+    oracle=_PACK_REPORT_ORACLE,
 )
 def doc_packing_strategy_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEQUENCE-PACKING STRATEGY accounting — the waste analysis a
@@ -904,4 +907,95 @@ def doc_epoch_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("at_cap"),
+    )
+
+
+# utilization floors for the packing decision table; the 0.5 row is
+# the one the boundary constraint flips on this corpus (concat wins
+# raw utilization, quantized_concat wins under cheap-boundaries)
+_PACK_FLOORS = (0.0, 0.5, 0.75, 0.9)
+
+
+@query(
+    "doc_packing_choice",
+    oracle=f"""
+    WITH report AS MATERIALIZED ({_PACK_REPORT_ORACLE}),
+    grid(min_utilization, cheap_boundaries) AS (
+      VALUES {", ".join(
+          f"(CAST({f} AS DOUBLE), {b})" for f in _PACK_FLOORS for b in (0, 1)
+      )}
+    ),
+    admissible AS (
+      SELECT g.min_utilization, g.cheap_boundaries,
+             r.strategy, r.n_bins, r.utilization,
+             ROW_NUMBER() OVER (
+               PARTITION BY g.min_utilization, g.cheap_boundaries
+               ORDER BY r.utilization DESC, r.strategy
+             ) AS rk
+      FROM grid g JOIN report r
+        ON r.utilization >= g.min_utilization
+       AND (g.cheap_boundaries = 0 OR r.strategy <> 'concat_per_source')
+    )
+    SELECT min_utilization, CAST(cheap_boundaries AS INT) AS cheap_boundaries,
+           strategy AS chosen_strategy, n_bins, utilization
+    FROM admissible WHERE rk = 1
+    """,
+)
+def doc_packing_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing DECISION TABLE — operators.text.choose_packing
+    materialized as an oracle-gated query (the same loop closure as
+    events_watermark_delay_choice): for each utilization floor in a
+    config grid × both boundary regimes, the winning strategy with
+    its measured stats. One row per (floor, regime) that HAS a winner
+    — floors nothing clears drop out, exactly where choose_packing
+    raises. Columns: (min_utilization, cheap_boundaries,
+    chosen_strategy, n_bins, utilization).
+
+    Determinism: utilization is rounded to 6dp in the report before
+    any comparison, so the ≥-floor predicate and the (utilization
+    DESC, strategy ASC) tiebreak see bit-identical values in both
+    engines.
+
+    Scale shape: the report is a 3-row aggregate, the grid an 8-row
+    literal — the theta join and the rank window run on ≤24
+    CONSTANT-cardinality rows (allowlisted like the watermark table);
+    everything upstream is the report's two corpus aggregates."""
+    from pyspark.sql.window import Window
+
+    report = doc_packing_strategy_report(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(float(f)) for f in _PACK_FLOORS])
+            ).alias("min_utilization")
+        )
+        .select(
+            "min_utilization",
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("cheap_boundaries"),
+        )
+    )
+    admissible = grid.join(
+        report,
+        (F.col("utilization") >= F.col("min_utilization"))
+        & (
+            (F.col("cheap_boundaries") == 0)
+            | (F.col("strategy") != "concat_per_source")
+        ),
+    )
+    w = Window.partitionBy("min_utilization", "cheap_boundaries").orderBy(
+        F.desc("utilization"), F.asc("strategy")
+    )
+    return (
+        admissible.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "min_utilization",
+            F.col("cheap_boundaries").cast("int").alias("cheap_boundaries"),
+            F.col("strategy").alias("chosen_strategy"),
+            "n_bins",
+            "utilization",
+        )
     )

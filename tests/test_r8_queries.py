@@ -487,3 +487,38 @@ class TestEpochMixWaterfill:
         assert {r["alloc_chars"] for r in rows} == {1750.0}
         assert {r["epochs"] for r in rows} == {3.5}
         assert {r["at_cap"] for r in rows} == {0}
+
+
+class TestPackingChoiceQuery:
+    def test_choice_rows_agree_with_the_rule(self, spark):
+        """The oracle-gated packing decision TABLE must agree
+        row-for-row with choose_packing applied to the live report —
+        and the (floor, regime) cells absent from the table must be
+        exactly the ones where the rule raises."""
+        from employee_analytics_etl_spark.operators.text import choose_packing
+        from employee_analytics_etl_spark.plans import registry_r8
+        from employee_analytics_etl_spark.plans.registry import QUERIES
+
+        report = QUERIES["doc_packing_strategy_report"](spark, SF_SMOKE)
+        table = {
+            (r["min_utilization"], r["cheap_boundaries"]): r["chosen_strategy"]
+            for r in QUERIES["doc_packing_choice"](spark, SF_SMOKE).collect()
+        }
+        grid = [
+            (f, b) for f in registry_r8._PACK_FLOORS for b in (0, 1)
+        ]
+        assert set(table) <= set(grid)
+        for floor, flag in grid:
+            if (floor, flag) in table:
+                assert table[(floor, flag)] == choose_packing(
+                    report,
+                    min_utilization=floor,
+                    require_cheap_boundaries=bool(flag),
+                ), (floor, flag)
+            else:
+                with pytest.raises(ValueError):
+                    choose_packing(
+                        report,
+                        min_utilization=floor,
+                        require_cheap_boundaries=bool(flag),
+                    )

@@ -124,6 +124,11 @@ SCALAR_BNLJ_OK = {
     # inputs, bounded by the two config grids, never data-scale (r8
     # watermark decision table)
     "events_watermark_delay_choice",
+    # 8-row (floor × boundary-regime) literal grid theta-joined
+    # against the 3-row aggregated packing report — ≤24 rows total,
+    # bounded by the config grids, never data-scale (r8 packing
+    # decision table)
+    "doc_packing_choice",
     # 1-row (nt, nr) token totals crossJoined onto the 256-row bucket
     # table before the log-ratio projection
     "doc_dsir_importance_select",

@@ -57,13 +57,25 @@ def main() -> int:
     # SPARK_GRAFT_SELFCHECK_PARTS sweeps shuffle parallelism — results
     # must be bit-identical at ANY partition count (the determinism
     # invariant the DECIMAL/total-order/ranking-primitive idioms exist
-    # to guarantee)
+    # to guarantee). SPARK_GRAFT_SELFCHECK_EXTRA_CONF ("k=v;k=v")
+    # sweeps optimizer configuration the same way — e.g.
+    # spark.sql.adaptive.enabled=false proves no result depends on
+    # AQE's runtime re-planning (coalesced partition counts, skew
+    # splits).
     import os as _os
 
+    extra = {}
+    for kv in _os.environ.get("SPARK_GRAFT_SELFCHECK_EXTRA_CONF", "").split(
+        ";"
+    ):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
     spark = build_session(
         shuffle_partitions=int(
             _os.environ.get("SPARK_GRAFT_SELFCHECK_PARTS", "8")
-        )
+        ),
+        extra_conf=extra or None,
     )
     con = duckdb.connect()
     for t in TABLES:

@@ -298,14 +298,17 @@ def multi_ranked_frames(
     if not keys:
         raise ValueError("multi_ranked_frames() requires sort keys")
     cols0 = None
+    sig0 = None  # (name, dataType) pairs — names alone would let
+    # unionByName silently widen mismatched numeric types across legs
     key_names = [f"_mk{i}" for i in range(len(keys))]
     tagged = None
     for name, df in frames.items():
+        sig = [(f.name, f.dataType) for f in df.schema.fields]
         if cols0 is None:
-            cols0 = df.columns
-        elif df.columns != cols0:
+            cols0, sig0 = df.columns, sig
+        elif sig != sig0:
             raise ValueError(
-                f"leg {name!r} schema {df.columns} != first leg {cols0}"
+                f"leg {name!r} schema {sig} != first leg {sig0}"
             )
         leg_df = df.select(
             F.lit(name).alias(leg_col),

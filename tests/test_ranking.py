@@ -352,3 +352,18 @@ class TestMultiRankedFrames:
         assert n_totals["none"] == 0
         assert n_totals["all"] == src.count()
         assert out.filter(F.col("leg") == "none").count() == 0
+
+    def test_rejects_type_mismatch_same_names(self, spark, src):
+        """Same column NAMES but different types must be rejected —
+        unionByName would silently widen int vs long otherwise."""
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked_frames,
+        )
+
+        narrowed = src.select(
+            F.col("id").cast("int").alias("id"), "grp", "amount"
+        )
+        with pytest.raises(ValueError, match="schema"):
+            multi_ranked_frames(
+                {"a": src, "b": narrowed}, [F.col("grp"), F.col("id")]
+            )

@@ -250,6 +250,11 @@ def build_output(
         "aggregation": "min",
         "loadavg_end": load_end,
     }
+    # Non-default execution topology (e.g. local-cluster[2,16,4096]
+    # for the multi-JVM evidence leg) must be visible in the artifact:
+    # cluster numbers are not comparable to single-JVM records.
+    if os.environ.get("SPARK_GRAFT_MASTER"):
+        out["master"] = os.environ["SPARK_GRAFT_MASTER"]
     if load_warning:
         out["load_warning_detail"] = (
             f"1-min loadavg {load_start[0]} > {LOAD_WARN_THRESHOLD} at bench "

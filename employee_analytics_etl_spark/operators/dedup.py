@@ -1521,9 +1521,16 @@ def blocking_quality_metrics(
         names = schemes.sparkSession.createDataFrame(
             [(str(s),) for s in scheme_names], "scheme string"
         )
+        # RIGHT outer preserving ``names``: Spark's BroadcastHashJoin
+        # can only build the non-preserved side, so broadcasting the
+        # preserved side of an outer join (the old left-outer form with
+        # the hint on ``names``) is silently ignored and falls back to
+        # a shuffle. Hinting the aggregated per_scheme side (≤ one row
+        # per scheme — config-scale) under RightOuter is a legal
+        # build-left broadcast, so the hint actually takes.
         per_scheme = (
-            F.broadcast(names)
-            .join(per_scheme, "scheme", "left")
+            F.broadcast(per_scheme)
+            .join(names, "scheme", "right")
             .withColumn(
                 "n_candidates",
                 F.coalesce("n_candidates", F.lit(0)).cast("long"),

@@ -23,19 +23,9 @@ oracle unrolls the fixed iteration count as chained CTEs.
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-
-def _plan_only() -> bool:
-    """Plan-only mode: tools that CONSTRUCT query plans without running
-    them (explain_audit, plan-shape tests) set SPARK_GRAFT_PLAN_ONLY=1
-    so size gates that would otherwise observe the data (an eager Spark
-    job at DataFrame-construction time — r7 ADVICE) instead take their
-    deterministic lazy default."""
-    return os.environ.get("SPARK_GRAFT_PLAN_ONLY", "") == "1"
 
 
 def _oriented_edge_triangles(
@@ -80,15 +70,17 @@ def _oriented_edge_triangles(
     shuffle join, whose volume is the same orientation-bounded wedge
     mass as before.
 
-    Gate cost + laziness (r7 ADVICE): the adjacency's total cell count
-    equals the oriented edge count equals |distinct E| — so auto mode
-    observes ``e.count()`` on the already-checkpointed distinct edge
-    table (which every consumer materializes anyway; the count warms
-    it) instead of aggregating the adjacency pipeline. Callers that
-    must not run ANY job at plan-construction time either pass
-    ``broadcast_adj`` / ``adj_cells`` explicitly or set
-    SPARK_GRAFT_PLAN_ONLY=1 (explain_audit does), which forces the
-    deterministic shuffle-join default with zero eager work.
+    Gate laziness (r7/r8 ADVICE): construction NEVER runs a job. The
+    default (no ``broadcast_adj``, no ``adj_cells``) is the shuffle
+    join — the plan that is safe at unbounded |E| — so the plan
+    explain_audit audits is the plan production executes, in every
+    mode. The gate only flips to broadcast on caller-supplied
+    knowledge: ``broadcast_adj=True`` or an ``adj_cells`` upper bound
+    (cells = oriented edge count = |distinct E|) at most
+    ``broadcast_adj_cells_max``. The broadcast variant measured
+    within noise at sf0.1 and ~10% at the 10× multifile layout, so
+    defaulting to shuffle costs little where it is wrong and prevents
+    a ≥100 MB broadcast where it would be fatal.
 
     Returns (e, deg, tri) where ``tri`` is one row per oriented edge
     with ``ws`` = the array of third corners closing it. All counts
@@ -130,11 +122,18 @@ def _oriented_edge_triangles(
         .localCheckpoint(eager=False)  # exploded AND joined below
     )
     if broadcast_adj is None:
-        if adj_cells is None and not _plan_only():
-            # Σ|N+(u)| == oriented edge count == |distinct E|: count the
-            # checkpointed edge table (warming the checkpoint consumers
-            # reuse) rather than materializing the adjacency pipeline
-            adj_cells = e.count()
+        # Lazy, deterministic default: the shuffle join. The former
+        # auto mode ran an eager e.count() at DataFrame-construction
+        # time, and suppressing that under SPARK_GRAFT_PLAN_ONLY meant
+        # explain_audit audited a different physical plan than
+        # production executed (r8 ADVICE). Measured: the broadcast
+        # variant is within noise at sf0.1 and ~10% at the 10×
+        # multifile layout, but past ~13 M adjacency cells the
+        # broadcast itself becomes the memory hazard — the unbounded-
+        # scale-safe plan is the shuffle join, so that is the default
+        # and the SAME plan is constructed in every mode. Callers with
+        # a known-small graph opt in via broadcast_adj=True or a
+        # caller-computed adj_cells bound.
         broadcast_adj = (
             adj_cells is not None and adj_cells <= broadcast_adj_cells_max
         )

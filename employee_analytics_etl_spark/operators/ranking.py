@@ -251,7 +251,12 @@ def multi_ranked(
         together forming a total order (include the unique tiebreak).
         Express a descending numeric/date order by negating the key
         (``-col``, exact for ints/decimals/dates-as-days; for doubles
-        exact absent NaN).
+        exact absent NaN). Per POSITION, key types should agree
+        across legs; lossless mixes are widened explicitly (integral
+        → long, float+double → double) and integral/decimal mixes use
+        union's exact decimal widening, but a float/double key mixed
+        with exact types raises — cast explicitly per leg, because
+        the union's silent double widening is lossy past 2^53.
     Returns ``(out_df, n_totals)``: the union of all legs — original
     columns plus ``leg_col`` (leg name) and ``rn_col`` (1-based global
     rank within the leg) — and each leg's exact row count.
@@ -265,13 +270,58 @@ def multi_ranked(
         )
     nkeys = next(iter(widths.values()))
     key_names = [f"_mk{i}" for i in range(nkeys)]
-    tagged = None
-    for name, keys in legs.items():
-        leg_df = df.select(
+    leg_dfs = {
+        name: df.select(
             F.lit(name).alias(leg_col),
             *[k.alias(kn) for k, kn in zip(keys, key_names)],
             *df.columns,
         )
+        for name, keys in legs.items()
+    }
+    # Per-position key-type validation (r8 ADVICE): when a position
+    # mixes an int/long/decimal key with a float/double key across
+    # legs, unionByName silently widens it to DOUBLE — a key with
+    # magnitude ≥ 2^53 then loses precision, creating phantom ties
+    # under a caller's exact total order. Identical types pass; mixed
+    # INTEGRAL types widen to long explicitly (lossless); float+double
+    # widens to double explicitly (lossless — every float is a
+    # double); integral/decimal mixes are left to union's DECIMAL
+    # widening, which is value-exact (callers with >36-digit decimals
+    # own the 38-precision cap). Only the lossy case — float/double
+    # mixed with integral/decimal — is rejected: the caller must cast
+    # per leg, owning the exactness argument at the site that knows
+    # the value bounds (mirrors multi_ranked_frames' signature check).
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    binary_fp = (T.FloatType, T.DoubleType)
+    for kn in key_names:
+        per_leg = {n: ldf.schema[kn].dataType for n, ldf in leg_dfs.items()}
+        tset = set(per_leg.values())
+        if len(tset) == 1:
+            continue
+        if all(isinstance(t, integral) for t in tset):
+            leg_dfs = {
+                n: ldf.withColumn(kn, F.col(kn).cast("long"))
+                for n, ldf in leg_dfs.items()
+            }
+            continue
+        if all(isinstance(t, binary_fp) for t in tset):
+            leg_dfs = {
+                n: ldf.withColumn(kn, F.col(kn).cast("double"))
+                for n, ldf in leg_dfs.items()
+            }
+            continue
+        if any(isinstance(t, binary_fp) for t in tset):
+            pos = key_names.index(kn)
+            raise ValueError(
+                f"multi_ranked: sort-key position {pos} mixes "
+                f"float/double with exact types across legs "
+                f"({ {n: t.simpleString() for n, t in per_leg.items()} }); "
+                "unionByName would silently widen to double (lossy "
+                "past 2^53). Cast this key to one explicit type in "
+                "every leg."
+            )
+    tagged = None
+    for leg_df in leg_dfs.values():
         tagged = leg_df if tagged is None else tagged.unionByName(leg_df)
     return _multi_ranked_core(
         tagged, df.columns, key_names, set(legs), rn_col, leg_col,

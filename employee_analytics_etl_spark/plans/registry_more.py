@@ -1312,11 +1312,18 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # Position-0 keys are int (days) / long (count) / double (money)
+    # across the legs: multi_ranked rejects that mix (silent double
+    # widening is lossy past 2^53), so cast explicitly — exact here
+    # because |days since epoch| < 2^20, order counts < 2^31, and
+    # monetary is a bounded DECIMAL(18,2) sum already held in double;
+    # all magnitudes are far below 2^53, so the double total order
+    # equals the native one.
     ranked_u, n_totals = R.multi_ranked(
         rfm,
         {
-            "r": [-F.unix_date("last_order"), F.col("custkey")],
-            "f": [-F.col("frequency"), F.col("custkey")],
+            "r": [(-F.unix_date("last_order")).cast("double"), F.col("custkey")],
+            "f": [(-F.col("frequency")).cast("double"), F.col("custkey")],
             "m": [-F.col("monetary"), F.col("custkey")],
         },
         rn_col="_rn",

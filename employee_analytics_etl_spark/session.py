@@ -45,7 +45,13 @@ def build_session(
     ``SPARK_GRAFT_CPUS`` control local parallelism.
     """
     cpus = DEFAULT_CPUS
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets the bench/selfcheck harnesses swap the
+    # execution topology without code changes — in particular
+    # local-cluster[N,C,M] (N separate executor JVMs × C cores × M MB
+    # each), which exercises real serialization, broadcast transport,
+    # and per-executor heaps that local[*]'s single shared JVM cannot
+    # (r8 verdict: every number ever measured shared one heap).
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     # Shuffle partitions default to the thread count — right for the
     # sub-GB single-file fixtures — but must SCALE WITH DATA: at the
     # factor-100 facts layout (60M-row shuffles) 32 partitions put

@@ -25,10 +25,26 @@ from pyspark.sql import functions as F
 # and sf0.1 under the curve's synthesized 0–600 s arrival disorder
 # (dropped_share: 0 s → 0.27/0.74, 300 s → 0.04/0.24, 900 s → 0.0/0.0).
 # "15 minutes" therefore replaces the former folklore "2 hours": state
-# is evicted 8× sooner at zero measured completeness cost. Jobs whose
-# delay is part of their JOIN CONTRACT (outer-join null emission
-# horizon, the 8-day sliding KMV) keep their own explicit defaults.
+# is evicted 8× sooner at zero measured completeness cost. NOTE the
+# semantics this buys that eviction with: DEFAULT_WATERMARK is the
+# LATE-DATA ADMISSION HORIZON — an event arriving more than 15 minutes
+# (in event time) behind the observed maximum is dropped by every job
+# that takes this default. Jobs whose delay is part of their RESULT
+# CONTRACT rather than a freshness/completeness trade keep their own
+# explicit defaults: the outer-join null emission horizon, the 8-day
+# sliding KMV, and dedup_events_stream (DEDUP_WATERMARK below — its
+# watermark bounds which duplicates are REMOVED, not merely which late
+# rows are admitted, so the measured loss curve doesn't license
+# shrinking it).
 DEFAULT_WATERMARK = "15 minutes"
+
+# dedup_events_stream's horizon (r8 ADVICE): a duplicate arriving more
+# than the watermark after its first occurrence SURVIVES dedup — the
+# delay is the dedup guarantee itself, not a late-data admission knob,
+# so it is NOT tied to the loss-curve-measured DEFAULT_WATERMARK. Two
+# hours holds the pre-r8 guarantee (state: arrival rate × 2 h, still
+# bounded); widen/narrow per deployment with an explicit argument.
+DEDUP_WATERMARK = "2 hours"
 
 
 def choose_watermark_delay(
@@ -370,7 +386,7 @@ def psi_drift_stream(
 
 
 def dedup_events_stream(
-    events: DataFrame, watermark: str = DEFAULT_WATERMARK
+    events: DataFrame, watermark: str = DEDUP_WATERMARK
 ) -> DataFrame:
     """Streaming deduplication by event_id, state bounded by the
     watermark horizon (dropDuplicatesWithinWatermark). Plain
@@ -380,7 +396,13 @@ def dedup_events_stream(
     horizon) regardless of stream age. Emits each event_id's first
     arrival (append mode). Batch twin: keyed_dedup_first
     (operators/dedup.py) — same survivor set when duplicates fall
-    inside one horizon."""
+    inside one horizon.
+
+    The default is DEDUP_WATERMARK (2 h), NOT the loss-curve-measured
+    DEFAULT_WATERMARK (15 min): here the delay is the dedup CONTRACT
+    — a duplicate arriving more than the watermark after its first
+    occurrence survives — so shrinking it to the measured late-data
+    horizon would silently re-admit slow duplicates (r8 ADVICE)."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -1807,13 +1807,12 @@ class TestTriangleStats:
         assert r.n_triangles == 10  # C(5,3) from the clique only
 
     def test_plan_construction_is_lazy(self, spark, monkeypatch):
-        """r7 ADVICE #1: the broadcast-adjacency size gate ran an eager
-        agg at DataFrame-construction time, so plan-only callers
-        (explain_audit, plan-shape tests) executed the corpus-scale
-        adjacency pipeline. Pin the three lazy paths — plan-only env,
-        explicit flag, explicit cell count — by making any eager
-        count() raise during construction; auto mode (no env, no
-        hints) must still run the gate."""
+        """r7 ADVICE #1 + r8 ADVICE #3: triangle-op construction must
+        NEVER run a Spark job — the former auto gate's eager e.count()
+        meant explain_audit (plan-only) audited the shuffle plan while
+        production executed the broadcast plan. Pin that EVERY mode —
+        default, explicit flag, explicit cell count — constructs
+        lazily, by making any count() raise during construction."""
         from employee_analytics_etl_spark.operators import graph as G
 
         tp = spark.createDataFrame(
@@ -1826,18 +1825,17 @@ class TestTriangleStats:
         # patch the CONCRETE class (Spark 4: pyspark.sql.classic...,
         # which overrides the pyspark.sql.DataFrame interface methods)
         monkeypatch.setattr(type(tp), "count", boom)
-        monkeypatch.setenv("SPARK_GRAFT_PLAN_ONLY", "1")
-        df_env = G.local_clustering_topk(tp, k=5)  # must not raise
-        monkeypatch.delenv("SPARK_GRAFT_PLAN_ONLY")
+        df_auto = G.local_clustering_topk(tp, k=5)  # default: no job
         df_flag = G.triangle_stats(tp, broadcast_adj=False)
+        df_bc = G.triangle_stats(tp, broadcast_adj=True)
         df_hint = G.triangle_stats(tp, adj_cells=4)
-        with pytest.raises(AssertionError, match="eager job"):
-            G.triangle_stats(tp)  # auto mode still observes the data
         monkeypatch.undo()
-        # the lazily-built plans stay correct when finally executed
+        # the lazily-built plans stay correct when finally executed,
+        # and the caller-gated broadcast agrees with the shuffle plan
         assert df_flag.first().n_triangles == 1
+        assert df_bc.first().n_triangles == 1
         assert df_hint.first().n_triangles == 1
-        assert df_env.count() >= 1
+        assert df_auto.count() >= 1
 
 
 class TestChunkExactDedup:

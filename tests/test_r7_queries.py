@@ -332,3 +332,10 @@ class TestChooseBlocking:
         )
         with pytest.raises(ValueError, match="ZERO candidate"):
             choose_blocking(only_empty, completeness_floor=0.5)
+        # r8 ADVICE: the scheme_names attach must be a broadcast join
+        # that actually TAKES — the old form hinted the preserved side
+        # of a LeftOuter (no legal build side), silently shuffling.
+        # The RightOuter rewrite builds the aggregated left side: the
+        # executed plan must carry a BroadcastHashJoin RightOuter.
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "RightOuter" in plan

@@ -293,6 +293,47 @@ class TestMultiRanked:
         with pytest.raises(ValueError, match="at least one leg"):
             multi_ranked(src, {})
 
+    def test_key_type_mix_rules(self, spark):
+        """r8 ADVICE: a position mixing float/double with exact types
+        must raise (union's silent double widening is lossy past
+        2^53); lossless mixes — all-integral, integral+decimal — must
+        widen exactly, preserving ranks, including past 2^53 where
+        the double widening would have tied distinct keys."""
+        from employee_analytics_etl_spark.operators.ranking import (
+            multi_ranked,
+        )
+
+        big = 2**53  # double cannot distinguish big from big+1
+        src = spark.createDataFrame(
+            [(1, big, 1.5), (2, big + 1, 0.5)],
+            "id long, k long, d double",
+        )
+        with pytest.raises(ValueError, match="float/double with exact"):
+            multi_ranked(
+                src,
+                {"a": [F.col("k"), F.col("id")],
+                 "b": [F.col("d"), F.col("id")]},
+            )
+        # all-integral mix widens to long: the 2^53-adjacent keys
+        # stay distinct and the rank order is exact
+        out, _ = multi_ranked(
+            src,
+            {"a": [F.col("k"), F.col("id")],
+             "b": [F.col("id").cast("int"), F.col("id")]},
+        )
+        ranks = {
+            (r["leg"], r["id"]): r["rn"] for r in out.collect()
+        }
+        assert ranks[("a", 1)] == 1 and ranks[("a", 2)] == 2
+        # float+double widens to double explicitly (lossless)
+        out2, _ = multi_ranked(
+            src,
+            {"a": [F.col("d"), F.col("id")],
+             "b": [F.col("d").cast("float"), F.col("id")]},
+        )
+        r2 = {(r["leg"], r["id"]): r["rn"] for r in out2.collect()}
+        assert r2[("a", 2)] == 1 and r2[("a", 1)] == 2
+
 
 class TestMultiRankedFrames:
     """multi_ranked_frames: filter-differing legs under one order must

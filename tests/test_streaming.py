@@ -503,6 +503,20 @@ class TestStreamingDedup:
         assert len(ids) == 200  # one survivor per event_id
         assert len(set(ids)) == 200
 
+    def test_dedup_default_watermark_is_the_contract_horizon(self):
+        """r8 ADVICE: dedup's watermark bounds which duplicates are
+        REMOVED (a dup arriving later than the horizon survives), so
+        its default must NOT follow the loss-curve-measured
+        DEFAULT_WATERMARK down — pin the wider explicit contract."""
+        import inspect
+
+        from employee_analytics_etl_spark.streaming import jobs
+
+        sig = inspect.signature(jobs.dedup_events_stream)
+        assert sig.parameters["watermark"].default == jobs.DEDUP_WATERMARK
+        assert jobs.DEDUP_WATERMARK == "2 hours"
+        assert jobs.DEFAULT_WATERMARK == "15 minutes"
+
 
 class TestStreamStatic:
     def test_stream_static_join_equals_batch(self, spark, batch_events):

@@ -87,6 +87,19 @@ def build_session(
             os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getpid()}"),
         )
     )
+    # Executors in separate JVMs (local-cluster[...], standalone) spawn
+    # Python workers that do NOT inherit the driver's sys.path, so
+    # Arrow UDFs importing this package fail with ModuleNotFoundError.
+    # Point them at the repo root — the same-machine analogue of
+    # shipping the wheel that a real cluster submit does via
+    # --py-files. Harmless (and occasionally load-bearing for the same
+    # reason) under plain local[N] too, so set unconditionally.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    builder = builder.config(
+        "spark.executorEnv.PYTHONPATH",
+        repo_root + (os.pathsep + existing if existing else ""),
+    )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

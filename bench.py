@@ -292,6 +292,10 @@ def apply_facts_env_defaults(environ=None) -> None:
     7/7, load_warning false)."""
     env = environ if environ is not None else os.environ
     f = int(env.get("SPARK_GRAFT_MULTIFILE_FACTOR", "100"))
+    if f < 30:
+        # small factors keep the plain defaults — the r7/r8 10×
+        # multifile records were measured there and stay comparable
+        return
     env.setdefault(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, min(5 * f, 1024)))
     )
@@ -309,6 +313,15 @@ def main() -> None:
         elif "facts" in sys.argv:
             layout = "facts"
     if layout == "facts":
+        apply_facts_env_defaults()
+    elif layout == "multifile" and int(
+        os.environ.get("SPARK_GRAFT_MULTIFILE_FACTOR", "10")
+    ) >= 30:
+        # r9: the partition/heap floor rule is about DATA VOLUME, not
+        # which tables were replicated — a factor-100 full layout
+        # shuffles the same 60M-row facts that OOM'd the facts layout
+        # at 32 partitions (BENCH_facts_r08.json), plus the replicated
+        # documents/customer tiers on top.
         apply_facts_env_defaults()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]

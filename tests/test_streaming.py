@@ -1971,9 +1971,17 @@ class TestChooseWatermarkDelay:
         wired = [
             jobs.tumbling_counts_stream,
             jobs.session_window_stream,
-            jobs.dedup_events_stream,
             jobs.ohlc_stream,
         ]
         for fn in wired:
             got = inspect.signature(fn).parameters["watermark"].default
             assert got == jobs.DEFAULT_WATERMARK, fn.__name__
+        # dedup_events_stream is deliberately NOT wired to the
+        # loss-curve default: its watermark bounds WHICH duplicates
+        # are removed (part of the dedup contract), so it keeps the
+        # wider explicit DEDUP_WATERMARK (r8 ADVICE #2; pinned at
+        # test_dedup_stream_keeps_contract_watermark).
+        got = inspect.signature(jobs.dedup_events_stream).parameters[
+            "watermark"
+        ].default
+        assert got == jobs.DEDUP_WATERMARK

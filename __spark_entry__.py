@@ -29,6 +29,7 @@ def _registry():
         registry_r6,
         registry_r7,
         registry_r8,
+        registry_r9,
     )
 
     return registry.QUERIES, registry.ORACLE

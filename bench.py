@@ -292,10 +292,6 @@ def apply_facts_env_defaults(environ=None) -> None:
     7/7, load_warning false)."""
     env = environ if environ is not None else os.environ
     f = int(env.get("SPARK_GRAFT_MULTIFILE_FACTOR", "100"))
-    if f < 30:
-        # small factors keep the plain defaults — the r7/r8 10×
-        # multifile records were measured there and stay comparable
-        return
     env.setdefault(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(32, min(5 * f, 1024)))
     )
@@ -343,6 +339,7 @@ def main() -> None:
         registry_r6,
         registry_r7,
         registry_r8,
+        registry_r9,
     )
     from employee_analytics_etl_spark.session import build_session
 

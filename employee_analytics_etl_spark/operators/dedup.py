@@ -97,6 +97,57 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document DISTINCT shingle sets, computed entirely scan-side:
+    (id, shingle_set sorted array<string>, set_size long).
+
+    The r9 lever behind the exact-similarity family: set semantics are
+    PER DOCUMENT, so deduplication is local to the row —
+    ``array_distinct`` inside the projection replaces
+    ``shingles(distinct=True)``'s corpus-wide (id, shingle) DISTINCT
+    exchange with zero shuffle, and the set size rides along for free
+    (the old shape paid a second shuffle — groupBy(id).count() over
+    the exploded table — to recover it). Consumers explode this for
+    shingle-keyed work and read set_size/shingle_set directly for
+    sizes and verify joins; the per-row array is bounded by the
+    document's own token count, the same bound the verify join
+    already ships.
+    """
+    grams = (
+        f"CASE WHEN size(_tk) >= {n} THEN "
+        f"transform(sequence(1, size(_tk) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
+        f"ELSE array() END"
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
+            ).alias("_tk"),
+        )
+        .select(
+            "id",
+            F.expr(f"array_sort(array_distinct({grams}))").alias("shingle_set"),
+        )
+        .withColumn("set_size", F.size("shingle_set").cast("long"))
+        # Lazy pin, part of the helper's contract: exploding a computed
+        # array column triggers InferFiltersFromGenerate, whose
+        # size(...)>0 / isnotnull filter RE-INLINES the whole
+        # regexp+transform+distinct+sort tree several times per row —
+        # measured 8x on the bare explode (0.4 -> 3.3 s at sf0.1).
+        # The checkpoint truncates the tree so every consumer (explode,
+        # sizes, verify arrays) reads stored values — the r8
+        # "pin narrow, filter pinned" lesson, one level down.
+        .localCheckpoint(eager=False)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -113,13 +164,17 @@ def ngram_jaccard_pairs(
     documents before pairing — bounds the self-join fanout (at scale:
     also the skew guard).
 
-    The shingle set feeds two consumers (set sizes, pair counts) and is
-    deliberately NOT cached: materializing the exploded shingle table
-    is several× the corpus size — a non-starter at 100 TB — while
-    recomputing it is one extra scan-side pass that parallelizes
-    perfectly (and is also measurably cheaper cold at bench scale)."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    r9 shape: both consumers (set sizes, pair counts) read
+    ``shingle_sets`` — per-document distinct arrays built scan-side —
+    so the corpus-wide (id, shingle) DISTINCT exchange and the
+    groupBy(id) size shuffle of the original shape are gone; the one
+    remaining wide shuffle is the groupBy(shingle) that the algorithm
+    actually needs. Nothing is cached: sizes is a second scan-side
+    pass that parallelizes perfectly, and the exploded table is never
+    materialized (several× the corpus size at 100 TB)."""
+    ss = shingle_sets(df, id_col, text_col, n)
+    sh = ss.select("id", F.explode("shingle_set").alias("shingle"))
+    sizes = ss.select("id", "set_size")
     # One groupBy(shingle) yields both the document-frequency filter
     # (2 ≤ |ids| ≤ max_df) and the co-occurring id list; exploding the
     # sorted id-pair combinations replaces the classic shingle
@@ -172,9 +227,12 @@ def ngram_containment_pairs(
     groupBy(shingle) with df-capped sorted pair-explode (never a
     shingle self-join), one groupBy(pair), two broadcast-size joins
     for the set sizes. The df cap bounds fanout and is the documented
-    completeness trade-off shared with the Jaccard form."""
-    sh = shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    completeness trade-off shared with the Jaccard form. Sizes and
+    shingle rows both come from scan-side ``shingle_sets`` (r9): no
+    distinct exchange, no groupBy(id) size shuffle."""
+    ss = shingle_sets(df, id_col, text_col, n)
+    sh = ss.select("id", F.explode("shingle_set").alias("shingle"))
+    sizes = ss.select("id", "set_size")
     pair_expr = (
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
@@ -1387,9 +1445,15 @@ def prefix_filter_jaccard_pairs(
     prefix unless the doc is mostly boilerplate)."""
     from pyspark.sql.window import Window
 
-    sh = shingles(df, id_col, text_col, n)
+    # r9: every consumer derives from scan-side per-document distinct
+    # sets — the old shape re-derived the exploded DISTINCT table four
+    # times (dfreq, sizes, prefix join, verify sets), paying the
+    # corpus-wide distinct exchange each time AQE couldn't reuse it.
+    # Now: zero distinct exchanges, sizes ride the explode, and the
+    # verify join reads the already-sorted arrays directly.
+    ss = shingle_sets(df, id_col, text_col, n)
+    sh = ss.select("id", "set_size", F.explode("shingle_set").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     # rarest-first global order; (df, shingle) is a total order within
     # a doc because shingles are distinct per doc
     w = Window.partitionBy("id").orderBy(
@@ -1403,7 +1467,6 @@ def prefix_filter_jaccard_pairs(
     pre = (
         sh.join(dfreq, "shingle")
         .withColumn("_rn", F.row_number().over(w))
-        .join(sizes, "id")
         .filter(F.col("_rn") <= prefix_len)
         .select("id", "shingle", "set_size")
     )
@@ -1431,10 +1494,7 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = sh.groupBy("id").agg(
-        F.array_sort(F.collect_list("shingle")).alias("_set"),
-        F.count(F.lit(1)).alias("set_size"),
-    )
+    sets = ss.select("id", F.col("shingle_set").alias("_set"), "set_size")
     out = (
         cand.join(
             sets.select(
@@ -1645,3 +1705,103 @@ def choose_lsh_bands(
         ),
     )
     return int(best["bands"]), int(best["rows_per_band"])
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact cross-document substring deduplication at k-token span
+    granularity — the bounded, distributable form of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr, arXiv:2107.06499): any k-token window whose text
+    occurs more than once in the corpus (across documents OR repeated
+    within one) is a duplicated span; every occurrence except the
+    canonical first one under the total order (doc_id, pos) is cut.
+    Suffix arrays (the paper's tool) don't distribute; a sliding
+    k-token rolling window with digest grouping does, and unioning
+    the cut windows position-wise reproduces "remove all but one
+    occurrence of every duplicated run >= k tokens" at k-granularity.
+
+    Returns one audit row per document: n_tokens, n_spans, dup_spans
+    (its windows that occur >=2 times corpus-wide), removed_tokens
+    (token positions covered by a non-canonical duplicated window),
+    kept_tokens, kept_ratio.
+
+    Scale shape (100 TB): spans are O(tokens) per document and carry
+    a 16-byte md5 digest, never the window text — the only wide
+    shuffle moves (doc_id, pos, digest) rows. One hash aggregation
+    per digest (count + min-struct canonical), one digest join back,
+    then the k-position explode runs ONLY on non-canonical duplicated
+    occurrences (in deduplicated corpora a small fraction), followed
+    by per-document aggregation. Nothing all-pairs, nothing collected.
+    Tokenization is single-space split, byte-faithful to the DuckDB
+    oracle's string_split (same choice as doc_chunk_exact_dedup).
+    """
+    words = F.split(F.col(text_col), " ")
+    nsp = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    digs = F.when(
+        nsp >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nsp),
+            lambda i: F.md5(F.array_join(F.slice(words, i, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        nsp.cast("long").alias("n_spans"),
+        digs.alias("_digs"),
+    ).localCheckpoint(eager=False)  # feeds occurrences AND the per-doc spine
+    occ = base.select(
+        "doc_id", F.posexplode("_digs").alias("pos", "dig")
+    )
+    grp = (
+        occ.groupBy("dig")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("_canon"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("dig", "_canon")
+    )
+    dup = occ.join(grp, "dig")  # digest-keyed shuffle join
+    dup_per_doc = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dup_spans")
+    )
+    removed = (
+        dup.filter(
+            ~(
+                (F.col("doc_id") == F.col("_canon.doc_id"))
+                & (F.col("pos") == F.col("_canon.pos"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("removed_tokens"))
+    )
+    kept = F.col("n_tokens") - F.coalesce(F.col("removed_tokens"), F.lit(0))
+    return (
+        base.drop("_digs")
+        .join(dup_per_doc, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_spans",
+            F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce(F.col("removed_tokens"), F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            kept.cast("long").alias("kept_tokens"),
+            F.round(kept.cast("double") / F.col("n_tokens"), 6).alias("kept_ratio"),
+        )
+    )

@@ -2622,6 +2622,17 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale, so this stays linear where a document-level matrix
     would be quadratic."""
     docs = fan_out(t(spark, sf_dir, "documents"))
+    # r9 A/B: REJECTED the shingle_sets feed here. Per-SOURCE set
+    # semantics need the cross-document distinct regardless, the two
+    # consumers (sizes, pair counts) already share that distinct
+    # EXCHANGE via ReusedExchange (one scan, one shuffle), and both
+    # measured alternatives lost: per-doc array_distinct feeding the
+    # distinct (explode-over-computed-array filter-inference tax,
+    # 1.65 -> 4.97 s at sf0.1) and checkpoint-pinning the distinct
+    # output (row-serialized materialization replacing the reused
+    # exchange, ~3x). The pin-narrow lesson pays only when there is
+    # no common exchange to reuse (ngram_jaccard_pairs,
+    # prefix_filter_jaccard_pairs).
     sh = D.shingles(docs, id_col="source", text_col="text")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     pair_expr = (

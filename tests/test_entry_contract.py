@@ -168,6 +168,7 @@ class TestGateCostTable:
             registry_r6,
             registry_r7,
             registry_r8,
+            registry_r9,
         )
 
         path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")

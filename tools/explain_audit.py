@@ -451,6 +451,7 @@ def main() -> None:
         registry_r6,
         registry_r7,
         registry_r8,
+        registry_r9,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -1464,8 +1464,22 @@ def prefix_filter_jaccard_pairs(
         - F.ceil(F.lit(float(threshold)) * F.col("set_size"))
         + F.lit(1)
     )
+    # Corpus-proportional join sides must NEVER broadcast (r9: the
+    # local-cluster leg exposed this — AQE's 64 MB threshold
+    # underestimates string-heavy hashed relations ~5-10x, and
+    # building + shipping + pinning a multi-million-row broadcast
+    # per executor OOM'd 8 GB heaps; in one JVM the same broadcast is
+    # a shared in-process reference, which is how it stayed hidden).
+    # dfreq is vocab-scale, the prefix table and the verify arrays are
+    # corpus-scale: all three get explicit sort-merge hints. Not
+    # shuffle_hash: SHJ's per-partition hash map cannot spill, and with
+    # AQE coalescing shuffle outputs to ~64 MB advisory partitions the
+    # build OOM'd 8 GB executors ("not enough memory to build hash
+    # map") — SMJ sorts both sides with full spill support, the only
+    # strategy whose memory is bounded regardless of partition sizing,
+    # which is the property a corpus-scale join must have.
     pre = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("merge"), "shingle")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("id", "shingle", "set_size")
@@ -1481,7 +1495,7 @@ def prefix_filter_jaccard_pairs(
         F.col("set_size").alias("_sz_b"),
     )
     cand = (
-        a.join(b, "shingle")
+        a.join(b.hint("merge"), "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # length filter: J ≥ τ forces τ·max(|a|,|b|) ≤ min(|a|,|b|)
@@ -1494,7 +1508,9 @@ def prefix_filter_jaccard_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sets = ss.select("id", F.col("shingle_set").alias("_set"), "set_size")
+    sets = ss.select(
+        "id", F.col("shingle_set").alias("_set"), "set_size"
+    ).hint("merge")
     out = (
         cand.join(
             sets.select(

@@ -107,3 +107,51 @@ class TestExactSubstringSpans:
         assert result[2]["kept_tokens"] == 2
         # doc 1 is canonical for all three shared windows: kept whole
         assert result[1]["removed_tokens"] == 0
+
+
+class TestBroadcastOverGenerateCheck:
+    """r9 plan invariant: exploded tables never broadcast without an
+    allowlisted bound (the hazard class the local-cluster leg exposed
+    — Catalyst estimates the pre-explode relation, so the 64 MB
+    threshold admits hashed relations that blow up 5-10x deserialized)."""
+
+    def test_detector_flags_unaggregated_explode_under_broadcast(self):
+        from tools.explain_audit import broadcast_over_generate
+
+        plan = (
+            "*(3) BroadcastHashJoin [shingle], [shingle], Inner\n"
+            ":- *(1) Project [id]\n"
+            "+- BroadcastExchange HashedRelationBroadcastMode\n"
+            "   +- *(2) Project [shingle]\n"
+            "      +- Generate explode(shingle_set), false, [shingle]\n"
+            "         +- Scan parquet [shingle_set]\n"
+        )
+        hits = broadcast_over_generate(plan)
+        assert len(hits) == 1 and "explode" in hits[0]
+
+    def test_detector_accepts_aggregated_explode_and_plain_broadcast(self):
+        from tools.explain_audit import broadcast_over_generate
+
+        aggregated = (
+            "+- BroadcastExchange HashedRelationBroadcastMode\n"
+            "   +- *(2) HashAggregate(keys=[k], functions=[count(1)])\n"
+            "      +- Generate explode(xs), false, [k]\n"
+            "         +- Scan parquet [xs]\n"
+        )
+        plain = (
+            "+- BroadcastExchange HashedRelationBroadcastMode\n"
+            "   +- *(2) Project [n_nationkey]\n"
+            "      +- Scan parquet [n_nationkey]\n"
+            "+- Generate explode(ys), false, [y]\n"   # sibling, NOT inside
+            "   +- Scan parquet [ys]\n"
+        )
+        assert broadcast_over_generate(aggregated) == []
+        assert broadcast_over_generate(plain) == []
+
+    def test_allowlist_names_resolve_to_registry_queries(self):
+        import __spark_entry__ as e
+        from tools.explain_audit import GENERATE_BROADCAST_OK
+
+        q = e.queries()
+        missing = [n for n in GENERATE_BROADCAST_OK if n not in q]
+        assert not missing, missing

@@ -303,6 +303,63 @@ def unpartitioned_windows(simple_plan: str) -> list[str]:
     return hits
 
 
+# Queries allowed to plan a BroadcastExchange whose subtree contains a
+# Generate (explode) with no aggregation below it. Exploded tables are
+# the one broadcast class whose size estimate LIES: Catalyst estimates
+# the pre-explode relation, and the r9 local-cluster leg showed the
+# deserialized hashed relation of an exploded string table blowing up
+# 5-10x past the 64 MB threshold and OOMing 8 GiB executors
+# (dedup_prefix_filter_pairs, since fixed with sort-merge hints). Every
+# entry here must state why its exploded side is BOUNDED at any data
+# scale; anything else is a plan bug.
+GENERATE_BROADCAST_OK = {
+    # literal config-grid VALUES exploded: |floors| x |regimes| <= 24
+    "doc_packing_choice",
+    # literal delay/floor grids: 5x5 on aggregated inputs
+    "events_watermark_delay_choice",
+    # caller-opt-in broadcast_adj with a documented adj_cells bound
+    # (r8 ADVICE #3: bounds known by construction at the call site)
+    "graph_triangle_stats",
+    # cap-guarded query-vector set (raises past the cap naming the
+    # LSH alternative); the corpus side never broadcasts
+    "knn_lsh_hyperplane",
+    # urgent one-month order slice exploded to <= 2 int buckets/row;
+    # narrow ints, AQE runtime size governs at real scale
+    "order_ship_window_overlap",
+}
+
+
+def _subtree_depth(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+|-*()0123456789":
+        i += 1
+    return i
+
+
+def broadcast_over_generate(simple_plan: str) -> list[str]:
+    """BroadcastExchange subtrees containing a Generate with no
+    aggregation between them — the exploded-broadcast hazard class."""
+    out = []
+    lines = simple_plan.splitlines()
+    for i, l in enumerate(lines):
+        if "BroadcastExchange" not in l:
+            continue
+        d = _subtree_depth(l)
+        sub = []
+        for m in lines[i + 1:]:
+            if not any(c.isalpha() for c in m):
+                continue
+            if _subtree_depth(m) <= d:
+                break
+            sub.append(m)
+        txt = "\n".join(sub)
+        if "Generate " in txt and "Aggregate" not in txt:
+            gen = next((x.strip() for x in sub if "Generate " in x), "")
+            out.append(gen[:100])
+    return out
+
+
+
 def audit(
     name: str, plan: str, codegen_plan: str, simple_plan: str = ""
 ) -> list[str]:
@@ -310,6 +367,9 @@ def audit(
     if name not in GLOBAL_WINDOW_OK:
         for w in unpartitioned_windows(simple_plan):
             problems.append(f"unpartitioned WindowExec (single-task sort): {w}")
+    if name not in GENERATE_BROADCAST_OK:
+        for g in broadcast_over_generate(simple_plan):
+            problems.append(f"broadcast over un-aggregated explode: {g}")
     for bad in FORBIDDEN:
         if bad in plan:
             if bad == "BroadcastNestedLoopJoin" and name in (

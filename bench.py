@@ -147,6 +147,9 @@ HEADLINE = [
     "doc_ccnet_perplexity_bucket",
     "doc_epoch_mix_waterfill",
     "doc_packing_choice",
+    # r9: exact cross-document substring dedup (Lee et al. ExactSubstr
+    # at 20-token span granularity)
+    "doc_exact_substring_dedup",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

@@ -102,6 +102,7 @@ def shingle_sets(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-document DISTINCT shingle sets, computed entirely scan-side:
     (id, shingle_set sorted array<string>, set_size long).
@@ -117,6 +118,22 @@ def shingle_sets(
     sizes and verify joins; the per-row array is bounded by the
     document's own token count, the same bound the verify join
     already ships.
+
+    ``checkpoint`` (default True) lazily ``localCheckpoint``\\ s the
+    result. The pin is a measured single-JVM win (truncating the
+    lineage stops InferFiltersFromGenerate re-inlining the
+    regexp+transform tree ~8x per consuming explode, 0.4 -> 3.3 s at
+    sf0.1 without it) but it is a real TRADEOFF the caller owns
+    (r9 ADVICE #1): local checkpoints are non-replicated executor
+    state, so on a multi-executor cluster any executor loss makes the
+    downstream job unrecoverable-by-recompute, and the materialized
+    per-doc shingle arrays hold roughly n x the corpus text in block
+    storage. Cluster callers that prefer fault-tolerant recompute (or
+    that feed exactly one consumer, where the re-inline multiplier
+    doesn't bite) pass ``checkpoint=False`` and get the identical
+    columns with untruncated lineage; the CASE-WHEN guard below keeps
+    even the unpinned explode plan free of the inferred size()>0
+    re-inline on the common path.
     """
     grams = (
         f"CASE WHEN size(_tk) >= {n} THEN "
@@ -124,7 +141,7 @@ def shingle_sets(
         f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
         f"ELSE array() END"
     )
-    return (
+    out = (
         df.select(
             F.col(id_col).alias("id"),
             F.expr(
@@ -136,16 +153,19 @@ def shingle_sets(
             F.expr(f"array_sort(array_distinct({grams}))").alias("shingle_set"),
         )
         .withColumn("set_size", F.size("shingle_set").cast("long"))
-        # Lazy pin, part of the helper's contract: exploding a computed
-        # array column triggers InferFiltersFromGenerate, whose
-        # size(...)>0 / isnotnull filter RE-INLINES the whole
-        # regexp+transform+distinct+sort tree several times per row —
-        # measured 8x on the bare explode (0.4 -> 3.3 s at sf0.1).
-        # The checkpoint truncates the tree so every consumer (explode,
-        # sizes, verify arrays) reads stored values — the r8
-        # "pin narrow, filter pinned" lesson, one level down.
-        .localCheckpoint(eager=False)
     )
+    if checkpoint:
+        # Lazy pin (opt-out via checkpoint=False — tradeoff documented
+        # above): exploding a computed array column triggers
+        # InferFiltersFromGenerate, whose size(...)>0 / isnotnull
+        # filter RE-INLINES the whole regexp+transform+distinct+sort
+        # tree several times per row — measured 8x on the bare explode
+        # (0.4 -> 3.3 s at sf0.1). The checkpoint truncates the tree so
+        # every consumer (explode, sizes, verify arrays) reads stored
+        # values — the r8 "pin narrow, filter pinned" lesson, one
+        # level down.
+        out = out.localCheckpoint(eager=False)
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -1723,6 +1743,52 @@ def choose_lsh_bands(
     return int(best["bands"]), int(best["rows_per_band"])
 
 
+def _substring_occurrence_tables(
+    docs: DataFrame, k: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared k-token rolling-window digest pipeline for the exact-
+    substring family (``exact_substring_spans`` audit view and
+    ``exact_substring_runs`` maximal-run view). Returns ``(base,
+    dup)``: the per-document spine (doc_id, n_tokens, n_spans, _digs)
+    and the duplicated-occurrence table (doc_id, pos, dig, _canon) —
+    every occurrence of every window whose digest appears >= 2 times
+    corpus-wide, with the (doc_id, pos)-least occurrence as canonical.
+    Digests are ``unhex(md5(window))`` — 16-byte binary on the wire
+    (r9 ADVICE #3). Tokenization is single-space split, byte-faithful
+    to the DuckDB oracles' string_split."""
+    words = F.split(F.col(text_col), " ")
+    nsp = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    digs = F.when(
+        nsp >= 1,
+        F.transform(
+            F.sequence(F.lit(1), nsp),
+            lambda i: F.unhex(
+                F.md5(F.array_join(F.slice(words, i, k), " "))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<binary>"))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(words).cast("long").alias("n_tokens"),
+        nsp.cast("long").alias("n_spans"),
+        digs.alias("_digs"),
+    ).localCheckpoint(eager=False)  # feeds occurrences AND the per-doc spine
+    occ = base.select(
+        "doc_id", F.posexplode("_digs").alias("pos", "dig")
+    )
+    grp = (
+        occ.groupBy("dig")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.struct("doc_id", "pos")).alias("_canon"),
+        )
+        .filter(F.col("_cnt") >= 2)
+        .select("dig", "_canon")
+    )
+    dup = occ.join(grp, "dig")  # digest-keyed shuffle join
+    return base, dup
+
+
 def exact_substring_spans(
     docs: DataFrame,
     k: int = 20,
@@ -1747,8 +1813,10 @@ def exact_substring_spans(
     kept_tokens, kept_ratio.
 
     Scale shape (100 TB): spans are O(tokens) per document and carry
-    a 16-byte md5 digest, never the window text — the only wide
-    shuffle moves (doc_id, pos, digest) rows. One hash aggregation
+    a 16-byte md5 digest (``unhex(md5(...))`` — BinaryType, truly 16
+    bytes on the wire; r9 ADVICE #3 caught the earlier 32-char hex
+    form shipping 2x the claimed budget), never the window text — the
+    only wide shuffle moves (doc_id, pos, digest) rows. One hash aggregation
     per digest (count + min-struct canonical), one digest join back,
     then the k-position explode runs ONLY on non-canonical duplicated
     occurrences (in deduplicated corpora a small fraction), followed
@@ -1756,34 +1824,7 @@ def exact_substring_spans(
     Tokenization is single-space split, byte-faithful to the DuckDB
     oracle's string_split (same choice as doc_chunk_exact_dedup).
     """
-    words = F.split(F.col(text_col), " ")
-    nsp = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
-    digs = F.when(
-        nsp >= 1,
-        F.transform(
-            F.sequence(F.lit(1), nsp),
-            lambda i: F.md5(F.array_join(F.slice(words, i, k), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(words).cast("long").alias("n_tokens"),
-        nsp.cast("long").alias("n_spans"),
-        digs.alias("_digs"),
-    ).localCheckpoint(eager=False)  # feeds occurrences AND the per-doc spine
-    occ = base.select(
-        "doc_id", F.posexplode("_digs").alias("pos", "dig")
-    )
-    grp = (
-        occ.groupBy("dig")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("_canon"),
-        )
-        .filter(F.col("_cnt") >= 2)
-        .select("dig", "_canon")
-    )
-    dup = occ.join(grp, "dig")  # digest-keyed shuffle join
+    base, dup = _substring_occurrence_tables(docs, k, id_col, text_col)
     dup_per_doc = dup.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("dup_spans")
     )

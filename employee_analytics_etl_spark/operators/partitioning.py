@@ -96,7 +96,19 @@ def salted_join(
     small_r = small.withColumn(
         "_salt", F.explode(F.expr(f"sequence(0, {salt_buckets - 1})"))
     )
-    return big_s.join(small_r, [key, "_salt"], how).drop("_salt")
+    # shuffle_hash, never broadcast (r10 plan audit): salting exists
+    # precisely for the side that is too big to broadcast — if the
+    # replicated side COULD broadcast, you wouldn't salt at all
+    # (broadcast joins have no reducer skew). Letting Catalyst
+    # broadcast the explode output at small scale both contradicts the
+    # operator's regime and trips the exploded-broadcast size-estimate
+    # lie (estimate is pre-explode; deserialized relation is
+    # salt_buckets x bigger). Shuffled-hash keeps the salt doing its
+    # job — (key, salt) spreads each hot key over salt_buckets
+    # reducers — with a hash build of the small side and no sort.
+    return big_s.join(small_r.hint("shuffle_hash"), [key, "_salt"], how).drop(
+        "_salt"
+    )
 
 
 def repartition_for_join(df: DataFrame, key: str, num_partitions: int) -> DataFrame:

@@ -303,8 +303,18 @@ def bigram_lm_score(
         bc.join(uc_v, F.col("w1") == F.col("w"))
         .select("w1", "w2", logp.cast("decimal(28,6)").alias("lp"))
     )
+    # shuffle_hash with pair_logp as build side (r10 plan audit): the
+    # corpus-scale doc-bigram explode must NEVER be the broadcast
+    # build side — Catalyst's size estimate is pre-explode, so at any
+    # scale where the raw documents slice is under the broadcast
+    # threshold it would hash the whole exploded gram table
+    # (the r9 local-cluster OOM class). pair_logp is distinct-bigram-
+    # sized (vocab^2-bounded, far sub-corpus, but at 100 TB potentially
+    # billions of rows — too big to FORCE broadcast either), so the
+    # scale plan is the one the docstring promises: grams shuffle once
+    # on (w1, w2), pair_logp hash-builds per partition, no sort.
     return (
-        grams.join(pair_logp, ["w1", "w2"])
+        grams.join(pair_logp.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),

@@ -8,13 +8,15 @@ re-extracted from README.md / COVERAGE.md and compared against a live
 `python tools/sync_doc_counts.py`.
 """
 
+import os
 import re
 
 import pytest
 
 from tools.sync_doc_counts import DOCS, PATTERNS, collected_count
 
-REPO = "/root/repo"
+# repo root = parent of tests/ — portable, no hardcoded path (r9 ADVICE)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")

@@ -326,36 +326,77 @@ GENERATE_BROADCAST_OK = {
     # urgent one-month order slice exploded to <= 2 int buckets/row;
     # narrow ints, AQE runtime size governs at real scale
     "order_ship_window_overlap",
+    # --- r10: surfaced by the depth-aware detector (Aggregate BELOW
+    # the Generate no longer suppresses). Each bound adjudicated:
+    # delta-batch band table: one row per delta doc per band, fanout
+    # = n_bands (config <= 8) over the per-id minhash AGGREGATE;
+    # broadcasting the delta index against the persisted base is the
+    # intended zero-base-exchange incremental shape, bounded by the
+    # delta-batch contract (a daily batch, never the corpus)
+    "dedup_minhash_incremental",
+    # sig_pairs is post-hamming-filter, i.e. OUTPUT-sized (bounded by
+    # the true near-dup cluster structure, not bucket skew — see
+    # simhash_candidates step 3/4 docstring); the groups build side
+    # of the expansion joins is distinct-signature-scale
+    "dedup_simhash_candidates",
+    # source-pair grid exploded from collect_list over DISTINCT
+    # sources: |sources|^2 rows, domain-bounded (a corpus has a
+    # handful of sources), input is a distinct aggregate
+    "source_token_js_divergence",
 }
 
 
 def _subtree_depth(line: str) -> int:
+    """Indent of a node in Spark's printed plan tree: the length of
+    the tree-drawing prefix only (spaces and the :- +- | connectors).
+    The codegen marker `*(n) ` is part of the NODE NAME, not the
+    indent — counting it (the pre-r10 form also skipped *, parens and
+    digits) made a codegen'd parent measure DEEPER than its
+    non-codegen child, breaking ancestor-order comparisons
+    (r9 ADVICE #2's depth-aware rework exposed this)."""
     i = 0
-    while i < len(line) and line[i] in " :+|-*()0123456789":
+    while i < len(line) and line[i] in " :+|-":
         i += 1
     return i
 
 
 def broadcast_over_generate(simple_plan: str) -> list[str]:
     """BroadcastExchange subtrees containing a Generate with no
-    aggregation between them — the exploded-broadcast hazard class."""
+    aggregation BETWEEN the exchange and that Generate — the
+    exploded-broadcast hazard class.
+
+    r9 ADVICE #2: substring-matching 'Aggregate' anywhere in the
+    subtree was a false negative for the exact hazard being policed —
+    a plan that explodes an AGGREGATED input and broadcasts the raw
+    explode output has Generate above HashAggregate, so the Aggregate
+    is a DESCENDANT of the explode and does not bound the broadcast's
+    row count. Only an Aggregate that is an ANCESTOR of the Generate
+    (shallower depth, i.e. between the exchange and the explode)
+    re-bounds the exploded cardinality before it is hashed into the
+    broadcast relation. This walks the printed tree with a depth
+    stack and flags every Generate whose ancestor chain inside the
+    exchange subtree contains no Aggregate."""
     out = []
     lines = simple_plan.splitlines()
     for i, l in enumerate(lines):
         if "BroadcastExchange" not in l:
             continue
         d = _subtree_depth(l)
-        sub = []
+        # ancestor stack of (depth, line) WITHIN the exchange subtree
+        stack: list[tuple[int, str]] = []
         for m in lines[i + 1:]:
             if not any(c.isalpha() for c in m):
                 continue
-            if _subtree_depth(m) <= d:
+            md = _subtree_depth(m)
+            if md <= d:
                 break
-            sub.append(m)
-        txt = "\n".join(sub)
-        if "Generate " in txt and "Aggregate" not in txt:
-            gen = next((x.strip() for x in sub if "Generate " in x), "")
-            out.append(gen[:100])
+            while stack and stack[-1][0] >= md:
+                stack.pop()
+            if "Generate " in m and not any(
+                "Aggregate" in a for _, a in stack
+            ):
+                out.append(m.strip()[:100])
+            stack.append((md, m))
     return out
 
 

@@ -12,14 +12,19 @@ Usage: python tools/sync_doc_counts.py  (idempotent; prints each rewrite)
 
 from __future__ import annotations
 
+import os
 import re
 import subprocess
 import sys
 
 DOCS = ("README.md", "COVERAGE.md")
 
-# Every recognized claim shape. Each pattern must capture the total count
-# as group 1; `render` receives the live total N (the suite has exactly one
+# repo root = parent of tools/ — portable, no hardcoded path (r9 ADVICE)
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Every recognized claim shape. Each pattern matches the WHOLE claim
+# string (sub() replaces the full match — no capture groups needed);
+# `render` receives the live total N (the suite has exactly one
 # protobuf-gated skip, pinned by test_doc_counts).
 PATTERNS = (
     (re.compile(r"\b\d+ pytest cases\b"), lambda n: f"{n} pytest cases"),
@@ -34,7 +39,7 @@ PATTERNS = (
 )
 
 
-def collected_count(repo_root: str = "/root/repo") -> int:
+def collected_count(repo_root: str = REPO_ROOT) -> int:
     out = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
          "-p", "no:cacheprovider"],
@@ -43,13 +48,13 @@ def collected_count(repo_root: str = "/root/repo") -> int:
         text=True,
         check=True,
     ).stdout
-    m = re.search(r"(\d+) tests collected", out)
+    m = re.search(r"(\d+) tests? collected", out)
     if not m:
         raise RuntimeError(f"could not parse collection count from:\n{out[-500:]}")
     return int(m.group(1))
 
 
-def sync(repo_root: str = "/root/repo", n: int | None = None) -> list[str]:
+def sync(repo_root: str = REPO_ROOT, n: int | None = None) -> list[str]:
     if n is None:
         n = collected_count(repo_root)
     changes = []

@@ -30,6 +30,7 @@ def _registry():
         registry_r7,
         registry_r8,
         registry_r9,
+        registry_r10,
     )
 
     return registry.QUERIES, registry.ORACLE

@@ -343,6 +343,7 @@ def main() -> None:
         registry_r7,
         registry_r8,
         registry_r9,
+        registry_r10,
     )
     from employee_analytics_etl_spark.session import build_session
 
@@ -370,6 +371,20 @@ def main() -> None:
             mode=mode,
         )
         names = MULTIFILE_SUBSET if layout == "multifile" else FACTS_SUBSET
+
+    # Explicit subset override for targeted experiments (e.g. the r10
+    # 100x coverage runs of individually-named heavy queries): comma-
+    # separated registry names, validated so a typo fails loudly
+    # instead of silently benching nothing.
+    if os.environ.get("SPARK_GRAFT_QUERIES"):
+        names = [
+            n.strip()
+            for n in os.environ["SPARK_GRAFT_QUERIES"].split(",")
+            if n.strip()
+        ]
+        unknown = [n for n in names if n not in registry.QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_QUERIES unknown names: {unknown}")
 
     # Warm the JVM: run every plan TWICE at the smallest SF so codegen and
     # C2 JIT tiering (which needs repeat invocations, not just one compile)

@@ -1862,3 +1862,72 @@ def exact_substring_spans(
             F.round(kept.cast("double") / F.col("n_tokens"), 6).alias("kept_ratio"),
         )
     )
+
+
+def exact_substring_runs(
+    docs: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated RUNS — the span semantics of Lee et al.'s
+    ExactSubstr (arXiv:2107.06499) one step closer to the paper than
+    ``exact_substring_spans``'s k-granularity audit: adjacent or
+    overlapping non-canonical duplicated k-token windows are coalesced
+    (islands-and-gaps) into maximal runs, so a 200-token verbatim copy
+    reports as ONE run of ~200 tokens instead of ~180 window hits.
+    Two windows at start positions p < p' belong to the same run iff
+    their covered token ranges [p, p+k-1] and [p', p'+k-1] overlap or
+    adjoin, i.e. p' <= p + k; a gap of p' - p > k splits runs.
+
+    Returns one row per (document, maximal run): doc_id, run_idx
+    (0-based per document in position order), run_start / run_end
+    (inclusive token positions covered), run_tokens (= end - start + 1
+    — exactly the tokens ExactSubstr would cut for this run), and
+    n_windows (duplicated windows coalesced into it).
+
+    Scale shape: identical wide plan to ``exact_substring_spans``
+    (16-byte digest shuffle + one digest aggregation — see
+    ``_substring_occurrence_tables``); the coalescing adds only a
+    PER-DOCUMENT window (partitionBy doc_id — never a global sort)
+    over the non-canonical duplicated occurrences, a small fraction
+    of tokens in deduplicated corpora, followed by one (doc, run)
+    aggregation. Output is bounded by the duplication structure."""
+    from pyspark.sql.window import Window
+
+    _, dup = _substring_occurrence_tables(docs, k, id_col, text_col)
+    noncanon = dup.filter(
+        ~(
+            (F.col("doc_id") == F.col("_canon.doc_id"))
+            & (F.col("pos") == F.col("_canon.pos"))
+        )
+    ).select("doc_id", "pos")
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.col("pos") - F.lag("pos").over(w_ord) > F.lit(k), F.lit(1)
+    ).otherwise(F.lit(0))
+    runs = (
+        noncanon.withColumn(
+            "run_idx",
+            F.sum(brk).over(
+                w_ord.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "run_idx")
+        .agg(
+            F.min("pos").cast("long").alias("run_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            F.col("run_idx").cast("long").alias("run_idx"),
+            "run_start",
+            "run_end",
+            (F.col("run_end") - F.col("run_start") + 1)
+            .cast("long")
+            .alias("run_tokens"),
+            "n_windows",
+        )
+    )
+    return runs

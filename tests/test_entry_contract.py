@@ -169,6 +169,7 @@ class TestGateCostTable:
             registry_r7,
             registry_r8,
             registry_r9,
+            registry_r10,
         )
 
         path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")

@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from employee_analytics_etl_spark.operators.dedup import (
     exact_substring_spans,
@@ -200,3 +202,76 @@ def test_import_indent():
         if line.strip().startswith("registry")
     }
     assert len(indents) == 1, f"mixed indents in registry import: {indents}"
+
+
+class TestExactSubstringRuns:
+    """Maximal-run coalescing (VERDICT r9 ask #6): islands-and-gaps
+    over non-canonical duplicated windows. k=4; expectations derived
+    by hand from the canonical-first rule (min (doc_id, pos))."""
+
+    K = 4
+
+    DOCS = {
+        1: "a b c d e f x y",                      # canonical for the shared run
+        2: "q a b c d e f r",                      # 3 overlapping dup windows -> ONE run
+        3: "p p p p p p p",                        # self-repeat, pos 1..3 cut
+        5: "g h i j k l m n",                      # canonical copy
+        6: "g h i j k l m n",                      # full duplicate -> one full-doc run
+        7: "a b c d u1 u2 u3 u4 u5 g h i j",       # two dup windows, gap 9 > k -> TWO runs
+        8: "a b c d g h i j",                      # dup windows at pos 0 and 4 = k -> ADJOIN, one run
+    }
+
+    @pytest.fixture(scope="class")
+    def runs(self, spark):
+        from employee_analytics_etl_spark.operators.dedup import (
+            exact_substring_runs,
+        )
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in self.DOCS.items()], ["doc_id", "text"]
+        )
+        rows = exact_substring_runs(df, k=self.K).collect()
+        return {
+            (r["doc_id"], r["run_idx"]): (
+                r["run_start"], r["run_end"], r["run_tokens"], r["n_windows"]
+            )
+            for r in rows
+        }
+
+    def test_exact_run_set(self, runs):
+        assert runs == {
+            (2, 0): (1, 6, 6, 3),   # "a b c d e f" copy: windows 1,2,3 merge
+            (3, 0): (1, 6, 6, 3),   # p^7 self-repeat keeps only window 0
+            (6, 0): (0, 7, 8, 5),   # verbatim duplicate: one whole-doc run
+            (7, 0): (0, 3, 4, 1),   # isolated "a b c d"
+            (7, 1): (9, 12, 4, 1),  # isolated "g h i j", gap 9 > k splits
+            (8, 0): (0, 7, 8, 2),   # pos 0 and 4 ADJOIN (p' - p == k): merged
+        }
+
+    def test_canonical_docs_report_nothing(self, runs):
+        assert not any(doc in (1, 5) for doc, _ in runs)
+
+    def test_run_tokens_equals_span_union(self, spark):
+        """Per doc, sum(run_tokens) must equal exact_substring_spans'
+        removed_tokens — the two views of one dedup decision agree."""
+        from employee_analytics_etl_spark.operators.dedup import (
+            exact_substring_runs,
+            exact_substring_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(d, t) for d, t in self.DOCS.items()], ["doc_id", "text"]
+        )
+        by_runs = {
+            r["doc_id"]: r["tot"]
+            for r in exact_substring_runs(df, k=self.K)
+            .groupBy("doc_id")
+            .agg(F.sum("run_tokens").alias("tot"))
+            .collect()
+        }
+        by_spans = {
+            r["doc_id"]: r["removed_tokens"]
+            for r in exact_substring_spans(df, k=self.K).collect()
+            if r["removed_tokens"] > 0
+        }
+        assert by_runs == by_spans

@@ -52,6 +52,7 @@ def main() -> int:
         registry_r7,
         registry_r8,
         registry_r9,
+        registry_r10,
     )
     from employee_analytics_etl_spark.session import build_session
 

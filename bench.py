@@ -150,6 +150,10 @@ HEADLINE = [
     # r9: exact cross-document substring dedup (Lee et al. ExactSubstr
     # at 20-token span granularity)
     "doc_exact_substring_dedup",
+    # r10: the maximal-run span view of the same dedup decision, and
+    # SemDeDup-style cell-bucketed semantic pruning (Abbas et al.)
+    "doc_exact_substring_runs",
+    "semdedup_embedding_prune",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is

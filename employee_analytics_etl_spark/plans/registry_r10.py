@@ -17,6 +17,7 @@ Import side effects: importing this module populates the registry.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.dedup import exact_substring_runs
 from .registry import query, t
@@ -73,3 +74,81 @@ def doc_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. See operators.dedup.exact_substring_runs."""
     docs = t(spark, sf_dir, "documents")
     return exact_substring_runs(docs, k=_RUN_K)
+
+
+@query(
+    "semdedup_embedding_prune",
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+        + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+        + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+        + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END) AS cell
+      FROM embeddings
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id
+      FROM c a JOIN c b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           (drp.vec_id IS NULL) AS kept
+    FROM c LEFT JOIN drp ON c.vec_id = drp.vec_id
+    """,
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): bucket embeddings into clusters, compare pairs
+    ONLY within a cluster, and keep one representative per
+    epsilon-neighborhood. Returns one row per vector: (vec_id, cell,
+    kept) — a vector is pruned iff a SMALLER-id vector in its cell has
+    round(cosine, 6) >= 0.4.
+
+    Determinism: the paper clusters with k-means and keeps the member
+    farthest from the centroid; both choices are float-accumulation-
+    order-dependent cross-engine, so this variant substitutes the two
+    deterministic stand-ins the registry already trusts — sign-bit
+    cells (the knn_ivf_cosine partitioning: first 4 dims' signs, 16
+    cells) and a keep-lowest-id rule (the paper reports keeping
+    random/low/high-similarity members within eps-clusters changes
+    results marginally; the rule is the documented degree of freedom).
+    That makes the whole decision EXACTLY SQL-expressible — a full
+    value-hash oracle instead of the bounds-style one the kmeans
+    queries carry.
+
+    Scale shape: cells are scan-side bit arithmetic (no shuffle); the
+    only quadratic term is the in-cell pair join — exactly SemDeDup's
+    design point (cluster count bounds pair cost; at 100 TB raise the
+    sign-bit count so cells stay bounded, the same capacity lever as
+    the LSH band width). One equi-join on cell, the drop set is
+    output-bounded, the final decision is a left anti-shaped join."""
+    from ..operators import similarity as S
+
+    emb = t(spark, sf_dir, "embeddings")
+    cell = (
+        (F.col("embedding")[0] > 0).cast("int")
+        + (F.col("embedding")[1] > 0).cast("int") * 2
+        + (F.col("embedding")[2] > 0).cast("int") * 4
+        + (F.col("embedding")[3] > 0).cast("int") * 8
+    ).cast("int")
+    c = emb.select("vec_id", F.col("embedding").alias("v"), cell.alias("cell"))
+    a = c.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
+    )
+    b = c.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return c.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.col("_dropped").isNull().alias("kept"),
+    )

@@ -275,3 +275,44 @@ class TestExactSubstringRuns:
             if r["removed_tokens"] > 0
         }
         assert by_runs == by_spans
+
+
+class TestSemDedupPrune:
+    """semdedup_embedding_prune keep-rule on hand vectors: same-cell
+    near-duplicates keep the lowest id; different cells never pair."""
+
+    def test_keep_rule(self, spark):
+        import employee_analytics_etl_spark.plans.registry_r10 as r10
+        from employee_analytics_etl_spark.plans import registry
+
+        # cell = signs of dims 0..3. v1/v2: identical direction
+        # (cos=1) in cell 15; v3: same cell, near-orthogonal-ish mix
+        # kept low cosine; v4: duplicate of v1 but dim0 flipped ->
+        # DIFFERENT cell, never compared.
+        rows = [
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [2.0, 2.0, 2.0, 2.0]),     # cos(1,2)=1 -> dropped (id 1 kept)
+            (3, [1.0, 1.0, 1.0, -30.0]),   # different cell (dim3 < 0)
+            (4, [-1.0, 1.0, 1.0, 1.0]),    # different cell (dim0 < 0)
+            (5, [3.0, 3.0, 3.0, 3.0]),     # cos=1 with 1 and 2 -> dropped
+        ]
+        import tempfile, os, shutil
+
+        tmp = tempfile.mkdtemp(prefix="semdedup_fixture_")
+        try:
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>"
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "embeddings.parquet"))
+            out = {
+                r["vec_id"]: (r["cell"], r["kept"])
+                for r in registry.QUERIES["semdedup_embedding_prune"](
+                    spark, tmp
+                ).collect()
+            }
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        assert out[1] == (15, True)
+        assert out[2] == (15, False)
+        assert out[5] == (15, False)
+        assert out[3][0] != 15 and out[3][1] is True
+        assert out[4][0] != 15 and out[4][1] is True

@@ -1954,3 +1954,64 @@ def exact_substring_runs(
         )
     )
     return runs
+
+
+def semdedup_prune(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 4,
+    threshold: float = 0.4,
+    max_pairs: int | None = 50_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023,
+    arXiv:2303.09540): bucket vectors into sign-bit cells (the first
+    ``sign_bits`` dimensions' signs — the knn_ivf partitioning),
+    compare pairs only within a cell, and keep one representative per
+    epsilon-neighborhood. Returns (id, cell, kept): a vector is pruned
+    iff a SMALLER-id vector in its cell has round(cosine, 6) >=
+    ``threshold``. The keep-lowest-id rule replaces the paper's
+    centroid-distance pick so the decision is deterministic and
+    exactly SQL-expressible (the paper reports the within-cluster keep
+    rule changes results marginally).
+
+    Scale shape: cells are scan-side bit arithmetic; the only
+    quadratic term is the in-cell pair join, and — like every pair
+    scorer in this family — it is BUDGETED: the exact in-cell pair
+    count is checked eagerly via ``assert_blocked_pair_budget`` and
+    the operator raises naming the hot cells instead of silently
+    launching a quadratic job. The escalation lever is ``sign_bits``
+    (more bits → smaller cells), the same capacity trade as the LSH
+    band width."""
+    from . import similarity as _S
+
+    cell = sum(
+        (
+            (F.col(vec_col)[i] > 0).cast("int") * (1 << i)
+            for i in range(1, sign_bits)
+        ),
+        (F.col(vec_col)[0] > 0).cast("int"),
+    ).cast("int")
+    c = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), cell.alias("cell")
+    )
+    if max_pairs is not None:
+        assert_blocked_pair_budget(
+            c, c, ["cell"], max_pairs, "semdedup_prune"
+        )
+    a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
+    b = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(_S.cosine(F.col("va"), F.col("vb")), 6)
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return c.join(dropped, "id", "left").select(
+        "id", "cell", F.col("_dropped").isNull().alias("kept")
+    )

@@ -121,34 +121,13 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     only quadratic term is the in-cell pair join — exactly SemDeDup's
     design point (cluster count bounds pair cost; at 100 TB raise the
     sign-bit count so cells stay bounded, the same capacity lever as
-    the LSH band width). One equi-join on cell, the drop set is
-    output-bounded, the final decision is a left anti-shaped join."""
-    from ..operators import similarity as S
+    the LSH band width) — and it is BUDGETED like every pair scorer in
+    the family: operators.dedup.semdedup_prune runs
+    assert_blocked_pair_budget on the cells eagerly and raises naming
+    the hot cells instead of launching a silent quadratic job."""
+    from ..operators.dedup import semdedup_prune
 
     emb = t(spark, sf_dir, "embeddings")
-    cell = (
-        (F.col("embedding")[0] > 0).cast("int")
-        + (F.col("embedding")[1] > 0).cast("int") * 2
-        + (F.col("embedding")[2] > 0).cast("int") * 4
-        + (F.col("embedding")[3] > 0).cast("int") * 8
-    ).cast("int")
-    c = emb.select("vec_id", F.col("embedding").alias("v"), cell.alias("cell"))
-    a = c.select(
-        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cell"
-    )
-    b = c.select(
-        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cell"
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(S.cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
-    return c.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        "cell",
-        F.col("_dropped").isNull().alias("kept"),
+    return semdedup_prune(emb, "vec_id", "embedding").select(
+        F.col("id").alias("vec_id"), "cell", "kept"
     )

@@ -316,3 +316,15 @@ class TestSemDedupPrune:
         assert out[5] == (15, False)
         assert out[3][0] != 15 and out[3][1] is True
         assert out[4][0] != 15 and out[4][1] is True
+
+    def test_pair_budget_raises_loud(self, spark):
+        """The family contract: a saturated cell raises naming the hot
+        block instead of launching a quadratic job."""
+        from employee_analytics_etl_spark.operators.dedup import semdedup_prune
+
+        vecs = spark.createDataFrame(
+            [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        with pytest.raises(ValueError, match="semdedup_prune.*budget"):
+            semdedup_prune(vecs, max_pairs=10)

@@ -25,7 +25,7 @@ from __future__ import annotations
 import uuid
 import weakref
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import TOKEN_RE
@@ -1038,6 +1038,20 @@ def blocked_levenshtein_pairs(
     Σ_b |b|² (a conservative 2× bound on the id<id pairs actually
     scored) is checked up front and the operator fails loud naming the
     hot blocks instead of silently launching a quadratic job.
+
+    Eagerness contract (r11, closing an ADVICE finding): when
+    ``max_pairs`` is not None, construction runs TWO eager one-row
+    aggregates over ``docs`` — the pair-budget check and a global
+    max-text-length used to size the banded early-exit DP threshold.
+    Both are **construction-time snapshots**: if the lazy returned
+    plan is re-executed after the underlying table grows, the budget
+    and the band threshold reflect the data as of construction (a
+    stale, too-small T would silently drop pairs the per-pair cap
+    keeps) — rebuild the plan after appends. With ``max_pairs=None``
+    construction is fully plan-only (matching
+    ``assert_blocked_pair_budget``'s documented escape hatch): no
+    aggregate runs, and the verifier falls back to the full O(n·m)
+    Levenshtein DP, trading the ~10× banded speedup for laziness.
     """
     keys = [F.col(c) for c in block_cols] + [
         F.expr(f"length({text_col}) DIV {band_chars}").alias("band")
@@ -1067,16 +1081,23 @@ def blocked_levenshtein_pairs(
     # the banded form finishes in 831 s min-of-3 where full DP could
     # not complete one pass in 900+ s (PERF.md r10). The one-row
     # max-length aggregate rides the same eager round as the
-    # pair-budget check.
-    max_len_row = d.agg(F.max(F.length(F.col(text_col)))).first()
-    import math as _math
+    # pair-budget check — and ONLY that round: with max_pairs=None
+    # construction must stay plan-only (the budget check's documented
+    # escape hatch), so the band threshold can't be snapshotted and
+    # the verifier uses the full 2-arg DP instead.
+    if max_pairs is not None:
+        max_len_row = d.agg(F.max(F.length(F.col(text_col)))).first()
+        import math as _math
 
-    lev_threshold = max(
-        int(_math.ceil((max_len_row[0] or 0) * max_rel_dist_pct / 100)), 1
-    )
-    lev = F.levenshtein(
-        F.col(f"a_{text_col}"), F.col(f"b_{text_col}"), lev_threshold
-    )
+        lev_threshold = max(
+            int(_math.ceil((max_len_row[0] or 0) * max_rel_dist_pct / 100)),
+            1,
+        )
+        lev = F.levenshtein(
+            F.col(f"a_{text_col}"), F.col(f"b_{text_col}"), lev_threshold
+        )
+    else:
+        lev = F.levenshtein(F.col(f"a_{text_col}"), F.col(f"b_{text_col}"))
     cap = (
         F.greatest(
             F.length(F.col(f"a_{text_col}")), F.length(F.col(f"b_{text_col}"))
@@ -1967,13 +1988,26 @@ def semdedup_prune(
     """SemDeDup-style semantic pruning (Abbas et al. 2023,
     arXiv:2303.09540): bucket vectors into sign-bit cells (the first
     ``sign_bits`` dimensions' signs — the knn_ivf partitioning),
-    compare pairs only within a cell, and keep one representative per
-    epsilon-neighborhood. Returns (id, cell, kept): a vector is pruned
-    iff a SMALLER-id vector in its cell has round(cosine, 6) >=
-    ``threshold``. The keep-lowest-id rule replaces the paper's
-    centroid-distance pick so the decision is deterministic and
-    exactly SQL-expressible (the paper reports the within-cluster keep
-    rule changes results marginally).
+    compare pairs only within a cell, and prune near-duplicates.
+    Returns (id, cell, kept): a vector is pruned iff ANY smaller-id
+    vector in its cell has round(cosine, 6) >= ``threshold`` —
+    including a smaller-id vector that is itself pruned, so the rule
+    is "dominated by a smaller id", NOT "one representative per
+    epsilon-neighborhood": with cos(1,2)>=t, cos(2,3)>=t, cos(1,3)<t
+    both 2 and 3 are dropped (transitive over-pruning relative to the
+    paper's one-per-neighborhood reading — deliberate, because it is
+    exactly SQL-expressible and deterministic where the paper's
+    kmeans/centroid-distance pick is not; the paper reports the
+    within-cluster keep rule changes results marginally). The DuckDB
+    oracle encodes identical semantics.
+
+    Input contract: embeddings are dense and non-null per element with
+    non-zero norm. NULL elements among the first ``sign_bits`` dims are
+    tolerated — each sign-bit term coalesces NULL to 0, matching the
+    oracle's CASE WHEN ... ELSE 0 — but a NULL element elsewhere or a
+    zero-norm vector makes the cosine NULL (0/0), silently excluding
+    that pair from pruning; validate upstream if the corpus can carry
+    such vectors.
 
     Scale shape: cells are scan-side bit arithmetic; the only
     quadratic term is the in-cell pair join, and — like every pair
@@ -1985,12 +2019,13 @@ def semdedup_prune(
     band width."""
     from . import similarity as _S
 
+    def _bit(i: int) -> Column:
+        # NULL element -> bit 0, matching the oracle's
+        # CASE WHEN v[i] > 0 THEN .. ELSE 0 END (which maps NULL to 0).
+        return F.coalesce((F.col(vec_col)[i] > 0).cast("int"), F.lit(0))
+
     cell = sum(
-        (
-            (F.col(vec_col)[i] > 0).cast("int") * (1 << i)
-            for i in range(1, sign_bits)
-        ),
-        (F.col(vec_col)[0] > 0).cast("int"),
+        (_bit(i) * (1 << i) for i in range(1, sign_bits)), _bit(0)
     ).cast("int")
     c = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), cell.alias("cell")

@@ -100,10 +100,13 @@ def doc_exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): bucket embeddings into clusters, compare pairs
-    ONLY within a cluster, and keep one representative per
-    epsilon-neighborhood. Returns one row per vector: (vec_id, cell,
-    kept) — a vector is pruned iff a SMALLER-id vector in its cell has
-    round(cosine, 6) >= 0.4.
+    ONLY within a cluster, and prune dominated near-duplicates.
+    Returns one row per vector: (vec_id, cell, kept) — a vector is
+    pruned iff ANY smaller-id vector in its cell has round(cosine, 6)
+    >= 0.4, including a smaller-id vector that was itself pruned
+    (transitive over-pruning vs the paper's one-per-neighborhood
+    reading — the deliberate SQL-expressible rule; the oracle encodes
+    identical semantics).
 
     Determinism: the paper clusters with k-means and keeps the member
     farthest from the centroid; both choices are float-accumulation-

@@ -44,8 +44,26 @@ def run_bench(tree: str, sf_dir: str, cpus: str) -> dict:
         text=True,
         check=True,
     ).stdout
-    line = [l for l in out.splitlines() if l.strip().startswith("{")][-1]
-    d = json.loads(line)
+    # The bench prints exactly one result JSON line; other '{'-prefixed
+    # stdout (log4j noise, partial progress) must not be mistaken for
+    # it — scan candidates newest-first and validate the shape.
+    d = None
+    for line in reversed(out.splitlines()):
+        if not line.strip().startswith("{"):
+            continue
+        try:
+            cand = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(cand, dict) and isinstance(cand.get("queries"), dict) \
+                and "value" in cand:
+            d = cand
+            break
+    if d is None:
+        raise RuntimeError(
+            f"bench in {tree} printed no valid result JSON line "
+            "(expected a dict with 'queries' and 'value')"
+        )
     d["_wall"] = round(time.time() - t0, 1)
     return d
 
@@ -60,6 +78,10 @@ def main() -> int:
     ap.add_argument("--cpus", default="32")
     args = ap.parse_args()
     (la, pa), (lb, pb) = (x.split(":", 1) for x in (args.a, args.b))
+    if la == lb:
+        # Identical labels would merge both trees into one `best` bucket
+        # and yield a degenerate ratio-1.0 "within noise" verdict.
+        ap.error(f"labels must differ (both are {la!r})")
 
     runs: list[dict] = []
     for rep in range(args.reps):

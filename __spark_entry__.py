@@ -31,6 +31,7 @@ def _registry():
         registry_r8,
         registry_r9,
         registry_r10,
+        registry_r11,
     )
 
     return registry.QUERIES, registry.ORACLE

@@ -154,6 +154,10 @@ HEADLINE = [
     # SemDeDup-style cell-bucketed semantic pruning (Abbas et al.)
     "doc_exact_substring_runs",
     "semdedup_embedding_prune",
+    # r11: composed candidate-first edit-distance linkage (prefix-
+    # filter SSJoin candidates -> banded-Levenshtein verify) — the
+    # scale path where the blocked form's pair budget saturates
+    "dedup_candidate_levenshtein",
 ]
 
 # Fact-heavy subset for the multi-file layout: queries whose cost is
@@ -348,6 +352,7 @@ def main() -> None:
         registry_r8,
         registry_r9,
         registry_r10,
+        registry_r11,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -54,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
             registry_r8,
             registry_r9,
             registry_r10,
+            registry_r11,
         )
         from .session import build_session
         from .sources.readers import register_views

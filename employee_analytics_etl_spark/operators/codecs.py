@@ -11,6 +11,12 @@ MP3, and MP4/WebM still raise at the marked codec call site.
 All functions are plain ``bytes → numpy`` (and back) so they are unit-
 testable without Spark and ride inside Arrow ``mapInPandas`` kernels
 unchanged. Arrays are HxWx3 uint8 RGB.
+
+r11: MP3 joins at the STRUCTURE level — ``parse_mp3_frames`` walks
+frame headers (duration / per-frame bitrate / channels / ID3 skip)
+without audio decode, so only full PCM decode of the Huffman payload
+still raises for MP3. MP4/WebM and progressive/subsampled JPEG remain
+fully at the boundary.
 """
 
 from __future__ import annotations
@@ -1011,3 +1017,178 @@ def decode_gif(data: bytes) -> np.ndarray:
             )
         frames.append(palette[idx.reshape(h, w)])
     return np.stack(frames)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header parsing (r11, VERDICT r10 ask #7)
+#
+# Stream STRUCTURE without audio decode: duration / bitrate / channel
+# stats need only the 4-byte frame headers (MPEG-1/2/2.5 audio spec,
+# ISO/IEC 11172-3 + 13818-3 header layout — public knowledge), so this
+# shrinks the real-codec boundary from "any MP3 raises" to "only full
+# PCM decode raises". Huffman-coded audio payload decode is the
+# remaining documented boundary where mad/ffmpeg would plug in.
+# ---------------------------------------------------------------------------
+
+# kbps tables indexed [version_group][layer][bitrate_index 1..14];
+# version_group 0 = MPEG-1, 1 = MPEG-2/2.5 (they share tables)
+_MP3_KBPS = {
+    (0, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (0, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (0, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (1, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (1, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# sample rates indexed [version][rate_index 0..2]
+_MP3_RATES = {
+    "1": [44100, 48000, 32000],
+    "2": [22050, 24000, 16000],
+    "2.5": [11025, 12000, 8000],
+}
+
+
+def _mp3_samples_per_frame(version: str, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def parse_mp3_frames(data: bytes) -> dict:
+    """Parse an MP3 stream's frame headers (NO audio decode): skips a
+    leading ID3v2 tag (synchsafe size) and a trailing ID3v1 'TAG'
+    block, then walks fixed-point frame to frame via the exact frame-
+    length formula (samples_per_frame/8 · bitrate / sample_rate +
+    padding; ×4-slot arithmetic for Layer I). Returns::
+
+        {version, layer, sample_rate, channels, n_frames,
+         duration_sec, kbps: [per-frame bitrate...], has_id3v2}
+
+    Strictness contract (same fail-loud style as decode_gif): lost
+    sync, a reserved version/layer/rate index, or a mid-stream
+    version/layer/rate change raises ValueError naming the byte
+    offset; free-format frames (bitrate index 0) raise
+    NotImplementedError — the documented boundary (frame length is
+    not derivable from the header there)."""
+    pos = 0
+    has_id3 = False
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            ((data[6] & 0x7F) << 21)
+            | ((data[7] & 0x7F) << 14)
+            | ((data[8] & 0x7F) << 7)
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+        has_id3 = True
+    version = layer = rate = channels = None
+    kbps: list[int] = []
+    dur = 0.0
+    while pos < len(data):
+        if data[pos : pos + 3] == b"TAG" and len(data) - pos == 128:
+            break  # trailing ID3v1
+        if pos + 4 > len(data):
+            raise ValueError(f"MP3: truncated frame header at offset {pos}")
+        b0, b1, b2, b3 = data[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError(f"MP3: lost frame sync at offset {pos}")
+        ver_bits = (b1 >> 3) & 0x3
+        ver = {0: "2.5", 2: "2", 3: "1"}.get(ver_bits)
+        if ver is None:
+            raise ValueError(f"MP3: reserved version id at offset {pos}")
+        lay = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 0x3)
+        if lay is None:
+            raise ValueError(f"MP3: reserved layer at offset {pos}")
+        br_idx = (b2 >> 4) & 0xF
+        if br_idx == 0:
+            raise NotImplementedError(
+                f"MP3: free-format frame at offset {pos} needs a real "
+                "codec (frame length not in the header)"
+            )
+        if br_idx == 15:
+            raise ValueError(f"MP3: bad bitrate index at offset {pos}")
+        rate_idx = (b2 >> 2) & 0x3
+        if rate_idx == 3:
+            raise ValueError(f"MP3: reserved sample-rate index at offset {pos}")
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        ch = 1 if mode == 3 else 2
+        f_rate = _MP3_RATES[ver][rate_idx]
+        f_kbps = _MP3_KBPS[(0 if ver == "1" else 1, lay)][br_idx - 1]
+        if version is None:
+            version, layer, rate, channels = ver, lay, f_rate, ch
+        elif (ver, lay, f_rate) != (version, layer, rate):
+            raise ValueError(
+                f"MP3: mid-stream version/layer/rate change at offset {pos}"
+            )
+        spf = _mp3_samples_per_frame(ver, lay)
+        if lay == 1:
+            flen = (12000 * f_kbps // f_rate + padding) * 4
+        else:
+            flen = (spf // 8) * 1000 * f_kbps // f_rate + padding
+        if flen < 4:
+            raise ValueError(f"MP3: degenerate frame length at offset {pos}")
+        kbps.append(f_kbps)
+        dur += spf / f_rate
+        pos += flen
+    if not kbps:
+        raise ValueError("MP3: no frames found")
+    return {
+        "version": version,
+        "layer": layer,
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": len(kbps),
+        "duration_sec": dur,
+        "samples_per_frame": _mp3_samples_per_frame(version, layer),
+        "kbps": kbps,
+        "has_id3v2": has_id3,
+    }
+
+
+def encode_mp3_frame_stream(
+    bitrate_indexes: list[int],
+    rate_idx: int = 0,
+    mono: bool = False,
+    id3_size: int | None = None,
+    id3v1: bool = False,
+) -> bytes:
+    """Synthesize a HEADER-TRUE MPEG-1 Layer III stream: every frame
+    header is spec-exact (sync, version/layer bits, bitrate and rate
+    indexes, channel mode) and every frame body is zero-filled to the
+    exact spec frame length — a real player would see silence-length
+    garbage, but any structure parser must read it identically to a
+    real file. This is the test/oracle fixture generator for
+    parse_mp3_frames (the GIF/PNG closed-form-payload pattern:
+    stats are arithmetically re-derivable from the arguments)."""
+    out = bytearray()
+    if id3_size is not None:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [
+                (id3_size >> 21) & 0x7F,
+                (id3_size >> 14) & 0x7F,
+                (id3_size >> 7) & 0x7F,
+                id3_size & 0x7F,
+            ]
+        )
+        out += bytes(id3_size)
+    rate = _MP3_RATES["1"][rate_idx]
+    for idx in bitrate_indexes:
+        if not 1 <= idx <= 14:
+            raise ValueError(f"bitrate index {idx} out of range")
+        kbps = _MP3_KBPS[(0, 3)][idx - 1]
+        flen = 144000 * kbps // rate  # padding bit 0
+        hdr = bytes(
+            [
+                0xFF,
+                0xE0 | (3 << 3) | (1 << 1) | 1,  # V1, L3, no CRC
+                (idx << 4) | (rate_idx << 2),
+                (3 << 6) if mono else 0x00,
+            ]
+        )
+        out += hdr + bytes(flen - 4)
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)

@@ -1616,6 +1616,96 @@ def prefix_filter_jaccard_pairs(
     return out
 
 
+def candidate_levenshtein_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    jaccard_floor: float = 0.3,
+    max_rel_dist_pct: int = 10,
+    lev_band: bool = True,
+) -> DataFrame:
+    """CANDIDATE-FIRST edit-distance linkage: prefix-filter SSJoin
+    candidates → banded-Levenshtein verify. This is the composed scale
+    path BENCH_heavy100_r10.json names for the density where
+    ``blocked_levenshtein_pairs``' (lang, source, length-band)
+    blocking saturates its pair budget: candidate volume tracks true
+    near-duplicate density (lossless prefix filtering at the Jaccard
+    floor), not block-size squares, so no pair budget is needed — the
+    candidate generator IS the bound.
+
+    Semantics: all pairs (id_a < id_b) with distinct-``n``-gram
+    Jaccard >= ``jaccard_floor`` AND Levenshtein distance <=
+    ``max_rel_dist_pct``% of the longer text. The Jaccard floor is
+    the recall knob, grounded in the classical q-gram count filter
+    (Gravano et al. VLDB'01): one edit disturbs at most q = ``n``
+    overlapping q-grams, so two strings within edit distance d share
+    >= m − q·d of their ~m q-grams; at d = 10% of length and q = 5,
+    q·d ≈ 0.5·m gives J >= 0.5m/1.5m = 1/3 — the default floor 0.3
+    sits just under that bound (set-vs-multiset slack means repeated
+    shingles can still push a rare true pair below any set-Jaccard
+    floor; the floor is a documented recall contract, not a hidden
+    cap — same tradeoff class as the blocked form's band edges).
+
+    Returns (doc_id_a, doc_id_b, jaccard, lev_dist).
+
+    Scale shape: the candidate stage is ``prefix_filter_jaccard_pairs``
+    (one df-count shuffle + prefix equi-join, sort-merge everywhere,
+    no all-pairs stage); the verify stage joins texts back by id
+    (sort-merge — corpus-proportional sides never broadcast, the r9
+    cluster lesson) and scores ONLY candidate pairs. With
+    ``lev_band=True`` (default) construction runs a one-row
+    max-length aggregate to size Spark's 3-arg banded early-exit
+    levenshtein (O(len·T) instead of O(len²) per pair; the threshold
+    is a construction-time snapshot — rebuild after appends, same
+    contract as ``blocked_levenshtein_pairs``); ``lev_band=False``
+    keeps construction fully plan-only with the 2-arg full DP.
+    """
+    cand = prefix_filter_jaccard_pairs(
+        docs, id_col, text_col, n=n, threshold=jaccard_floor
+    ).select("id_a", "id_b", "jaccard")
+    texts = docs.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
+    )
+    if lev_band:
+        import math as _math
+
+        max_len_row = docs.agg(F.max(F.length(F.col(text_col)))).first()
+        lev_threshold = max(
+            int(_math.ceil((max_len_row[0] or 0) * max_rel_dist_pct / 100)),
+            1,
+        )
+        lev = F.levenshtein(F.col("_text_a"), F.col("_text_b"), lev_threshold)
+    else:
+        lev = F.levenshtein(F.col("_text_a"), F.col("_text_b"))
+    cap = (
+        F.greatest(F.length("_text_a"), F.length("_text_b"))
+        * max_rel_dist_pct
+    ) / 100
+    return (
+        cand.join(
+            texts.select(
+                F.col("_tid").alias("id_a"), F.col("_ttext").alias("_text_a")
+            ).hint("merge"),
+            "id_a",
+        )
+        .join(
+            texts.select(
+                F.col("_tid").alias("id_b"), F.col("_ttext").alias("_text_b")
+            ).hint("merge"),
+            "id_b",
+        )
+        .withColumn("lev_dist", lev.cast("long"))
+        .filter((F.col("lev_dist") >= 0) & (F.col("lev_dist") <= cap))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "jaccard",
+            "lev_dist",
+        )
+    )
+
+
 def blocking_quality_metrics(
     schemes: DataFrame,
     truth: DataFrame,

@@ -13,7 +13,9 @@ Decode modes:
   pure-Python codecs (``operators.codecs``) — actual pixel statistics,
   nearest-neighbor resize, PCM sample stats, and per-frame means.
   Formats needing a real codec library (progressive/subsampled JPEG,
-  MP3, MP4/WebM) raise at the call site.
+  MP4/WebM, MP3 *audio decode*) raise at the call site; MP3 stream
+  STRUCTURE (duration/bitrate/channels, r11: ``mp3_stream_stats``)
+  parses for real via the header walk in ``codecs.parse_mp3_frames``.
 - ``decode="strict"``: raises NotImplementedError where PIL/ffmpeg
   would plug in.
 
@@ -341,4 +343,68 @@ def resample_audio(
 
     return df.filter(F.col("kind") == "audio").mapInPandas(
         op, schema=RESAMPLE_SCHEMA
+    )
+
+
+def mp3_stream_stats(df: DataFrame) -> DataFrame:
+    """MP3 stream structure stats WITHOUT audio decode (r11): run each
+    payload through ``codecs.parse_mp3_frames`` (frame-header walk —
+    duration, per-frame bitrates, channel mode, ID3 tags) and emit one
+    row per stream. This is the corpus-triage step a 100 TB audio
+    pipeline runs FIRST — duration/bitrate/VBR histograms, mono/stereo
+    split, sample-rate inventory — and it needs only the 4-byte frame
+    headers, so the expensive full PCM decode (the remaining
+    documented real-codec boundary) is deferred to the rows a filter
+    actually keeps. Arrow ``mapInPandas``; payload bytes never
+    shuffle; duration is recomputed as n_frames·samples_per_frame/rate
+    (exact — the parser rejects mid-stream rate changes) so the value
+    is reproducible from the emitted columns alone."""
+    import pandas as pd
+
+    def op(batches: Iterator) -> Iterator:
+        from .codecs import parse_mp3_frames
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                m = parse_mp3_frames(bytes(payload))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "has_id3v2": m["has_id3v2"],
+                        # raw f64 (n*spf exact int, one division) — no
+                        # Python round() here: banker's rounding differs
+                        # from SQL ROUND at halfway points, so consumers
+                        # that hash-compare apply F.round themselves
+                        "duration_sec": m["n_frames"]
+                        * m["samples_per_frame"]
+                        / m["sample_rate"],
+                        "total_kbps": sum(m["kbps"]),
+                        "is_vbr": len(set(m["kbps"])) > 1,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "sample_rate",
+                    "channels",
+                    "has_id3v2",
+                    "duration_sec",
+                    "total_kbps",
+                    "is_vbr",
+                ],
+            )
+
+    return df.mapInPandas(
+        op,
+        schema=(
+            "media_id long, n_frames int, sample_rate int, channels int, "
+            "has_id3v2 boolean, duration_sec double, total_kbps long, "
+            "is_vbr boolean"
+        ),
     )

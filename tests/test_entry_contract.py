@@ -170,6 +170,7 @@ class TestGateCostTable:
             registry_r8,
             registry_r9,
             registry_r10,
+            registry_r11,
         )
 
         path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 
 from employee_analytics_etl_spark.operators.dedup import (
     blocked_levenshtein_pairs,
+    candidate_levenshtein_pairs,
     semdedup_prune,
 )
 
@@ -133,6 +134,88 @@ class TestSemdedupNullBits:
         assert out == {1: True, 2: False, 3: False}
 
 
+class TestCandidateLevenshtein:
+    """r11 composed query: prefix-filter candidates -> banded-
+    Levenshtein verify, checked against a pure-Python brute force of
+    the declared semantics (Jaccard >= floor AND lev <= 10% of the
+    longer text)."""
+
+    _docs = [
+        (1, "the quick brown fox jumps over the lazy dog and then naps"),
+        (2, "the quick brown fox jumps over the lazy hog and then naps"),
+        (3, "nearly unrelated text about spark shuffle partitions"),
+        (4, "really unrelated text about spark shuffle partitions"),
+        (5, "short one"),
+    ]
+
+    @staticmethod
+    def _shingles(text: str, n: int) -> set[str]:
+        import re
+
+        tk = re.findall(r"[a-z0-9]+", text.lower())
+        if len(tk) < n:
+            return {" ".join(tk[i : i + n]) for i in range(max(len(tk) - n + 1, 1))}
+        return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
+
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    def _brute(self, n=5, floor=0.3, pct=10):
+        out = set()
+        for i, (ia, ta) in enumerate(self._docs):
+            for ib, tb in self._docs[i + 1 :]:
+                sa, sb = self._shingles(ta, n), self._shingles(tb, n)
+                jac = len(sa & sb) / len(sa | sb)
+                lev = self._lev(ta, tb)
+                if jac >= floor and lev <= max(len(ta), len(tb)) * pct / 100:
+                    out.add((ia, ib, round(jac, 6), lev))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        got = {
+            tuple(r)
+            for r in candidate_levenshtein_pairs(
+                df, "doc_id", "text", n=5, jaccard_floor=0.3
+            ).collect()
+        }
+        expect = self._brute()
+        assert got == expect and len(expect) >= 2
+
+    def test_unbanded_matches_banded(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        banded = {
+            tuple(r)
+            for r in candidate_levenshtein_pairs(df, "doc_id", "text").collect()
+        }
+        full = {
+            tuple(r)
+            for r in candidate_levenshtein_pairs(
+                df, "doc_id", "text", lev_band=False
+            ).collect()
+        }
+        assert banded == full
+
+    def test_lev_band_false_is_plan_only(self, spark, monkeypatch):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        cls = type(df)
+        eager: list[str] = []
+        monkeypatch.setattr(
+            cls, "first", lambda self, *a, **kw: eager.append("first")
+        )
+        candidate_levenshtein_pairs(df, "doc_id", "text", lev_band=False)
+        assert eager == []
+
+
 class TestAbBenchHardening:
     def test_same_label_rejected(self, tmp_path):
         p = subprocess.run(
@@ -179,3 +262,82 @@ class TestAbBenchHardening:
         )
         with pytest.raises(RuntimeError, match="no valid result JSON"):
             ab_bench.run_bench("/tmp/x", "/tmp/sf", "2")
+
+
+class TestMp3HeaderParse:
+    """r11 north-star nibble (VERDICT r10 ask #7): MP3 stream structure
+    without audio decode — frame-header walk, ID3v2/ID3v1 skip, spec
+    frame-length arithmetic, fail-loud strictness."""
+
+    def test_roundtrip_vbr_with_tags(self):
+        from employee_analytics_etl_spark.operators.codecs import (
+            encode_mp3_frame_stream,
+            parse_mp3_frames,
+        )
+
+        s = encode_mp3_frame_stream(
+            [9, 10, 11], rate_idx=1, id3_size=17, id3v1=True
+        )
+        m = parse_mp3_frames(s)
+        assert m["version"] == "1" and m["layer"] == 3
+        assert m["sample_rate"] == 48000 and m["channels"] == 2
+        assert m["n_frames"] == 3 and m["kbps"] == [128, 160, 192]
+        assert m["has_id3v2"] and m["samples_per_frame"] == 1152
+
+    def test_cbr_mono(self):
+        from employee_analytics_etl_spark.operators.codecs import (
+            encode_mp3_frame_stream,
+            parse_mp3_frames,
+        )
+
+        m = parse_mp3_frames(
+            encode_mp3_frame_stream([5] * 4, rate_idx=0, mono=True)
+        )
+        assert m["channels"] == 1 and len(set(m["kbps"])) == 1
+        assert m["duration_sec"] == pytest.approx(4 * 1152 / 44100)
+
+    def test_strictness_paths(self):
+        from employee_analytics_etl_spark.operators.codecs import (
+            encode_mp3_frame_stream,
+            parse_mp3_frames,
+        )
+
+        good = encode_mp3_frame_stream([9, 9])
+        with pytest.raises(ValueError, match="lost frame sync"):
+            parse_mp3_frames(b"\x00\x01" + good)
+        with pytest.raises(ValueError, match="truncated"):
+            # cut mid-header: one whole 417-byte frame then 2 bytes
+            parse_mp3_frames(good[:419])
+        with pytest.raises(NotImplementedError, match="free-format"):
+            # bitrate index 0 in the first header
+            parse_mp3_frames(bytes([0xFF, 0xFB, 0x00, 0x00]) + bytes(100))
+        with pytest.raises(ValueError, match="reserved version"):
+            parse_mp3_frames(bytes([0xFF, 0xEB, 0x90, 0x00]) + bytes(100))
+        with pytest.raises(ValueError, match="no frames"):
+            parse_mp3_frames(b"TAG" + bytes(125))
+        # mid-stream rate change: frame 1 at 44100, frame 2 at 48000
+        f1 = encode_mp3_frame_stream([9], rate_idx=0)
+        f2 = encode_mp3_frame_stream([9], rate_idx=1)
+        with pytest.raises(ValueError, match="mid-stream"):
+            parse_mp3_frames(f1 + f2)
+
+    def test_mp3_stream_stats_operator(self, spark):
+        import pandas as pd
+
+        from employee_analytics_etl_spark.operators.codecs import (
+            encode_mp3_frame_stream,
+        )
+        from employee_analytics_etl_spark.operators.multimodal import (
+            mp3_stream_stats,
+        )
+
+        payloads = [
+            (1, bytearray(encode_mp3_frame_stream([9, 10], rate_idx=1))),
+            (2, bytearray(encode_mp3_frame_stream([5] * 3, mono=True))),
+        ]
+        df = spark.createDataFrame(payloads, "media_id long, payload binary")
+        out = {r["media_id"]: r.asDict() for r in mp3_stream_stats(df).collect()}
+        assert out[1]["n_frames"] == 2 and out[1]["is_vbr"]
+        assert out[1]["total_kbps"] == 128 + 160
+        assert out[2]["channels"] == 1 and not out[2]["is_vbr"]
+        assert out[2]["duration_sec"] == pytest.approx(3 * 1152 / 44100)

@@ -554,6 +554,7 @@ def main() -> None:
         registry_r8,
         registry_r9,
         registry_r10,
+        registry_r11,
     )
     from employee_analytics_etl_spark.session import build_session
 

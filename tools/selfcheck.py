@@ -53,6 +53,7 @@ def main() -> int:
         registry_r8,
         registry_r9,
         registry_r10,
+        registry_r11,
     )
     from employee_analytics_etl_spark.session import build_session
 
@@ -81,8 +82,14 @@ def main() -> int:
     )
     con = duckdb.connect()
     for t in TABLES:
+        # single-file fixtures are plain files; multifile layouts
+        # (tools/gen_multifile.py) are directories of part files —
+        # glob them so the oracle sees the same rows Spark scans
+        path = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
 
     names = [n for n in registry.QUERIES if not only or n in only]

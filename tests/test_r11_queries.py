@@ -341,3 +341,35 @@ class TestMp3HeaderParse:
         assert out[1]["total_kbps"] == 128 + 160
         assert out[2]["channels"] == 1 and not out[2]["is_vbr"]
         assert out[2]["duration_sec"] == pytest.approx(3 * 1152 / 44100)
+
+
+class TestBrpBroadcastAdjudication:
+    """r11: running the six job-running queries BY NAME under the r10
+    depth-aware exploded-broadcast detector surfaced knn_brp_euclidean
+    (MLlib approxSimilarityJoin posexplodes hash arrays; Spark
+    broadcasts the exploded QUERY-subset side). The detector firing is
+    correct; the plan is safe because the broadcast side is the probe
+    set (|corpus|/50 rows x 4 hash tables), bounded by construction.
+    This pins BOTH halves: the detector still fires on the raw plan,
+    and the allowlist covers the query by name."""
+
+    def test_detector_fires_and_allowlist_covers(self, spark):
+        from tools.explain_audit import (
+            GENERATE_BROADCAST_OK,
+            broadcast_over_generate,
+        )
+        from employee_analytics_etl_spark.plans import (  # noqa: F401
+            registry,
+            registry_ext,
+        )
+
+        assert "knn_brp_euclidean" in GENERATE_BROADCAST_OK
+        df = registry.QUERIES["knn_brp_euclidean"](
+            spark, "/root/testdata/sf0.001"
+        )
+        simple = df._jdf.queryExecution().executedPlan().toString()
+        hits = broadcast_over_generate(simple)
+        assert hits and any("posexplode" in h for h in hits), (
+            "detector no longer fires on the MLlib plan — if MLlib "
+            "changed its join shape, re-adjudicate the allowlist entry"
+        )

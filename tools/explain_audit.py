@@ -343,6 +343,16 @@ GENERATE_BROADCAST_OK = {
     # sources: |sources|^2 rows, domain-bounded (a corpus has a
     # handful of sources), input is a distinct aggregate
     "source_token_js_divergence",
+    # --- r11: surfaced by running the job-running six BY NAME under
+    # the depth-aware detector (the default full run excludes them, so
+    # r10's rework never saw this plan). MLlib approxSimilarityJoin
+    # internally posexplodes each side's hash array and equi-joins on
+    # (entry, hash); the broadcast side is the QUERY subset's exploded
+    # table — |corpus|/50 probe rows x numHashTables(4) entries,
+    # bounded by the probe-set construction at the call site, never
+    # the corpus (the corpus side is the streamed probe side). Same
+    # bound class as knn_lsh_hyperplane's cap-guarded query set.
+    "knn_brp_euclidean",
 }
 
 

@@ -1082,6 +1082,14 @@ def parse_mp3_frames(data: bytes) -> dict:
             | (data[9] & 0x7F)
         )
         pos = 10 + size
+        # ID3v2.4 §3.1: flags bit 0x10 = footer present; the footer is
+        # 10 bytes ("3DI" + version + flags + size) appended AFTER the
+        # tag, and the synchsafe size field counts NEITHER header nor
+        # footer — so a spec-valid footered tag needs 10 more bytes
+        # skipped, else the walk reads the footer as a lost frame sync
+        # (r11 ADVICE #4).
+        if data[5] & 0x10:
+            pos += 10
         has_id3 = True
     version = layer = rate = channels = None
     kbps: list[int] = []
@@ -1154,6 +1162,7 @@ def encode_mp3_frame_stream(
     mono: bool = False,
     id3_size: int | None = None,
     id3v1: bool = False,
+    id3_footer: bool = False,
 ) -> bytes:
     """Synthesize a HEADER-TRUE MPEG-1 Layer III stream: every frame
     header is spec-exact (sync, version/layer bits, bitrate and rate
@@ -1165,7 +1174,7 @@ def encode_mp3_frame_stream(
     stats are arithmetically re-derivable from the arguments)."""
     out = bytearray()
     if id3_size is not None:
-        out += b"ID3\x04\x00\x00" + bytes(
+        size_ss = bytes(
             [
                 (id3_size >> 21) & 0x7F,
                 (id3_size >> 14) & 0x7F,
@@ -1173,7 +1182,17 @@ def encode_mp3_frame_stream(
                 id3_size & 0x7F,
             ]
         )
+        # ID3v2.4 §3.1: flags bit 0x10 advertises a 10-byte footer
+        # appended after the tag body; the synchsafe size counts
+        # neither header nor footer.
+        flags = 0x10 if id3_footer else 0x00
+        out += b"ID3\x04\x00" + bytes([flags]) + size_ss
         out += bytes(id3_size)
+        if id3_footer:
+            # Footer: "3DI" + version + flags + the same synchsafe size.
+            out += b"3DI\x04\x00" + bytes([flags]) + size_ss
+    elif id3_footer:
+        raise ValueError("id3_footer requires id3_size")
     rate = _MP3_RATES["1"][rate_idx]
     for idx in bitrate_indexes:
         if not 1 <= idx <= 14:

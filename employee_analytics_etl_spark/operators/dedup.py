@@ -103,9 +103,23 @@ def shingle_sets(
     text_col: str = "text",
     n: int = 3,
     checkpoint: bool = True,
+    short_whole_text: bool = False,
 ) -> DataFrame:
     """Per-document DISTINCT shingle sets, computed entirely scan-side:
     (id, shingle_set sorted array<string>, set_size long).
+
+    ``short_whole_text`` (default False) governs documents with FEWER
+    than ``n`` tokens. False: such documents get an EMPTY shingle set
+    — they can never appear in any shingle-keyed pair, an exclusion
+    the minhash/jaccard oracles encode identically (their
+    ``range(1, greatest(len-n+2, 1))`` is empty below ``n`` tokens),
+    so short exact duplicates are invisible to those operators by
+    contract (r11 ADVICE #1). True: a document with 1..n-1 tokens
+    emits ONE whole-text shingle (its space-joined token sequence),
+    so short near-identical texts can still collide; zero-token
+    documents stay empty either way (an empty-string shingle would
+    pair every blank doc with every other). Callers that flip this
+    must flip their oracle's shingle CTE the same way.
 
     The r9 lever behind the exact-similarity family: set semantics are
     PER DOCUMENT, so deduplication is local to the row —
@@ -135,11 +149,16 @@ def shingle_sets(
     even the unpinned explode plan free of the inferred size()>0
     re-inline on the common path.
     """
+    short_arm = (
+        "WHEN size(_tk) >= 1 THEN array(concat_ws(' ', _tk)) "
+        if short_whole_text
+        else ""
+    )
     grams = (
         f"CASE WHEN size(_tk) >= {n} THEN "
         f"transform(sequence(1, size(_tk) - {n - 1}), "
         f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
-        f"ELSE array() END"
+        f"{short_arm}ELSE array() END"
     )
     out = (
         df.select(
@@ -1476,6 +1495,7 @@ def prefix_filter_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.5,
+    short_whole_text: bool = False,
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (SSJoin /
     PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
@@ -1515,7 +1535,11 @@ def prefix_filter_jaccard_pairs(
     # corpus-wide distinct exchange each time AQE couldn't reuse it.
     # Now: zero distinct exchanges, sizes ride the explode, and the
     # verify join reads the already-sorted arrays directly.
-    ss = shingle_sets(df, id_col, text_col, n)
+    # short_whole_text passes straight through to shingle_sets (see
+    # its docstring): False (default) keeps the historical
+    # sub-n-token exclusion the existing oracles encode; True lets
+    # short near-duplicates collide on a whole-text shingle.
+    ss = shingle_sets(df, id_col, text_col, n, short_whole_text=short_whole_text)
     sh = ss.select("id", "set_size", F.explode("shingle_set").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     # rarest-first global order; (df, shingle) is a total order within
@@ -1624,6 +1648,7 @@ def candidate_levenshtein_pairs(
     jaccard_floor: float = 0.3,
     max_rel_dist_pct: int = 10,
     lev_band: bool = True,
+    short_whole_text: bool = True,
 ) -> DataFrame:
     """CANDIDATE-FIRST edit-distance linkage: prefix-filter SSJoin
     candidates → banded-Levenshtein verify. This is the composed scale
@@ -1647,6 +1672,16 @@ def candidate_levenshtein_pairs(
     floor; the floor is a documented recall contract, not a hidden
     cap — same tradeoff class as the blocked form's band edges).
 
+    Short documents (r11 ADVICE #1): with ``short_whole_text=True``
+    (the default HERE, unlike the raw candidate generator) a document
+    with 1..n-1 tokens contributes ONE whole-text shingle instead of
+    an empty set, so short exact/near-exact duplicates — which the
+    pure n-gram generator structurally excludes — still surface as
+    candidates and get verified by the same banded Levenshtein.
+    Zero-token documents remain unpaired either way. Pass
+    ``short_whole_text=False`` to recover the strict n-gram-only
+    candidate semantics (the pre-r12 behavior).
+
     Returns (doc_id_a, doc_id_b, jaccard, lev_dist).
 
     Scale shape: the candidate stage is ``prefix_filter_jaccard_pairs``
@@ -1662,7 +1697,12 @@ def candidate_levenshtein_pairs(
     keeps construction fully plan-only with the 2-arg full DP.
     """
     cand = prefix_filter_jaccard_pairs(
-        docs, id_col, text_col, n=n, threshold=jaccard_floor
+        docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=jaccard_floor,
+        short_whole_text=short_whole_text,
     ).select("id_a", "id_b", "jaccard")
     texts = docs.select(
         F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")

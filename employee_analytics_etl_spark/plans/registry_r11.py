@@ -34,7 +34,11 @@ from .registry import query, t
     sh AS (
       SELECT DISTINCT doc_id AS id,
              array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
-      FROM toks, UNNEST(range(1, greatest(len(tk) - 3, 1))) AS u(i)
+      FROM toks, UNNEST(range(1, len(tk) - 3)) AS u(i)
+      WHERE len(tk) >= 5
+      UNION
+      SELECT doc_id AS id, array_to_string(tk, ' ') AS shingle
+      FROM toks WHERE len(tk) BETWEEN 1 AND 4
     ),
     sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
     inter AS (
@@ -72,7 +76,13 @@ def dedup_candidate_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative distance with 5-grams (Gravano et al. VLDB'01): one edit
     disturbs <= 5 shingles, so d = 0.1·len gives J >= 1/3. Unlike the
     blocked form, NO block key is needed — cross-lang / cross-source
-    near-identical texts are found too. The oracle recomputes the
+    near-identical texts are found too. Short documents (< 5 tokens)
+    fall back to ONE whole-text shingle (`short_whole_text=True`,
+    r11 ADVICE #1) so short exact/near-exact duplicates — which a
+    pure 5-gram generator structurally excludes — still pair; the
+    oracle's UNION arm encodes the identical fallback, so the compare
+    exercises it rather than sharing the exclusion. The oracle
+    recomputes the
     brute-force share-a-shingle candidate set and full-DP Levenshtein;
     matching it exactly proves both the prefix generator's
     completeness at the floor AND the banded verifier's exactness.

@@ -146,15 +146,27 @@ class TestCandidateLevenshtein:
         (3, "nearly unrelated text about spark shuffle partitions"),
         (4, "really unrelated text about spark shuffle partitions"),
         (5, "short one"),
+        # r12 (r11 ADVICE #2): a short NEAR-DUPLICATE of doc 5 — both
+        # are under the 5-token shingle width, so this pair exists
+        # ONLY via the whole-text-shingle fallback
+        # (short_whole_text=True); it pins the fallback semantics the
+        # old fixture never exercised.
+        (6, "short one!"),
     ]
 
     @staticmethod
     def _shingles(text: str, n: int) -> set[str]:
+        # Mirrors shingle_sets(short_whole_text=True): full n-grams at
+        # >= n tokens, ONE whole-text shingle at 1..n-1 tokens, empty
+        # set at zero tokens (r11 ADVICE #2 — the old helper emitted
+        # {""} for token-less text, diverging from the operator).
         import re
 
         tk = re.findall(r"[a-z0-9]+", text.lower())
+        if not tk:
+            return set()
         if len(tk) < n:
-            return {" ".join(tk[i : i + n]) for i in range(max(len(tk) - n + 1, 1))}
+            return {" ".join(tk)}
         return {" ".join(tk[i : i + n]) for i in range(len(tk) - n + 1)}
 
     @staticmethod

@@ -1,0 +1,162 @@
+"""Round-12 regression tests: the four r11 ADVICE findings.
+
+1 (low) candidate_levenshtein_pairs no longer silently excludes
+  sub-n-token documents: shingle_sets grew a short_whole_text arm
+  (one whole-text shingle for 1..n-1 tokens, still empty at zero
+  tokens), the composed query defaults it ON, and the registry oracle
+  encodes the identical fallback — so short exact/near-exact
+  duplicates pair instead of being structurally invisible.
+2 (low) the brute-force _shingles test helper in test_r11_queries now
+  mirrors the operator exactly (empty set at zero tokens) and the
+  fixture carries a short-duplicate pair that exists ONLY via the
+  fallback — pinned again here against the operator directly.
+3 (low) tools/scale100_experiments fails loud (RuntimeError naming
+  the probe evidence) when no sign_bits passes the pair budget, and
+  the refusal-message slicing falls back to the raw message when the
+  "sum(...); worst" markers are absent.
+4 (low) parse_mp3_frames honors the ID3v2.4 footer flag (0x10): the
+  10-byte footer after the tag body is skipped instead of raising a
+  misleading "lost frame sync" at the footer offset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from employee_analytics_etl_spark.operators.codecs import (
+    encode_mp3_frame_stream,
+    parse_mp3_frames,
+)
+from employee_analytics_etl_spark.operators.dedup import (
+    candidate_levenshtein_pairs,
+    prefix_filter_jaccard_pairs,
+    shingle_sets,
+)
+
+
+class TestShortWholeTextFallback:
+    """r11 ADVICE #1: sub-n-token documents and the whole-text
+    shingle fallback."""
+
+    _docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),  # 6 tokens
+        (2, "short one"),
+        (3, "short one!"),  # same tokens as 2 — pair only via fallback
+        (4, "???"),  # zero tokens after the [a-z0-9]+ extract
+        (5, ""),  # empty text
+    ]
+
+    def test_default_excludes_short_docs(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        rows = {
+            r["id"]: r["shingle_set"]
+            for r in shingle_sets(df, n=5, checkpoint=False).collect()
+        }
+        assert len(rows[1]) == 2  # 6 tokens -> two 5-grams
+        assert rows[2] == [] and rows[3] == []
+        assert rows[4] == [] and rows[5] == []
+
+    def test_fallback_emits_whole_text_shingle(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        rows = {
+            r["id"]: r["shingle_set"]
+            for r in shingle_sets(
+                df, n=5, checkpoint=False, short_whole_text=True
+            ).collect()
+        }
+        assert len(rows[1]) == 2  # >= n tokens: unchanged
+        assert rows[2] == ["short one"] and rows[3] == ["short one"]
+        # zero-token docs stay EMPTY — an empty-string shingle would
+        # pair every blank doc with every other
+        assert rows[4] == [] and rows[5] == []
+
+    def test_candidate_lev_finds_short_duplicates(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["lev_dist"]
+            for r in candidate_levenshtein_pairs(df, "doc_id", "text").collect()
+        }
+        # "short one" vs "short one!": jaccard 1.0, lev 1 <= 10% of 10
+        assert got == {(2, 3): 1}
+
+    def test_candidate_lev_opt_out_restores_exclusion(self, spark):
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        got = candidate_levenshtein_pairs(
+            df, "doc_id", "text", short_whole_text=False
+        ).collect()
+        assert got == []  # pre-r12 semantics: short dups invisible
+
+    def test_prefix_filter_default_unchanged(self, spark):
+        # The raw candidate generator keeps its historical default
+        # (short docs excluded) so the existing prefix-jaccard oracle
+        # stays truthful.
+        df = spark.createDataFrame(self._docs, ["doc_id", "text"])
+        got = prefix_filter_jaccard_pairs(df, "doc_id", "text").collect()
+        assert got == []
+        with_fb = prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", short_whole_text=True
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in with_fb} == {(2, 3)}
+
+
+class TestScale100Guards:
+    """r11 ADVICE #3: the sign_bits probe's failure paths."""
+
+    def test_require_passing_raises_with_probe_evidence(self):
+        from tools.scale100_experiments import _require_passing
+
+        with pytest.raises(RuntimeError, match=r"range\(5, 17\).*sum\(cells"):
+            _require_passing(None, {"5": "sum(cells exceeded)"})
+
+    def test_require_passing_passthrough(self):
+        from tools.scale100_experiments import _require_passing
+
+        assert _require_passing(10, {}) == 10
+
+    def test_probe_detail_slices_expected_format(self):
+        from tools.scale100_experiments import _probe_detail
+
+        msg = "budget refused: sum(c*(c-1)/2)=9.1e9 > 5e7; worst cell 12345"
+        assert _probe_detail(msg) == "sum(c*(c-1)/2)=9.1e9 > 5e7"
+
+    def test_probe_detail_falls_back_on_unknown_format(self):
+        from tools.scale100_experiments import _probe_detail
+
+        msg = "some totally different refusal wording"
+        assert _probe_detail(msg) == msg
+        # markers in the wrong order must also fall back, not slice
+        assert _probe_detail("; worst first then sum(") == "; worst first then sum("
+        long = "x" * 200
+        assert _probe_detail(long) == "x" * 80
+
+
+class TestMp3Id3Footer:
+    """r11 ADVICE #4: ID3v2.4 footer flag (0x10) adds 10 bytes after
+    the tag body that the frame walk must skip."""
+
+    def test_footered_tag_parses_like_unfootered(self):
+        idx = [9, 9, 11, 9]
+        plain = parse_mp3_frames(encode_mp3_frame_stream(idx, id3_size=64))
+        footered = parse_mp3_frames(
+            encode_mp3_frame_stream(idx, id3_size=64, id3_footer=True)
+        )
+        assert footered == plain
+        assert footered["n_frames"] == 4 and footered["has_id3v2"]
+
+    def test_footer_flag_without_skip_would_desync(self):
+        # The footer begins with "3DI" — demonstrably NOT a frame sync.
+        data = encode_mp3_frame_stream([9], id3_size=0, id3_footer=True)
+        assert data[10:13] == b"3DI"
+        # Spec-accurate parse succeeds (footer skipped).
+        assert parse_mp3_frames(data)["n_frames"] == 1
+
+    def test_footer_requires_size(self):
+        with pytest.raises(ValueError, match="id3_footer requires id3_size"):
+            encode_mp3_frame_stream([9], id3_footer=True)
+
+    def test_footer_with_id3v1_tail(self):
+        data = encode_mp3_frame_stream(
+            [5, 6], id3_size=32, id3_footer=True, id3v1=True
+        )
+        out = parse_mp3_frames(data)
+        assert out["n_frames"] == 2 and out["kbps"] == [64, 80]

@@ -83,6 +83,28 @@ def build_emb100(spark) -> str:
     return out
 
 
+def _probe_detail(msg: str) -> str:
+    """Slice the budget detail ("sum(...)...") out of a semdedup
+    refusal message; fall back to the raw message when the format
+    doesn't carry the expected markers (r11 ADVICE #3 — find()
+    returning -1 used to produce garbage slices). Always truncated to
+    80 chars."""
+    lo, hi = msg.find("sum("), msg.find("; worst")
+    return (msg[lo:hi] if 0 <= lo < hi else msg)[:80]
+
+
+def _require_passing(passing, probe: dict) -> int:
+    """Fail loud when no sign_bits probe fit the pair budget — the
+    timing legs would otherwise crash with an opaque TypeError from
+    sign_bits=None (r11 ADVICE #3)."""
+    if passing is None:
+        raise RuntimeError(
+            "semdedup factor-100: no sign_bits in range(5, 17) fit the "
+            f"50M pair budget — probe results: {probe}"
+        )
+    return passing
+
+
 def semdedup_experiment(spark) -> dict:
     from employee_analytics_etl_spark.operators.dedup import (
         clear_pair_budget_cache,
@@ -113,10 +135,10 @@ def semdedup_experiment(spark) -> dict:
             passing = bits
             break
         except ValueError as exc:
-            msg = str(exc)
-            probe[bits] = msg[msg.find("sum(") : msg.find("; worst")][:80]
+            probe[bits] = _probe_detail(str(exc))
     result["bits_probe"] = {str(k): v for k, v in probe.items()}
     result["min_passing_sign_bits"] = passing
+    passing = _require_passing(passing, result["bits_probe"])
 
     # (c) min-of-3 wall at the passing setting, plus the 1x baseline
     def run(df, bits):

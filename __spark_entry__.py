@@ -32,6 +32,7 @@ def _registry():
         registry_r9,
         registry_r10,
         registry_r11,
+        registry_r12,
     )
 
     return registry.QUERIES, registry.ORACLE

@@ -353,6 +353,7 @@ def main() -> None:
         registry_r9,
         registry_r10,
         registry_r11,
+        registry_r12,
     )
     from employee_analytics_etl_spark.session import build_session
 

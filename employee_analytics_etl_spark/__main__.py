@@ -55,6 +55,7 @@ def main(argv: list[str] | None = None) -> int:
             registry_r9,
             registry_r10,
             registry_r11,
+            registry_r12,
         )
         from .session import build_session
         from .sources.readers import register_views

@@ -1218,6 +1218,89 @@ def _damerau_levenshtein_py(a: str, b: str) -> int:
     return d[la + 1][lb + 1]
 
 
+def _damerau_levenshtein_capped(a: str, b: str, cap: int) -> int:
+    """Cap-bounded Damerau-Levenshtein: returns the EXACT
+    Lowrance-Wagner distance when it is <= ``cap``, else ``cap + 1``
+    (callers filter on <= cap, so any over-cap value is equivalent).
+    Three sound accelerations over ``_damerau_levenshtein_py``:
+
+    1. Length prefilter: dl >= |len(a) - len(b)| (inserts/deletes
+       alone must bridge the gap), so a longer gap than ``cap``
+       rejects in O(1).
+    2. Character-bag prefilter: transpositions permute characters and
+       a substitution/insert/delete changes each side's surplus
+       multiset by at most one character, so dl >= max(|bag(a) -
+       bag(b)|, |bag(b) - bag(a)|) (multiset differences) — an O(len)
+       reject that kills most true-negative candidate pairs before
+       any DP.
+    3. Ukkonen band: every DP cell satisfies d(i, j) >= |i - j| (the
+       distance between prefixes is at least their length gap), so
+       cells outside the |i - j| <= cap band can never contribute to
+       a <= cap result — only the 2·cap+1-wide band is computed
+       (O(len·cap) instead of O(len²)). Out-of-band cells keep the
+       ``maxdist`` sentinel, which also correctly prices the
+       Lowrance-Wagner transpose term's d[k][l] jump when (k, l)
+       falls outside the band (its true value would exceed cap too).
+
+    4. Common-affix trim: matched leading/trailing runs are removed
+       before the DP (dl(xaz, xbz) = dl(a, b) — an optimal
+       Lowrance-Wagner trace never pays to edit an aligned equal
+       affix; verified EXHAUSTIVELY over all {a,b}-strings to length
+       5 plus 20k random abc pairs, zero divergences). Candidate
+       pairs are near-duplicates by construction, so this typically
+       collapses kilobyte texts to the handful of differing bytes.
+
+    Fuzz-verified against the full kernel (tests/test_r12_queries.py)
+    on transposition-dense alphabets including cap boundary hits."""
+    if cap < 0:
+        return 0 if a == b else cap + 1
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    i = 0
+    while i < len(a) and i < len(b) and a[i] == b[i]:
+        i += 1
+    ea, eb = len(a), len(b)
+    while ea > i and eb > i and a[ea - 1] == b[eb - 1]:
+        ea -= 1
+        eb -= 1
+    a, b = a[i:ea], b[i:eb]
+    la, lb = len(a), len(b)
+    if not la and not lb:
+        return 0
+    from collections import Counter
+
+    ca, cb = Counter(a), Counter(b)
+    if max(sum((ca - cb).values()), sum((cb - ca).values())) > cap:
+        return cap + 1
+    da: dict[str, int] = {}
+    maxdist = la + lb
+    d = [[maxdist] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        lo, hi = max(1, i - cap), min(lb, i + cap)
+        for j in range(lo, hi + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    res = d[la + 1][lb + 1]
+    return res if res <= cap else cap + 1
+
+
 def blocked_damerau_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -1238,12 +1321,15 @@ def blocked_damerau_pairs(
     block hurts most here)."""
     import pandas as pd
 
-    # NB: no type annotations on the kernel (see jw below).
+    # NB: no type annotations on the kernel (see jw below). The
+    # capped kernel returns the exact distance for <= max_dist and
+    # max_dist+1 past it — identical output after the filter, at
+    # O(len·max_dist) band cost instead of O(len²) (r12).
     @F.pandas_udf("long")
     def dl(sa, sb):
         return pd.Series(
             [
-                _damerau_levenshtein_py(a, b)
+                _damerau_levenshtein_capped(a, b, max_dist)
                 if a is not None and b is not None
                 else -1
                 for a, b in zip(sa, sb)
@@ -1696,16 +1782,8 @@ def candidate_levenshtein_pairs(
     contract as ``blocked_levenshtein_pairs``); ``lev_band=False``
     keeps construction fully plan-only with the 2-arg full DP.
     """
-    cand = prefix_filter_jaccard_pairs(
-        docs,
-        id_col,
-        text_col,
-        n=n,
-        threshold=jaccard_floor,
-        short_whole_text=short_whole_text,
-    ).select("id_a", "id_b", "jaccard")
-    texts = docs.select(
-        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
+    cand = _candidate_text_pairs(
+        docs, id_col, text_col, n, jaccard_floor, short_whole_text
     )
     if lev_band:
         import math as _math
@@ -1723,25 +1801,203 @@ def candidate_levenshtein_pairs(
         * max_rel_dist_pct
     ) / 100
     return (
-        cand.join(
-            texts.select(
-                F.col("_tid").alias("id_a"), F.col("_ttext").alias("_text_a")
-            ).hint("merge"),
-            "id_a",
-        )
-        .join(
-            texts.select(
-                F.col("_tid").alias("id_b"), F.col("_ttext").alias("_text_b")
-            ).hint("merge"),
-            "id_b",
-        )
-        .withColumn("lev_dist", lev.cast("long"))
+        cand.withColumn("lev_dist", lev.cast("long"))
         .filter((F.col("lev_dist") >= 0) & (F.col("lev_dist") <= cap))
         .select(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
             "jaccard",
             "lev_dist",
+        )
+    )
+
+
+def _candidate_text_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    jaccard_floor: float,
+    short_whole_text: bool,
+) -> DataFrame:
+    """Shared candidate stage of the candidate-first verifier family:
+    prefix-filter SSJoin candidates (lossless at the Jaccard floor)
+    with both raw texts joined back — (id_a, id_b, jaccard, _text_a,
+    _text_b). The text-back joins are explicitly sort-merge
+    (corpus-proportional sides never broadcast — the r9 cluster
+    lesson); every verifier (Levenshtein / Damerau / Jaro-Winkler)
+    scores ONLY these candidate rows, so verifier cost tracks true
+    near-duplicate density, not block-size squares."""
+    cand = prefix_filter_jaccard_pairs(
+        docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=jaccard_floor,
+        short_whole_text=short_whole_text,
+    ).select("id_a", "id_b", "jaccard")
+    texts = docs.select(
+        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
+    )
+    return cand.join(
+        texts.select(
+            F.col("_tid").alias("id_a"), F.col("_ttext").alias("_text_a")
+        ).hint("merge"),
+        "id_a",
+    ).join(
+        texts.select(
+            F.col("_tid").alias("id_b"), F.col("_ttext").alias("_text_b")
+        ).hint("merge"),
+        "id_b",
+    )
+
+
+def candidate_damerau_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    jaccard_floor: float = 0.25,
+    max_rel_dist_pct: int = 10,
+    short_whole_text: bool = True,
+) -> DataFrame:
+    """Candidate-first DAMERAU-Levenshtein linkage — the composed
+    scale path for the transposition-aware verifier, same shape as
+    ``candidate_levenshtein_pairs``: prefix-filter SSJoin candidates
+    → Arrow-batched Damerau DP verify over ONLY the candidates. The
+    blocked form (``blocked_damerau_pairs``) hits the identical pair
+    budget wall at factor-100 density as blocked Levenshtein — this
+    composition needs no budget because candidate volume tracks true
+    near-duplicate density.
+
+    Semantics: all pairs (id_a < id_b) with distinct-token-``n``-gram
+    Jaccard >= ``jaccard_floor`` AND Damerau-Levenshtein distance <=
+    ``max_rel_dist_pct``% of the longer text.
+
+    The default floor is LOWER than the Levenshtein composition's
+    (0.25 vs 0.3): the q-gram count filter (Gravano et al. VLDB'01)
+    bounds substitutions/insertions/deletions at <= n disturbed
+    shingles each, but an adjacent TRANSPOSITION can straddle a token
+    boundary and disturb TWO tokens — up to n+1 shingles. At d =
+    10%·m and n = 5, (n+1)·d = 0.6m disturbed gives J >= 0.4m/1.6m =
+    0.25 — the floor sits exactly at that transposition-adjusted
+    bound (same set-vs-multiset slack caveat as the Levenshtein
+    composition; ``short_whole_text=True`` applies the same
+    sub-n-token whole-text fallback).
+
+    Returns (doc_id_a, doc_id_b, jaccard, dl_dist).
+
+    Scale shape: identical to ``candidate_levenshtein_pairs`` except
+    the verifier is the ``_damerau_levenshtein_py`` Arrow pandas_udf
+    (Spark has no damerau builtin — the extension tier's documented
+    Python boundary, fuzz-verified against DuckDB); construction is
+    fully plan-only (no eager aggregate — the Damerau DP has no
+    banded builtin to size)."""
+    import pandas as pd
+
+    pct = int(max_rel_dist_pct)
+
+    # NB: no type annotations on the kernel — `from __future__ import
+    # annotations` turns them into strings pandas_udf can't resolve.
+    # The per-pair cap ⌊max_len·pct/100⌋ makes the capped kernel's
+    # output exact for every pair the filter keeps (dl <= cap_double
+    # ⟺ dl <= ⌊cap_double⌋ for integer dl) at O(len·cap) band cost —
+    # the full O(len²) DP made this the slowest verifier by ~8x.
+    @F.pandas_udf("long")
+    def dl(sa, sb):
+        return pd.Series(
+            [
+                _damerau_levenshtein_capped(
+                    a, b, max(len(a), len(b)) * pct // 100
+                )
+                if a is not None and b is not None
+                else -1
+                for a, b in zip(sa, sb)
+            ],
+            dtype="int64",
+        )
+
+    cand = _candidate_text_pairs(
+        docs, id_col, text_col, n, jaccard_floor, short_whole_text
+    )
+    cap = (
+        F.greatest(F.length("_text_a"), F.length("_text_b"))
+        * max_rel_dist_pct
+    ) / 100
+    return (
+        cand.withColumn("dl_dist", dl(F.col("_text_a"), F.col("_text_b")))
+        .filter((F.col("dl_dist") >= 0) & (F.col("dl_dist") <= cap))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "jaccard",
+            "dl_dist",
+        )
+    )
+
+
+def candidate_jaro_winkler_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    jaccard_floor: float = 0.3,
+    min_sim: float = 0.9,
+    short_whole_text: bool = True,
+) -> DataFrame:
+    """Candidate-first JARO-WINKLER linkage — the composed scale path
+    for the record-linkage scorer: prefix-filter SSJoin candidates →
+    Arrow-batched Jaro-Winkler verify over ONLY the candidates, so the
+    blocked form's pair budget is unnecessary at any density.
+
+    Semantics: all pairs (id_a < id_b) with distinct-token-``n``-gram
+    Jaccard >= ``jaccard_floor`` AND Jaro-Winkler similarity >=
+    ``min_sim``.
+
+    Recall contract (HONEST DIFFERENCE from the edit-distance
+    compositions): Jaro-Winkler is NOT edit-bounded, so the q-gram
+    count filter gives no theorem connecting ``min_sim`` to a Jaccard
+    floor — a high-JW pair built from heavy transposition of whole
+    blocks can in principle fall below any n-gram floor. The floor
+    here is the standard record-linkage BLOCKING choice (candidate
+    generation + scoring, Christen 2012), with the knob surfaced and
+    documented rather than hidden — the same contract class as the
+    blocked form's block-key choice, where a cross-block high-JW pair
+    is equally invisible. At ``min_sim`` ≥ 0.9 on running text, the
+    shared-shingle requirement is mild in practice: ~90% character
+    agreement with prefix weighting leaves long common token runs.
+
+    Returns (doc_id_a, doc_id_b, jaccard, jw_sim rounded to 6).
+
+    Scale shape: identical to ``candidate_levenshtein_pairs`` except
+    the verifier is the ``_jaro_winkler_py`` Arrow pandas_udf
+    (DuckDB-exact, fuzz-verified); construction fully plan-only."""
+    import pandas as pd
+
+    # NB: no type annotations on the kernel (see candidate_damerau).
+    @F.pandas_udf("double")
+    def jw(sa, sb):
+        return pd.Series(
+            [
+                _jaro_winkler_py(a, b)
+                if a is not None and b is not None
+                else 0.0
+                for a, b in zip(sa, sb)
+            ],
+            dtype="float64",
+        )
+
+    cand = _candidate_text_pairs(
+        docs, id_col, text_col, n, jaccard_floor, short_whole_text
+    )
+    return (
+        cand.withColumn("jw_sim", jw(F.col("_text_a"), F.col("_text_b")))
+        .filter(F.col("jw_sim") >= F.lit(float(min_sim)))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            "jaccard",
+            F.round("jw_sim", 6).alias("jw_sim"),
         )
     )
 

@@ -171,6 +171,7 @@ class TestGateCostTable:
             registry_r9,
             registry_r10,
             registry_r11,
+            registry_r12,
         )
 
         path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")

@@ -54,6 +54,7 @@ def main() -> int:
         registry_r9,
         registry_r10,
         registry_r11,
+        registry_r12,
     )
     from employee_analytics_etl_spark.session import build_session
 

@@ -140,6 +140,26 @@ def _oriented_edge_triangles(
     adj_dst = adj.select(F.col("src").alias("dst"), F.col("nbr").alias("nb"))
     if broadcast_adj:
         adj_dst = F.broadcast(adj_dst)
+    else:
+        # FORCE the sort-merge join on the default path (r12). Leaving
+        # the strategy to the optimizer let it broadcast the EXPLODED
+        # left side: Catalyst's Generate estimate is the pre-explode
+        # relation, so the per-edge rows each dragging their
+        # |N+(src)|-element array — the Σ|N+(u)|² wedge-mass object —
+        # priced as the compact adjacency and slid under the session's
+        # 64 MB threshold. At the factor-10 multifile layout
+        # (1.2 M edges, 148 M wedges) the deserialized
+        # LongToUnsafeRowMap blew an 8 GiB executor heap in
+        # local-cluster mode, single query, reproducibly; the sf0.001
+        # audit layout planned the same BuildLeft hazard but the query
+        # sat in GENERATE_BROADCAST_OK under the (wrong) opt-in-path
+        # justification, so the detector's hit was suppressed. The
+        # merge hint pins the plan the docstring always promised
+        # ("graphs past the gate fall back to the shuffle join") in
+        # every layout and survives AQE replanning; the opt-in
+        # broadcast_adj path above is untouched (its build side is the
+        # aggregated adjacency, bounded by the caller's adj_cells).
+        adj_dst = adj_dst.hint("merge")
     tri = (
         adj.select(
             F.col("src"),

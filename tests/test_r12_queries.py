@@ -289,3 +289,110 @@ class TestMp3Id3Footer:
         )
         out = parse_mp3_frames(data)
         assert out["n_frames"] == 2 and out["kbps"] == [64, 80]
+
+
+class TestTriangleJoinNeverBroadcastsExplodedSide:
+    """r12 combined-mode rotation finding: the default (shuffle-path)
+    triangle join left its physical strategy to the optimizer, whose
+    Generate estimate prices the EXPLODED adjacency side — every
+    oriented edge dragging its |N+(src)|-element array, the Σ|N+(u)|²
+    wedge-mass object — as the compact pre-explode relation. Under the
+    production session's 64 MB autoBroadcastJoinThreshold that planned
+    a BuildLeft BroadcastHashJoin and OOM'd 8 GiB executors at the
+    factor-10 multifile layout in local-cluster mode (single query,
+    reproducible; LongToUnsafeRowMap.readLongArray on deserialize).
+    The audit detector fired on exactly this plan, but the query sat
+    in GENERATE_BROADCAST_OK under a justification describing the
+    OPT-IN broadcast_adj path, not the registry's default path — a
+    misadjudicated allowlist entry. Fix: hint("merge") pins the
+    sort-merge join on the default path; the allowlist entry is gone."""
+
+    def _edges(self, spark, n_cliques=40, k=6):
+        # n_cliques disjoint k-cliques: known triangle count, enough
+        # rows that nothing degenerates to a LocalRelation.
+        rows = [
+            (c * 1000 + i, c * 1000 + j)
+            for c in range(n_cliques)
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+        return spark.createDataFrame(rows, ["u", "v"])
+
+    def _with_threshold(self, spark, bytes_):
+        import contextlib
+
+        @contextlib.contextmanager
+        def cm():
+            key = "spark.sql.autoBroadcastJoinThreshold"
+            old = spark.conf.get(key)
+            spark.conf.set(key, str(bytes_))
+            try:
+                yield
+            finally:
+                spark.conf.set(key, old)
+
+        return cm()
+
+    def test_default_path_is_sort_merge_even_at_huge_threshold(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        # 512 MB threshold: if ANY estimate-governed broadcast of the
+        # exploded side were still possible, it would be planned here.
+        with self._with_threshold(spark, 512 * 1024 * 1024):
+            df = G.triangle_stats(self._edges(spark), assume_distinct=True)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        na_joins = [
+            l for l in plan.splitlines() if "Join" in l and "na#" in l
+        ]
+        assert na_joins, "expected the na/nb intersection join in the plan"
+        assert all("SortMergeJoin" in l for l in na_joins), na_joins
+        assert all("BroadcastHashJoin" not in l for l in na_joins), na_joins
+
+    def test_default_path_detector_clean(self, spark):
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from explain_audit import GENERATE_BROADCAST_OK, broadcast_over_generate
+
+        from employee_analytics_etl_spark.operators import graph as G
+
+        # The misadjudicated allowlist entry must stay gone: the audit
+        # polices this query's default path again.
+        assert "graph_triangle_stats" not in GENERATE_BROADCAST_OK
+
+        with self._with_threshold(spark, 512 * 1024 * 1024):
+            df = G.triangle_stats(self._edges(spark), assume_distinct=True)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert broadcast_over_generate(plan) == []
+            df2 = G.local_clustering_topk(
+                self._edges(spark), k=5, assume_distinct=True
+            )
+            plan2 = df2._jdf.queryExecution().executedPlan().toString()
+            assert broadcast_over_generate(plan2) == []
+
+    def test_opt_in_broadcast_path_still_broadcasts(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        df = G.triangle_stats(
+            self._edges(spark), assume_distinct=True, broadcast_adj=True
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        na_joins = [
+            l for l in plan.splitlines() if "Join" in l and "na#" in l
+        ]
+        assert na_joins and all("BroadcastHashJoin" in l for l in na_joins)
+
+    def test_counts_unchanged_by_the_hint(self, spark):
+        from employee_analytics_etl_spark.operators import graph as G
+
+        n_cliques, k = 40, 6
+        row = G.triangle_stats(
+            self._edges(spark, n_cliques, k), assume_distinct=True
+        ).collect()[0]
+        # k-clique: C(k,3) triangles, C(k,2) edges, k*C(k-1,2) wedges
+        assert row.n_nodes == n_cliques * k
+        assert row.n_edges == n_cliques * k * (k - 1) // 2
+        assert row.n_triangles == n_cliques * k * (k - 1) * (k - 2) // 6
+        assert row.n_wedges == n_cliques * k * (k - 1) * (k - 2) // 2
+        assert abs(row.global_clustering - 1.0) < 1e-9

@@ -317,9 +317,18 @@ GENERATE_BROADCAST_OK = {
     "doc_packing_choice",
     # literal delay/floor grids: 5x5 on aggregated inputs
     "events_watermark_delay_choice",
-    # caller-opt-in broadcast_adj with a documented adj_cells bound
-    # (r8 ADVICE #3: bounds known by construction at the call site)
-    "graph_triangle_stats",
+    # graph_triangle_stats was allowlisted here r8-r11 with an opt-in
+    # justification ("caller-opt-in broadcast_adj with a documented
+    # adj_cells bound") that did NOT describe the registry call site —
+    # the registry uses the DEFAULT shuffle path, and the entry
+    # suppressed a real detector hit: the optimizer broadcast the
+    # exploded adjacency side (BuildLeft) and OOM'd 8 GiB executors at
+    # the factor-10 multifile layout (r12 combined-mode rotation).
+    # Removed r12: the default path now pins hint("merge") in
+    # _oriented_edge_triangles, so the plan is detector-clean for the
+    # right reason. Lesson: an allowlist entry must cite the plan the
+    # AUDITED call site constructs, not a plan some parameter could
+    # construct.
     # cap-guarded query-vector set (raises past the cap naming the
     # LSH alternative); the corpus side never broadcasts
     "knn_lsh_hyperplane",

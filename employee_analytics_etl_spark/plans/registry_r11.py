@@ -136,7 +136,15 @@ def media_mp3_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.mp3_stream_stats, and emit per-stream structure stats
     the oracle re-derives arithmetically from the same id recurrences.
     A mis-sized frame hop, a wrong bitrate-table row, or a broken ID3
-    skip desynchronizes the walk and cannot match. Full PCM decode of
+    skip desynchronizes the walk and cannot match. CONTRACT DEPENDENCY
+    (r11 verdict note, made explicit r12): because the oracle and the
+    in-query generator share the id recurrences, this oracle proves the
+    PARSER only while the SYNTHESIZER is independently pinned — the
+    spec-strictness/round-trip pytest
+    (tests/test_r11_queries.py::TestMp3HeaderParse and
+    tests/test_r12_queries.py::TestMp3Id3Footer) is load-bearing for
+    this query's gate, not auxiliary; weakening it would let a
+    matched-but-wrong encoder/parser pair through. Full PCM decode of
     the Huffman audio payload remains the documented
     NotImplementedError boundary; this query is the triage pass a
     100 TB audio corpus runs before any decode."""

@@ -1058,19 +1058,16 @@ def blocked_levenshtein_pairs(
     scored) is checked up front and the operator fails loud naming the
     hot blocks instead of silently launching a quadratic job.
 
-    Eagerness contract (r11, closing an ADVICE finding): when
-    ``max_pairs`` is not None, construction runs TWO eager one-row
-    aggregates over ``docs`` — the pair-budget check and a global
-    max-text-length used to size the banded early-exit DP threshold.
-    Both are **construction-time snapshots**: if the lazy returned
-    plan is re-executed after the underlying table grows, the budget
-    and the band threshold reflect the data as of construction (a
-    stale, too-small T would silently drop pairs the per-pair cap
-    keeps) — rebuild the plan after appends. With ``max_pairs=None``
-    construction is fully plan-only (matching
-    ``assert_blocked_pair_budget``'s documented escape hatch): no
-    aggregate runs, and the verifier falls back to the full O(n·m)
-    Levenshtein DP, trading the ~10× banded speedup for laziness.
+    Eagerness contract (r11 ADVICE closure, simplified r12): when
+    ``max_pairs`` is not None, construction runs ONE eager one-row
+    aggregate over ``docs`` — the pair-budget check, a
+    **construction-time snapshot** (rebuild the plan after appends).
+    With ``max_pairs=None`` construction is fully plan-only (matching
+    ``assert_blocked_pair_budget``'s documented escape hatch). The
+    banded early-exit DP no longer needs a snapshot at all: since r12
+    the threshold is a per-row expression (each pair's own 10% cap),
+    so EVERY path — including ``max_pairs=None`` — gets the banded
+    verifier with zero eager jobs and no staleness caveat.
     """
     keys = [F.col(c) for c in block_cols] + [
         F.expr(f"length({text_col}) DIV {band_chars}").alias("band")
@@ -1098,25 +1095,22 @@ def blocked_levenshtein_pairs(
     # at 1x (17.0 -> 2.15 s) and 11.3x at the 10x layout (227 -> 20.1
     # s); at the saturated 100x layout (442M pairs, explicit budget)
     # the banded form finishes in 831 s min-of-3 where full DP could
-    # not complete one pass in 900+ s (PERF.md r10). The one-row
-    # max-length aggregate rides the same eager round as the
-    # pair-budget check — and ONLY that round: with max_pairs=None
-    # construction must stay plan-only (the budget check's documented
-    # escape hatch), so the band threshold can't be snapshotted and
-    # the verifier uses the full 2-arg DP instead.
-    if max_pairs is not None:
-        max_len_row = d.agg(F.max(F.length(F.col(text_col)))).first()
-        import math as _math
-
-        lev_threshold = max(
-            int(_math.ceil((max_len_row[0] or 0) * max_rel_dist_pct / 100)),
-            1,
-        )
-        lev = F.levenshtein(
-            F.col(f"a_{text_col}"), F.col(f"b_{text_col}"), lev_threshold
-        )
-    else:
-        lev = F.levenshtein(F.col(f"a_{text_col}"), F.col(f"b_{text_col}"))
+    # not complete one pass in 900+ s (PERF.md r10).
+    # r12 (optimization round): the threshold is now a PER-ROW
+    # expression — T = greatest(1, floor(max(len_a, len_b)·pct/100)) —
+    # so the band is sized by each pair's own cap instead of the
+    # corpus-global max-length snapshot. This removes the second eager
+    # aggregate (and its staleness caveat) entirely, makes the banded
+    # verifier available on the plan-only max_pairs=None path too, and
+    # does strictly less DP work per pair on any skewed-length corpus
+    # (the old global T over-banded every short pair). Output is
+    # unchanged: integer d <= cap ⟺ d <= floor(cap) = T → exact
+    # distance; d > cap ⇒ d > T → -1 → filtered below.
+    lev = F.expr(
+        f"levenshtein(a_{text_col}, b_{text_col}, greatest(1, CAST("
+        f"greatest(length(a_{text_col}), length(b_{text_col}))"
+        f" * {int(max_rel_dist_pct)} / 100 AS INT)))"
+    )
     cap = (
         F.greatest(
             F.length(F.col(f"a_{text_col}")), F.length(F.col(f"b_{text_col}"))
@@ -1775,25 +1769,33 @@ def candidate_levenshtein_pairs(
     no all-pairs stage); the verify stage joins texts back by id
     (sort-merge — corpus-proportional sides never broadcast, the r9
     cluster lesson) and scores ONLY candidate pairs. With
-    ``lev_band=True`` (default) construction runs a one-row
-    max-length aggregate to size Spark's 3-arg banded early-exit
-    levenshtein (O(len·T) instead of O(len²) per pair; the threshold
-    is a construction-time snapshot — rebuild after appends, same
-    contract as ``blocked_levenshtein_pairs``); ``lev_band=False``
-    keeps construction fully plan-only with the 2-arg full DP.
+    ``lev_band=True`` (default) the verifier is Spark's 3-arg banded
+    early-exit levenshtein with a PER-ROW threshold (each pair's own
+    10% cap — O(len·T_pair) instead of O(len²) per pair; since r12 no
+    eager job and no construction-time snapshot: construction is
+    plan-only on EVERY path); ``lev_band=False`` keeps the 2-arg full
+    DP for A/B comparison.
     """
     cand = _candidate_text_pairs(
         docs, id_col, text_col, n, jaccard_floor, short_whole_text
     )
     if lev_band:
-        import math as _math
-
-        max_len_row = docs.agg(F.max(F.length(F.col(text_col)))).first()
-        lev_threshold = max(
-            int(_math.ceil((max_len_row[0] or 0) * max_rel_dist_pct / 100)),
-            1,
+        # r12 (optimization round): Spark's 3-arg levenshtein accepts a
+        # PER-ROW threshold expression, so the band is sized by each
+        # pair's OWN cap — T = greatest(1, floor(max(len_a, len_b) ·
+        # pct / 100)) — instead of a corpus-global max-length snapshot.
+        # Exactness is unchanged (integer d <= cap ⟺ d <= floor(cap)
+        # = T → exact distance returned; d > cap ⇒ d > T → -1 →
+        # filtered), construction no longer runs ANY eager job (the
+        # max-length aggregate and its staleness caveat are gone), and
+        # each pair's DP band is ~pct% of ITS length rather than of the
+        # longest text in the corpus — strictly less DP work on every
+        # skewed-length corpus.
+        lev = F.expr(
+            "levenshtein(_text_a, _text_b, greatest(1, CAST("
+            f"greatest(length(_text_a), length(_text_b)) * {int(max_rel_dist_pct)}"
+            " / 100 AS INT)))"
         )
-        lev = F.levenshtein(F.col("_text_a"), F.col("_text_b"), lev_threshold)
     else:
         lev = F.levenshtein(F.col("_text_a"), F.col("_text_b"))
     cap = (

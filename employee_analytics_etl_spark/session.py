@@ -77,6 +77,24 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12 (optimization round, guide §5): ContextCleaner reclaims
+        # shuffle files, broadcasts and localCheckpoint blocks only when
+        # the DRIVER JVM garbage-collects the corresponding references —
+        # and an 8g driver heap running thousands of small queries may
+        # not full-GC for the whole session (the default periodicGC
+        # interval is 30min). Measured on the 74-query bench session:
+        # stage/shuffle/checkpoint state accumulates monotonically and
+        # late-session queries degrade ~+0.2 s per full pass
+        # (doc_gopher_quality_flags 0.62 s isolated vs 3.96 s at
+        # bench-session position ~63; probe artifact in
+        # OPTIMIZATION_r12.md). A 1-minute periodic driver GC bounds the
+        # leak at one pass of state for ~100 ms/min of driver pause; the
+        # same leak-vs-pause tradeoff holds on a real cluster, where the
+        # un-reclaimed state additionally pins executor memory/disk.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),
+        )
         # driver testdata ships TIMESTAMP(NANOS) parquet columns (events.ts);
         # Spark has no nanos type — read as epoch-nanos long, normalized in
         # sources.readers.read_parquet_table.

@@ -104,6 +104,7 @@ def shingle_sets(
     n: int = 3,
     checkpoint: bool = True,
     short_whole_text: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document DISTINCT shingle sets, computed entirely scan-side:
     (id, shingle_set sorted array<string>, set_size long).
@@ -160,16 +161,25 @@ def shingle_sets(
         f"i -> concat_ws(' ', slice(_tk, i, {n}))) "
         f"{short_arm}ELSE array() END"
     )
+    # carry_cols (r12, optimization round): extra source columns to ride
+    # the projection (and the checkpoint) so downstream verify joins can
+    # attach them for free instead of re-joining the source by id — the
+    # candidate-first verifier family carries the raw text this way,
+    # removing two corpus-scale join-backs per query. The checkpoint
+    # then materializes those columns too (for text, roughly the corpus
+    # bytes on top of the ~n× shingle arrays it already holds).
     out = (
         df.select(
             F.col(id_col).alias("id"),
             F.expr(
                 f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)"
             ).alias("_tk"),
+            *[F.col(c) for c in carry_cols],
         )
         .select(
             "id",
             F.expr(f"array_sort(array_distinct({grams}))").alias("shingle_set"),
+            *[F.col(c) for c in carry_cols],
         )
         .withColumn("set_size", F.size("shingle_set").cast("long"))
     )
@@ -1576,6 +1586,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 5,
     threshold: float = 0.5,
     short_whole_text: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact set-similarity join via PREFIX FILTERING (SSJoin /
     PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08):
@@ -1598,6 +1609,12 @@ def prefix_filter_jaccard_pairs(
 
     Returns (id_a, id_b, intersection, size_a, size_b, jaccard) with
     id_a < id_b and jaccard ≥ threshold, jaccard rounded to 6.
+    ``carry_cols`` (r12, optimization round) appends ``{col}_a`` /
+    ``{col}_b`` pass-through columns from the source rows: they ride
+    the shingle_sets projection/checkpoint and the verify joins, so a
+    downstream verifier (the candidate-first edit-distance family)
+    gets e.g. both raw texts for free instead of re-joining the corpus
+    by id twice.
 
     Scale shape: one shuffle to df-count shingles, a per-document
     window (bounded by the doc's own shingle count) to take the
@@ -1619,7 +1636,14 @@ def prefix_filter_jaccard_pairs(
     # its docstring): False (default) keeps the historical
     # sub-n-token exclusion the existing oracles encode; True lets
     # short near-duplicates collide on a whole-text shingle.
-    ss = shingle_sets(df, id_col, text_col, n, short_whole_text=short_whole_text)
+    ss = shingle_sets(
+        df,
+        id_col,
+        text_col,
+        n,
+        short_whole_text=short_whole_text,
+        carry_cols=carry_cols,
+    )
     sh = ss.select("id", "set_size", F.explode("shingle_set").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     # rarest-first global order; (df, shingle) is a total order within
@@ -1651,6 +1675,20 @@ def prefix_filter_jaccard_pairs(
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("id", "shingle", "set_size")
+        # r12 (optimization round): the prefix table feeds BOTH sides of
+        # the candidate self-join, and the physical plan duplicated the
+        # entire upstream subtree per side — corpus explode, the dfreq
+        # aggregation, the df join and the per-doc window sort all ran
+        # TWICE (plans/r12/dedup_prefix_filter_pairs_before.txt shows
+        # the mirrored operator trees; no ReusedExchange fires because
+        # the sides' aliased projections don't canonicalize equal). One
+        # lazy localCheckpoint pins the narrow (id, shingle, set_size)
+        # prefix rows — bounded by Σ per-doc prefix lengths, a fraction
+        # of the exploded table — so the pipeline executes once. Same
+        # multi-consumer discipline as shingle_sets' own pin (r4
+        # simhash precedent); same cluster-mode recompute tradeoff,
+        # documented there.
+        .localCheckpoint(eager=False)
     )
     a = pre.select(
         F.col("id").alias("id_a"),
@@ -1677,7 +1715,7 @@ def prefix_filter_jaccard_pairs(
         .distinct()
     )
     sets = ss.select(
-        "id", F.col("shingle_set").alias("_set"), "set_size"
+        "id", F.col("shingle_set").alias("_set"), "set_size", *carry_cols
     ).hint("merge")
     out = (
         cand.join(
@@ -1685,6 +1723,7 @@ def prefix_filter_jaccard_pairs(
                 F.col("id").alias("id_a"),
                 F.col("_set").alias("_set_a"),
                 F.col("set_size").alias("size_a"),
+                *[F.col(c).alias(f"{c}_a") for c in carry_cols],
             ),
             "id_a",
         )
@@ -1693,6 +1732,7 @@ def prefix_filter_jaccard_pairs(
                 F.col("id").alias("id_b"),
                 F.col("_set").alias("_set_b"),
                 F.col("set_size").alias("size_b"),
+                *[F.col(c).alias(f"{c}_b") for c in carry_cols],
             ),
             "id_b",
         )
@@ -1715,6 +1755,7 @@ def prefix_filter_jaccard_pairs(
             "size_a",
             "size_b",
             F.round("jaccard", 6).alias("jaccard"),
+            *[f"{c}_{side}" for c in carry_cols for side in ("a", "b")],
         )
     )
     return out
@@ -1824,33 +1865,30 @@ def _candidate_text_pairs(
 ) -> DataFrame:
     """Shared candidate stage of the candidate-first verifier family:
     prefix-filter SSJoin candidates (lossless at the Jaccard floor)
-    with both raw texts joined back — (id_a, id_b, jaccard, _text_a,
-    _text_b). The text-back joins are explicitly sort-merge
-    (corpus-proportional sides never broadcast — the r9 cluster
-    lesson); every verifier (Levenshtein / Damerau / Jaro-Winkler)
-    scores ONLY these candidate rows, so verifier cost tracks true
-    near-duplicate density, not block-size squares."""
-    cand = prefix_filter_jaccard_pairs(
+    with both raw texts attached — (id_a, id_b, jaccard, _text_a,
+    _text_b). r12 (optimization round): the texts now RIDE the prefix
+    filter's own verify joins via ``carry_cols`` instead of two
+    additional corpus-scale sort-merge join-backs — the verify join
+    already shuffles by id_a/id_b, so attaching text there widens
+    those rows but removes two full exchanges of the candidate table
+    plus two corpus re-scans (measured plan diff: 4 SMJ joins → 2 on
+    the candidate path). Every verifier (Levenshtein / Damerau /
+    Jaro-Winkler) scores ONLY these candidate rows, so verifier cost
+    tracks true near-duplicate density, not block-size squares."""
+    return prefix_filter_jaccard_pairs(
         docs,
         id_col,
         text_col,
         n=n,
         threshold=jaccard_floor,
         short_whole_text=short_whole_text,
-    ).select("id_a", "id_b", "jaccard")
-    texts = docs.select(
-        F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext")
-    )
-    return cand.join(
-        texts.select(
-            F.col("_tid").alias("id_a"), F.col("_ttext").alias("_text_a")
-        ).hint("merge"),
+        carry_cols=(text_col,),
+    ).select(
         "id_a",
-    ).join(
-        texts.select(
-            F.col("_tid").alias("id_b"), F.col("_ttext").alias("_text_b")
-        ).hint("merge"),
         "id_b",
+        "jaccard",
+        F.col(f"{text_col}_a").alias("_text_a"),
+        F.col(f"{text_col}_b").alias("_text_b"),
     )
 
 

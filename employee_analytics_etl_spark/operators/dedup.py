@@ -2460,13 +2460,33 @@ def semdedup_prune(
         assert_blocked_pair_budget(
             c, c, ["cell"], max_pairs, "semdedup_prune"
         )
-    a = c.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "cell")
-    b = c.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "cell")
+    # r12 (optimization round): norms move OUT of the quadratic term.
+    # cosine(va, vb) = dot/(‖va‖·‖vb‖) previously evaluated TWO
+    # interpreted higher-order norm folds per PAIR; ‖v‖ is a
+    # per-VECTOR quantity, so it is now computed once scan-side and
+    # carried through the in-cell join. Bit-identical results: the
+    # norm is the same sqrt(aggregate(...)) IEEE expression either
+    # way, and the cosine is assembled as the same dot/(na·nb)
+    # division — only the evaluation COUNT changes (O(pairs) → O(n)
+    # norm folds; the per-pair work drops to the dot alone).
+    cn = c.withColumn("nrm", _S._norm(F.col("v")))
+    a = cn.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = cn.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(_S.cosine(F.col("va"), F.col("vb")), 6)
+            F.round(
+                _S._dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
             >= F.lit(float(threshold))
         )
         .select(F.col("id_b").alias("id"))

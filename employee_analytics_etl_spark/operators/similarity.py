@@ -52,6 +52,21 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_prenorm() -> Column:
+    """``cosine`` assembled from scan-side norms: the identical IEEE
+    expression tree (same ``_dot`` fold, same ``_norm`` folds, same
+    single division — bit-identical results) but with the per-VECTOR
+    norm folds evaluated once in the q/c projections (columns ``_qn``
+    / ``_cn``) instead of twice per joined PAIR. r12 optimization
+    round: the folds are interpreted higher-order aggregates, so
+    hoisting them out of the quadratic term cut semdedup_embedding_
+    prune 1.72 → 1.06 s at sf0.1; the same join shape recurs in every
+    topk scorer here."""
+    return _dot(F.col("q_vec"), F.col("c_vec")) / (
+        F.col("_qn") * F.col("_cn")
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -66,14 +81,18 @@ def brute_force_topk(
     total-ordered (sim desc, id asc) for determinism.
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -194,16 +213,18 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         sign_cell(vec_col, ivf_bits).alias("cell"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         sign_cell(vec_col, ivf_bits).alias("cell"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -256,15 +277,21 @@ def lsh_hyperplane_topk(
 ) -> DataFrame:
     """Approximate top-k searching only the query's LSH bucket."""
     q = lsh_hyperplane_buckets(queries, id_col, vec_col, n_planes, seed, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "lsh_bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "lsh_bucket",
+        _norm(F.col(vec_col)).alias("_qn"),
     )
     c = lsh_hyperplane_buckets(candidates, id_col, vec_col, n_planes, seed, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "lsh_bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "lsh_bucket",
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         c.join(F.broadcast(q), "lsh_bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -334,7 +361,11 @@ def lsh_multitable_topk(
         )
 
     q_ids = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        )
     )
     pairs = (
         hashed(candidates, "neighbor_id")
@@ -344,12 +375,14 @@ def lsh_multitable_topk(
         .distinct()
     )
     cv = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     )
     scored = (
         pairs.join(cv, "neighbor_id")
         .join(q_ids, "query_id")
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -449,7 +482,9 @@ def ivf_kmeans_topk(
     )
     assigned = kmeans_assign(candidates, centroids, id_col, vec_col)
     c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("_cn"),
     ).join(
         assigned.select(
             F.col("id").alias("neighbor_id"), F.col("cluster").alias("cell")
@@ -478,12 +513,14 @@ def ivf_kmeans_topk(
     )
     probes = q_vecs.mapInPandas(probe_kernel, "query_id long, cell int")
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     ).join(probes, "query_id")
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("sim", _cosine_prenorm())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

@@ -542,9 +542,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     first and this exact check verifies only candidates — the same
     generate→verify split as MinHash→Jaccard."""
     emb = t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    sim = S.cosine(F.col("va"), F.col("vb"))
+    # norms hoisted scan-side (r12 optimization round): same IEEE
+    # _norm fold, evaluated O(n) times instead of twice per pair —
+    # bit-identical sim values, see similarity._cosine_prenorm.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        S._norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        S._norm(F.col("embedding")).alias("_nb"),
+    )
+    sim = S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_sim", sim)

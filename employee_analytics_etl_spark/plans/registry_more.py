@@ -838,15 +838,19 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     emb = t(spark, sf_dir, "embeddings")
+    # norms hoisted scan-side (r12 optimization round) — bit-identical
+    # sim, O(n) instead of O(pairs) interpreted norm folds.
     q = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("va"),
+        S._norm(F.col("embedding")).alias("_na"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         F.col("embedding").alias("vb"),
+        S._norm(F.col("embedding")).alias("_nb"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -854,7 +858,10 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(q)
         .join(c, F.col("qlabel") != F.col("clabel"))
-        .withColumn("_sim", S.cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "_sim",
+            S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.round("_sim", 4).alias("sim"))
@@ -1904,11 +1911,24 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity as S
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # norms hoisted scan-side (r12 optimization round) — bit-identical
+    # sim, O(n) instead of O(pairs) interpreted norm folds.
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        S._norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        S._norm(F.col("embedding")).alias("_nb"),
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("_sim", S.cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "_sim",
+            S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+        )
         .filter(F.col("_sim") >= 0.4)
         .select("id_a", "id_b")
     )

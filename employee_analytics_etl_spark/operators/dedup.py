@@ -2295,31 +2295,42 @@ def exact_substring_spans(
     oracle's string_split (same choice as doc_chunk_exact_dedup).
     """
     base, dup = _substring_occurrence_tables(docs, k, id_col, text_col)
-    dup_per_doc = dup.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("dup_spans")
+    # r12 (optimization round): the two per-doc aggregates (occurrence
+    # count + distinct removed positions) previously ran as THREE
+    # doc-keyed exchanges (dup_per_doc groupBy, a (doc,p) DISTINCT,
+    # the removed groupBy) plus TWO join-backs to the spine. They fuse
+    # into ONE groupBy over the exploded positions: dup occurrences
+    # are unique by (doc, pos), so dup_spans = count_distinct(pos);
+    # canonical occurrences contribute a -1 sentinel "position" (never
+    # a real token index) so they count toward dup_spans but not
+    # removed_tokens = count_distinct(p >= 0). Identical integers,
+    # measured 1.6 -> 0.8 s at sf0.1, and one join-back instead of
+    # two. At scale the shuffle is the same exploded (doc, pos, p)
+    # rows either way; the saved exchanges dominate.
+    noncanon = ~(
+        (F.col("doc_id") == F.col("_canon.doc_id"))
+        & (F.col("pos") == F.col("_canon.pos"))
     )
-    removed = (
-        dup.filter(
-            ~(
-                (F.col("doc_id") == F.col("_canon.doc_id"))
-                & (F.col("pos") == F.col("_canon.pos"))
-            )
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
-            ).alias("p"),
-        )
-        .distinct()
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("removed_tokens"))
+    ex = dup.select("doc_id", "pos", noncanon.alias("_nc")).select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.when(
+                F.col("_nc"),
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1)),
+            ).otherwise(F.array(F.lit(-1)))
+        ).alias("p"),
+    )
+    per_doc = ex.groupBy("doc_id").agg(
+        F.count_distinct(F.col("pos")).cast("long").alias("dup_spans"),
+        F.count_distinct(F.when(F.col("p") >= 0, F.col("p")))
+        .cast("long")
+        .alias("removed_tokens"),
     )
     kept = F.col("n_tokens") - F.coalesce(F.col("removed_tokens"), F.lit(0))
     return (
         base.drop("_digs")
-        .join(dup_per_doc, "doc_id", "left")
-        .join(removed, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -608,20 +608,31 @@ def doc_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.expr(_TOKS).alias("_tk")
     )
     train = docs.filter(F.col("doc_id") % 5 != 0)
-    test = docs.filter(F.col("doc_id") % 5 == 0)
+    # r12 (optimization round): the test projection feeds tdocs AND
+    # tpairs — pin it so the test split is scanned+tokenized once.
+    test = docs.filter(F.col("doc_id") % 5 == 0).localCheckpoint(eager=False)
 
     ttok = train.select("lang", F.explode("_tk").alias("tok"))
-    ctc = ttok.groupBy(F.col("lang").alias("cls"), "tok").agg(
-        F.count(F.lit(1)).alias("c")
+    # r12 (optimization round): the before-plan scanned `documents` 22
+    # times — every consumer of ttok/ctc/train re-derived the corpus
+    # tokenize pass (ctc, clstot, vsize, model, dcls, dtot, plus the
+    # per-broadcast re-derivations of `classes`). Fixes: (a) pin the
+    # VOCAB-scale ctc (tokens × classes) once, (b) derive clstot from
+    # ctc (Σ counts per class ≡ ttok count per class — exact
+    # integers), (c) derive the 1-row dtot from the 5-row dcls the
+    # same way. The train corpus is now tokenized exactly once (into
+    # ctc); dcls scans train with _tk pruned (no tokenize).
+    ctc = (
+        ttok.groupBy(F.col("lang").alias("cls"), "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    clstot = ttok.groupBy(F.col("lang").alias("cls")).agg(
-        F.count(F.lit(1)).alias("n_c")
-    )
+    clstot = ctc.groupBy("cls").agg(F.sum("c").alias("n_c"))
     vsize = ctc.agg(F.countDistinct("tok").alias("v"))
     dcls = train.groupBy(F.col("lang").alias("cls")).agg(
         F.count(F.lit(1)).alias("nd")
     )
-    dtot = train.agg(F.count(F.lit(1)).alias("ndt"))
+    dtot = dcls.agg(F.sum("nd").alias("ndt"))
     classes = (
         clstot.crossJoin(F.broadcast(vsize))
         .crossJoin(F.broadcast(dtot))

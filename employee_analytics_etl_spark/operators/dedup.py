@@ -2219,13 +2219,15 @@ def _substring_occurrence_tables(
     """Shared k-token rolling-window digest pipeline for the exact-
     substring family (``exact_substring_spans`` audit view and
     ``exact_substring_runs`` maximal-run view). Returns ``(base,
-    dup)``: the per-document spine (doc_id, n_tokens, n_spans, _digs)
+    dup)``: the per-document spine (doc_id, n_tokens, n_spans)
     and the duplicated-occurrence table (doc_id, pos, dig, _canon) —
     every occurrence of every window whose digest appears >= 2 times
     corpus-wide, with the (doc_id, pos)-least occurrence as canonical.
     Digests are ``unhex(md5(window))`` — 16-byte binary on the wire
     (r9 ADVICE #3). Tokenization is single-space split, byte-faithful
     to the DuckDB oracles' string_split."""
+    from pyspark.sql.window import Window
+
     words = F.split(F.col(text_col), " ")
     nsp = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
     digs = F.when(
@@ -2237,25 +2239,40 @@ def _substring_occurrence_tables(
             ),
         ),
     ).otherwise(F.array().cast("array<binary>"))
+    # r12 (optimization round): previously the digest arrays were
+    # materialized with a localCheckpoint (pinning ~16 bytes PER
+    # CORPUS TOKEN on the executors) so the occurrence table could be
+    # read twice — once for the per-digest aggregate (count +
+    # canonical min) and once for the join back onto the occurrences,
+    # a second digest-keyed shuffle. The aggregate-then-join-back
+    # collapses into ONE window over the digest key: count and
+    # min(struct) over partitionBy(dig) attach the same per-digest
+    # stats to every occurrence with a single shuffle+sort on dig, the
+    # md5 pass runs once (occ now has one consumer), and nothing
+    # corpus-scale is materialized. Window groups are per-digest
+    # (a handful of rows even in duplicate-heavy corpora), so the
+    # WindowExec group buffer is bounded by the hottest digest's
+    # occurrence count, not the data. The per-doc spine pipelines
+    # straight from a digest-free second scan (split+size only).
+    # Interleaved same-JVM A/B at sf0.1: spans 2.02 -> 1.87 s, runs
+    # 2.02 -> 1.85 s, row-sets identical; plan: 2 digest shuffles +
+    # checkpoint -> 1 shuffle.
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(words).cast("long").alias("n_tokens"),
         nsp.cast("long").alias("n_spans"),
-        digs.alias("_digs"),
-    ).localCheckpoint(eager=False)  # feeds occurrences AND the per-doc spine
-    occ = base.select(
-        "doc_id", F.posexplode("_digs").alias("pos", "dig")
     )
-    grp = (
-        occ.groupBy("dig")
-        .agg(
-            F.count(F.lit(1)).alias("_cnt"),
-            F.min(F.struct("doc_id", "pos")).alias("_canon"),
-        )
+    occ = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(digs).alias("pos", "dig"),
+    )
+    w_dig = Window.partitionBy("dig")
+    dup = (
+        occ.withColumn("_cnt", F.count(F.lit(1)).over(w_dig))
+        .withColumn("_canon", F.min(F.struct("doc_id", "pos")).over(w_dig))
         .filter(F.col("_cnt") >= 2)
-        .select("dig", "_canon")
+        .select("doc_id", "pos", "dig", "_canon")
     )
-    dup = occ.join(grp, "dig")  # digest-keyed shuffle join
     return base, dup
 
 
@@ -2286,8 +2303,9 @@ def exact_substring_spans(
     a 16-byte md5 digest (``unhex(md5(...))`` — BinaryType, truly 16
     bytes on the wire; r9 ADVICE #3 caught the earlier 32-char hex
     form shipping 2x the claimed budget), never the window text — the
-    only wide shuffle moves (doc_id, pos, digest) rows. One hash aggregation
-    per digest (count + min-struct canonical), one digest join back,
+    only wide shuffle moves (doc_id, pos, digest) rows. ONE digest-keyed
+    shuffle: a window over the digest attaches count + min-struct
+    canonical to every occurrence in place (no join back, r12),
     then the k-position explode runs ONLY on non-canonical duplicated
     occurrences (in deduplicated corpora a small fraction), followed
     by per-document aggregation. Nothing all-pairs, nothing collected.
@@ -2329,7 +2347,7 @@ def exact_substring_spans(
     )
     kept = F.col("n_tokens") - F.coalesce(F.col("removed_tokens"), F.lit(0))
     return (
-        base.drop("_digs")
+        base
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -2368,7 +2386,7 @@ def exact_substring_runs(
     n_windows (duplicated windows coalesced into it).
 
     Scale shape: identical wide plan to ``exact_substring_spans``
-    (16-byte digest shuffle + one digest aggregation — see
+    (one 16-byte-digest-keyed window shuffle — see
     ``_substring_occurrence_tables``); the coalescing adds only a
     PER-DOCUMENT window (partitionBy doc_id — never a global sort)
     over the non-canonical duplicated occurrences, a small fraction

@@ -1197,14 +1197,24 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("id") % 97 == 0).select("shingle").distinct()
     )
     tr = sh.filter(F.col("id") % 97 != 0)
-    tot = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ov = (
-        tr.join(F.broadcast(ev), "shingle")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    # r12 (optimization round): the total-shingle and shared-shingle
+    # counts previously ran as TWO corpus shingle passes (tot, ov)
+    # joined back on id. A broadcast LEFT join against the eval set
+    # marks shared shingles in place, so ONE groupBy(id) yields both
+    # counts; docs with zero overlap are filtered exactly as the
+    # former inner join ov ⋈ tot dropped them. Integer counts —
+    # results identical (oracle MATCH sf0.01/0.1); 3 corpus scans ->
+    # 2 and the id-keyed join-back exchange is gone.
+    hits = tr.join(
+        F.broadcast(ev.withColumn("_ev", F.lit(1))), "shingle", "left"
     )
     return (
-        ov.join(tot, "id")
+        hits.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_ev").alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 1)
         .select(
             F.col("id").alias("doc_id"),
             "n_shared",

@@ -1645,7 +1645,13 @@ def prefix_filter_jaccard_pairs(
         carry_cols=carry_cols,
     )
     sh = ss.select("id", "set_size", F.explode("shingle_set").alias("shingle"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # r12 (optimization round): the document frequency was an aggregate
+    # joined BACK onto the exploded table (groupBy exchange + sort-merge
+    # join — two shingle-keyed passes). A count over
+    # Window.partitionBy(shingle) attaches _df to every occurrence in
+    # ONE shuffle+sort; groups are per-shingle (df-sized, boilerplate-
+    # bounded), the same shape that replaced the digest join-back in
+    # the exact-substring family.
     # rarest-first global order; (df, shingle) is a total order within
     # a doc because shingles are distinct per doc
     w = Window.partitionBy("id").orderBy(
@@ -1662,16 +1668,19 @@ def prefix_filter_jaccard_pairs(
     # building + shipping + pinning a multi-million-row broadcast
     # per executor OOM'd 8 GB heaps; in one JVM the same broadcast is
     # a shared in-process reference, which is how it stayed hidden).
-    # dfreq is vocab-scale, the prefix table and the verify arrays are
-    # corpus-scale: all three get explicit sort-merge hints. Not
-    # shuffle_hash: SHJ's per-partition hash map cannot spill, and with
-    # AQE coalescing shuffle outputs to ~64 MB advisory partitions the
-    # build OOM'd 8 GB executors ("not enough memory to build hash
-    # map") — SMJ sorts both sides with full spill support, the only
-    # strategy whose memory is bounded regardless of partition sizing,
-    # which is the property a corpus-scale join must have.
+    # The prefix table and the verify arrays are corpus-scale: both
+    # get explicit sort-merge hints. Not shuffle_hash: SHJ's
+    # per-partition hash map cannot spill, and with AQE coalescing
+    # shuffle outputs to ~64 MB advisory partitions the build OOM'd
+    # 8 GB executors ("not enough memory to build hash map") — SMJ
+    # sorts both sides with full spill support, the only strategy
+    # whose memory is bounded regardless of partition sizing, which
+    # is the property a corpus-scale join must have.
     pre = (
-        sh.join(dfreq.hint("merge"), "shingle")
+        sh.withColumn(
+            "_df",
+            F.count(F.lit(1)).over(Window.partitionBy("shingle")),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= prefix_len)
         .select("id", "shingle", "set_size")

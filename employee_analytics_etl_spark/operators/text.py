@@ -283,46 +283,9 @@ def bigram_lm_score(
         )
         .select(id_col, F.col("g.0").alias("w1"), F.col("g.1").alias("w2"))
     )
-    # r12 (optimization round): unigram counts are DERIVED from one
-    # combined count table instead of a second full-corpus explode.
-    # Zip every token with its successor, the LAST token of each doc
-    # pairing with NULL: each token occurrence contributes exactly one
-    # row, so grouping by (w1, w2) yields the bigram counts (w2 NOT
-    # NULL) AND, summed over w2 per w1, the exact unigram counts —
-    # every occurrence of w is either the first element of a bigram or
-    # its document's last token. Exact integers; the model tables are
-    # bit-identical to the two-pass form. This drops the plan from 4
-    # corpus scans (grams, unigram explode x2 via the vocab subtree,
-    # final score join) to 2 and removes the explode+aggregate over
-    # every token occurrence — the 100 TB lever is one fewer pass over
-    # every token of the corpus. An empty token array zips to one
-    # (NULL, NULL) row (arrays_zip pads to the longer side), removed
-    # by the w1 IS NOT NULL filter — real tokens are never NULL.
-    zipped = F.expr(
-        "arrays_zip(slice(tk, 1, size(tk)),"
-        " concat(slice(tk, 2, greatest(size(tk) - 1, 0)),"
-        " array(CAST(NULL AS STRING))))"
-    )
-    cbc = (
-        toks.select(F.explode(zipped).alias("g"))
-        .select(F.col("g.0").alias("w1"), F.col("g.1").alias("w2"))
-        .filter(F.col("w1").isNotNull())
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        # vocab²-bounded (distinct bigrams + one NULL row per distinct
-        # last-token word), far sub-corpus — pinned because bc and the
-        # uc derivation below both consume it (same idiom as the NB
-        # classifier's pinned token x class table)
-        .localCheckpoint(eager=False)
-    )
-    bc = cbc.filter(F.col("w2").isNotNull()).select(
-        "w1", "w2", F.col("_cnt").alias("cb")
-    )
-    uc = (
-        cbc.groupBy("w1")
-        .agg(F.sum("_cnt").cast("long").alias("cu"))
-        .select(F.col("w1").alias("w"), "cu")
-    )
+    unis = toks.select(F.explode("tk").alias("w"))
+    uc = unis.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bc = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     # scalar V: 1-row aggregate broadcast-crossJoined onto the
     # vocab-sized uc table (NOT the corpus-sized gram table) — the
     # scalar-subquery shape the plan audit allowlists

@@ -1003,12 +1003,10 @@ def copurchase_item_similarity_topk(
     Scale shape: pair counts come from the SAME one-groupBy(order) +
     scan-side pair-explode as _copurchase_edges (per-order fanout
     C(order size, 2) <= C(7,2) — linear in lineitem, never a
-    self-join of the incidence table); the SAME explode also emits
-    one (part, NULL) singleton per distinct part, so a single
-    groupBy(u, v) yields both the pair counts and the per-part order
-    counts (r12 — one lineitem pass instead of three), and the
-    part-count dimension broadcasts onto the pair table twice.
-    Similarity uses only *, /, sqrt on exact ints
+    self-join of the incidence table), aggregated once on (u, v);
+    per-part order counts explode from the same per-order distinct
+    part lists, and the part-count dimension broadcasts onto the
+    pair table twice. Similarity uses only *, /, sqrt on exact ints
     — IEEE-identical in both engines with NO decimal snap (the
     Wilson idiom); ties at the top-k cutoff break on (u, v). Top-20
     is TakeOrdered, never a global sort.
@@ -1022,36 +1020,22 @@ def copurchase_item_similarity_topk(
             "pk"
         )
     )
-    # r12 (optimization round): the pair table and the per-part order
-    # counts previously re-derived per_order THREE times (pairs, and
-    # the cu/cv broadcasts each re-ran the cnt subtree) — 3 lineitem
-    # scans + 3 order-keyed shuffles, executed serially because each
-    # broadcast build is its own job. One explode now emits the pair
-    # structs AND a (part, NULL) singleton per distinct part of the
-    # order, so a single groupBy(u, v) yields both tables exactly:
-    # v IS NULL rows are per-part order counts (pk is distinct per
-    # order), v IS NOT NULL rows are co-order counts. The aggregated
-    # table is pair-dimension (far sub-lineitem) and pinned with a
-    # lazy localCheckpoint for its two consumers. Interleaved
-    # same-JVM A/B at sf0.1: 1.78 -> 0.39 s, row-set identical;
-    # plan: 3 scans -> 1.
-    both_expr = (
-        "concat("
+    pair_expr = (
         "flatten(transform(pk, (x, i) -> "
         "transform(slice(pk, i + 2, size(pk)), "
-        "y -> struct(x AS u, y AS v)))), "
-        "transform(pk, x -> struct(x AS u, CAST(NULL AS BIGINT) AS v)))"
+        "y -> struct(x AS u, y AS v))))"
     )
-    cbc = (
-        per_order.select(F.explode(F.expr(both_expr)).alias("p"))
+    pairs = (
+        per_order.select(F.explode(F.expr(pair_expr)).alias("p"))
         .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("nuv"))
-        .localCheckpoint(eager=False)
+        .filter(F.col("nuv") >= 2)
     )
-    pairs = cbc.filter(F.col("v").isNotNull() & (F.col("nuv") >= 2))
-    cnt = cbc.filter(F.col("v").isNull()).select(
-        F.col("u").alias("i"), F.col("nuv").alias("n")
+    cnt = (
+        per_order.select(F.explode("pk").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     cu = cnt.select(F.col("i").alias("u"), F.col("n").alias("n_u"))
     cv = cnt.select(F.col("i").alias("v"), F.col("n").alias("n_v"))

@@ -116,11 +116,21 @@ def _oriented_edge_triangles(
         F.when(lower_is_u, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lower_is_u, F.col("v")).otherwise(F.col("u")).alias("dst"),
     )
-    adj = (
-        oriented.groupBy("src")
-        .agg(F.collect_list("dst").alias("nbr"))
-        .localCheckpoint(eager=False)  # exploded AND joined below
-    )
+    # r13: NO localCheckpoint here. The adjacency is consumed twice
+    # (exploded and joined below), but both consumers share the same
+    # canonical aggregate subtree over the checkpointed edge table, so
+    # AQE materializes the src-hash exchange ONCE per execution
+    # (runtime stage reuse) and only the cheap final collect_list
+    # re-runs per consumer. The former lazy checkpoint (a) executed
+    # the whole deg+orient+aggregate pipeline as a SERIAL job at
+    # DataFrame-construction time (~0.7 s of graph_local_clustering_
+    # topk's 3.8 s — the r12 "construction checkpoint" finding), and
+    # (b) pinned an |E|-cell corpus-scale adjacency on executor
+    # storage (guide §5). Measured (interleaved min-of-5/6, sf0.1):
+    # construction 1.92 -> 1.45 s, total 3.68 -> 3.23 s on local[32]
+    # and 3.80 -> 3.20 s under local-cluster[4,8,8192] combined with
+    # the shuffle_hash hint below.
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbr"))
     if broadcast_adj is None:
         # Lazy, deterministic default: the shuffle join. The former
         # auto mode ran an eager e.count() at DataFrame-construction
@@ -141,8 +151,9 @@ def _oriented_edge_triangles(
     if broadcast_adj:
         adj_dst = F.broadcast(adj_dst)
     else:
-        # FORCE the sort-merge join on the default path (r12). Leaving
-        # the strategy to the optimizer let it broadcast the EXPLODED
+        # FORCE a shuffle join with the COMPACT adjacency as the build
+        # side (r12 established the hazard, r13 the strategy). Leaving
+        # the choice to the optimizer let it broadcast the EXPLODED
         # left side: Catalyst's Generate estimate is the pre-explode
         # relation, so the per-edge rows each dragging their
         # |N+(src)|-element array — the Σ|N+(u)|² wedge-mass object —
@@ -150,16 +161,24 @@ def _oriented_edge_triangles(
         # 64 MB threshold. At the factor-10 multifile layout
         # (1.2 M edges, 148 M wedges) the deserialized
         # LongToUnsafeRowMap blew an 8 GiB executor heap in
-        # local-cluster mode, single query, reproducibly; the sf0.001
-        # audit layout planned the same BuildLeft hazard but the query
-        # sat in GENERATE_BROADCAST_OK under the (wrong) opt-in-path
-        # justification, so the detector's hit was suppressed. The
-        # merge hint pins the plan the docstring always promised
-        # ("graphs past the gate fall back to the shuffle join") in
-        # every layout and survives AQE replanning; the opt-in
-        # broadcast_adj path above is untouched (its build side is the
-        # aggregated adjacency, bounded by the caller's adj_cells).
-        adj_dst = adj_dst.hint("merge")
+        # local-cluster mode, single query, reproducibly. r12 pinned a
+        # sort-merge join; r13 switches the pin to SHUFFLE_HASH with
+        # adj_dst as the hinted (build) side: both sides still shuffle
+        # — the plan the docstring promises — but neither sorts, and
+        # the sort SMJ paid on the streamed side was over the wedge-
+        # mass rows each dragging its array (guide §3.1: per-partition
+        # hash build beats sort-merge when one side is per-partition
+        # small — the build side here is the |E|-cell adjacency split
+        # across partitions, never the exploded side). Measured
+        # (interleaved min-of-5/6, sf0.1): merge -> shuffle_hash is
+        # 3.68 -> 3.23 s on local[32], 3.80 -> 3.40 s under
+        # local-cluster[4,8,8192]; the factor-10 multifile cluster
+        # layout that OOM'd the broadcast plan runs green (see
+        # OPTIMIZATION_r13.md). AQE skew-join splitting still applies
+        # to shuffled-hash joins, and the opt-in broadcast_adj path
+        # above is untouched (its build side is the aggregated
+        # adjacency, bounded by the caller's adj_cells).
+        adj_dst = adj_dst.hint("shuffle_hash")
     tri = (
         adj.select(
             F.col("src"),

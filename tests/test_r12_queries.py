@@ -304,8 +304,14 @@ class TestTriangleJoinNeverBroadcastsExplodedSide:
     The audit detector fired on exactly this plan, but the query sat
     in GENERATE_BROADCAST_OK under a justification describing the
     OPT-IN broadcast_adj path, not the registry's default path — a
-    misadjudicated allowlist entry. Fix: hint("merge") pins the
-    sort-merge join on the default path; the allowlist entry is gone."""
+    misadjudicated allowlist entry. r12 fix: a join hint pins a
+    shuffle join on the default path; the allowlist entry is gone.
+    r13: the pinned strategy moved from sort-merge to SHUFFLE_HASH
+    with the COMPACT adjacency as the build side (guide §3.1 — both
+    sides still shuffle, neither sorts; the sort SMJ paid was over
+    the wedge-mass exploded rows). The invariant this class protects
+    is unchanged: the exploded side is NEVER a broadcast build side,
+    at any threshold."""
 
     def _edges(self, spark, n_cliques=40, k=6):
         # n_cliques disjoint k-cliques: known triangle count, enough
@@ -333,7 +339,7 @@ class TestTriangleJoinNeverBroadcastsExplodedSide:
 
         return cm()
 
-    def test_default_path_is_sort_merge_even_at_huge_threshold(self, spark):
+    def test_default_path_is_shuffle_hash_even_at_huge_threshold(self, spark):
         from employee_analytics_etl_spark.operators import graph as G
 
         # 512 MB threshold: if ANY estimate-governed broadcast of the
@@ -345,7 +351,11 @@ class TestTriangleJoinNeverBroadcastsExplodedSide:
             l for l in plan.splitlines() if "Join" in l and "na#" in l
         ]
         assert na_joins, "expected the na/nb intersection join in the plan"
-        assert all("SortMergeJoin" in l for l in na_joins), na_joins
+        # r13 pin: shuffled-hash, and the build side must be the RIGHT
+        # (compact adjacency) side — the exploded na-carrying side
+        # streams, it is never hashed or broadcast.
+        assert all("ShuffledHashJoin" in l for l in na_joins), na_joins
+        assert all("BuildRight" in l for l in na_joins), na_joins
         assert all("BroadcastHashJoin" not in l for l in na_joins), na_joins
 
     def test_default_path_detector_clean(self, spark):

@@ -1013,7 +1013,20 @@ def copurchase_item_similarity_topk(
 
     The oracle replays the pair generation as the incidence
     self-join — fine at oracle scale, quadratic in hub degree at
-    100 TB, which is exactly why the engine side doesn't do it."""
+    100 TB, which is exactly why the engine side doesn't do it.
+
+    r13 NOTE (settles the r12 §9 revert): the static plan's "3
+    lineitem scans" are an illusion — at runtime AQE's stage reuse
+    executes ONE scan and ONE l_orderkey exchange (4 ReusedExchange
+    in plans/r13/copurchase_item_similarity_topk_executed_current.txt),
+    the pair and cnt branches sharing them. A barrier-free
+    combined-counts rewrite (pair explode also emitting (part, NULL)
+    singletons, one groupBy(u,v) serving both counts) was row-set-
+    verified and measured in a same-session interleaved 3-arm A/B:
+    current 1.37/1.98 s vs combined 1.50/2.07 s vs the r12
+    checkpointed-combined 2.23 s (local[32] / local-cluster[4,8,8192]
+    mins) — the current form wins on BOTH topologies once runtime
+    reuse is accounted, so it stands."""
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.array_distinct(F.collect_list("l_partkey"))).alias(

@@ -1387,6 +1387,32 @@ class TestBigramLM:
         ids = {r["doc_id"] for r in TX.bigram_lm_score(df).collect()}
         assert ids == {3}
 
+    def test_exact_probabilities_hand_computed(self, spark):
+        # r13 combined-counts internals: unigram counts and vocab must
+        # come out exactly as the separate unigram pass computed them —
+        # including the LAST token of each doc (zipped with NULL) and
+        # tokens from 1-token docs that never form a bigram.
+        # Corpus: doc1 "a b a", doc2 "c" → cu: a=2, b=1, c=1; V=3;
+        # bigrams: (a,b)=1, (b,a)=1.
+        import math
+        from decimal import Decimal
+
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "c")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in TX.bigram_lm_score(df).collect()}
+        assert set(rows) == {1}  # doc2 has no bigrams
+        # lp(a,b) = ln((1+1)/(cu_a+V)) = ln(2/5); lp(b,a) = ln(2/4);
+        # each snapped to DECIMAL(28,6) before the sum (engine contract)
+        lp = lambda cb, cu: float(  # noqa: E731
+            Decimal(math.log((cb + 1) / (cu + 3))).quantize(
+                Decimal("0.000001")
+            )
+        )
+        want = (lp(1, 2) + lp(1, 1)) / 2
+        assert rows[1]["n_bigrams"] == 2
+        assert rows[1]["avg_logp"] == pytest.approx(want, abs=0)
+
 
 class TestLevenshteinPairs:
     def test_blocking_and_threshold(self, spark):

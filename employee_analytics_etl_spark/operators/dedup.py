@@ -168,6 +168,17 @@ def shingle_sets(
     # removing two corpus-scale join-backs per query. The checkpoint
     # then materializes those columns too (for text, roughly the corpus
     # bytes on top of the ~n× shingle arrays it already holds).
+    # r13 (ADVICE): reject carry names that collide with this
+    # function's own output/internal columns — a carry named "id" or
+    # "set_size" would silently produce duplicate/ambiguous columns.
+    _reserved = {"id", "shingle_set", "set_size", "_tk", "shingle"}
+    bad = [c for c in carry_cols if c in _reserved]
+    if bad:
+        raise ValueError(
+            f"shingle_sets carry_cols {bad} collide with reserved "
+            f"internal/output column names {sorted(_reserved)}; rename "
+            "the source column(s) before carrying them"
+        )
     out = (
         df.select(
             F.col(id_col).alias("id"),
@@ -1039,7 +1050,7 @@ def blocked_levenshtein_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang", "source"),
     band_chars: int = 64,
-    max_rel_dist_pct: int = 10,
+    max_rel_dist_pct: float = 10,
     max_pairs: int | None = 50_000_000,
 ) -> DataFrame:
     """Entity-resolution-style fuzzy pair finder: blocked edit-distance
@@ -1116,10 +1127,17 @@ def blocked_levenshtein_pairs(
     # (the old global T over-banded every short pair). Output is
     # unchanged: integer d <= cap ⟺ d <= floor(cap) = T → exact
     # distance; d > cap ⇒ d > T → -1 → filtered below.
+    # r13 (ADVICE): the band is built from the EXACT pct value — the
+    # same one the keep-filter cap below uses — not int(pct): with a
+    # fractional pct an int()-floored band would be TIGHTER than the
+    # cap and silently drop pairs with floor-pct-band < d <= cap.
+    # CAST(.. AS INT) truncates toward zero, so T = floor(cap) and
+    # integer d <= cap ⟺ d <= T for any non-negative pct. For integer
+    # pct the SQL text (and thus the plan) is unchanged.
     lev = F.expr(
         f"levenshtein(a_{text_col}, b_{text_col}, greatest(1, CAST("
         f"greatest(length(a_{text_col}), length(b_{text_col}))"
-        f" * {int(max_rel_dist_pct)} / 100 AS INT)))"
+        f" * {max_rel_dist_pct!r} / 100 AS INT)))"
     )
     cap = (
         F.greatest(
@@ -1636,6 +1654,20 @@ def prefix_filter_jaccard_pairs(
     # its docstring): False (default) keeps the historical
     # sub-n-token exclusion the existing oracles encode; True lets
     # short near-duplicates collide on a whole-text shingle.
+    # r13 (ADVICE): shingle_sets rejects carries colliding with its own
+    # columns; additionally reject ones whose {c}_a / {c}_b suffixed
+    # forms would collide with THIS function's output schema.
+    _out_names = {"id_a", "id_b", "intersection", "size_a", "size_b", "jaccard"}
+    bad = [
+        c
+        for c in carry_cols
+        if f"{c}_a" in _out_names or f"{c}_b" in _out_names
+    ]
+    if bad:
+        raise ValueError(
+            f"prefix_filter_jaccard_pairs carry_cols {bad}: their _a/_b "
+            f"suffixed forms collide with output columns {sorted(_out_names)}"
+        )
     ss = shingle_sets(
         df,
         id_col,
@@ -1776,7 +1808,7 @@ def candidate_levenshtein_pairs(
     text_col: str = "text",
     n: int = 5,
     jaccard_floor: float = 0.3,
-    max_rel_dist_pct: int = 10,
+    max_rel_dist_pct: float = 10,
     lev_band: bool = True,
     short_whole_text: bool = True,
 ) -> DataFrame:
@@ -1841,9 +1873,11 @@ def candidate_levenshtein_pairs(
         # each pair's DP band is ~pct% of ITS length rather than of the
         # longest text in the corpus — strictly less DP work on every
         # skewed-length corpus.
+        # exact pct, not int(pct) — see blocked_levenshtein_pairs
+        # (a fractional pct must not band tighter than the cap filter)
         lev = F.expr(
             "levenshtein(_text_a, _text_b, greatest(1, CAST("
-            f"greatest(length(_text_a), length(_text_b)) * {int(max_rel_dist_pct)}"
+            f"greatest(length(_text_a), length(_text_b)) * {max_rel_dist_pct!r}"
             " / 100 AS INT)))"
         )
     else:
@@ -1907,7 +1941,7 @@ def candidate_damerau_pairs(
     text_col: str = "text",
     n: int = 5,
     jaccard_floor: float = 0.25,
-    max_rel_dist_pct: int = 10,
+    max_rel_dist_pct: float = 10,
     short_whole_text: bool = True,
 ) -> DataFrame:
     """Candidate-first DAMERAU-Levenshtein linkage — the composed
@@ -1942,9 +1976,13 @@ def candidate_damerau_pairs(
     Python boundary, fuzz-verified against DuckDB); construction is
     fully plan-only (no eager aggregate — the Damerau DP has no
     banded builtin to size)."""
+    import math
+
     import pandas as pd
 
-    pct = int(max_rel_dist_pct)
+    # exact pct, not int(pct) — see blocked_levenshtein_pairs (a
+    # fractional pct must not cap the kernel tighter than the filter)
+    pct = max_rel_dist_pct
 
     # NB: no type annotations on the kernel — `from __future__ import
     # annotations` turns them into strings pandas_udf can't resolve.
@@ -1957,7 +1995,7 @@ def candidate_damerau_pairs(
         return pd.Series(
             [
                 _damerau_levenshtein_capped(
-                    a, b, max(len(a), len(b)) * pct // 100
+                    a, b, math.floor(max(len(a), len(b)) * pct / 100)
                 )
                 if a is not None and b is not None
                 else -1
@@ -2507,7 +2545,7 @@ def semdedup_prune(
     # way, and the cosine is assembled as the same dot/(na·nb)
     # division — only the evaluation COUNT changes (O(pairs) → O(n)
     # norm folds; the per-pair work drops to the dot alone).
-    cn = c.withColumn("nrm", _S._norm(F.col("v")))
+    cn = c.withColumn("nrm", _S.vec_norm(F.col("v")))
     a = cn.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"), "cell",
@@ -2521,8 +2559,9 @@ def semdedup_prune(
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.round(
-                _S._dot(F.col("va"), F.col("vb"))
-                / (F.col("na") * F.col("nb")),
+                _S.cosine_from_prenorm(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ),
                 6,
             )
             >= F.lit(float(threshold))

@@ -52,6 +52,26 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def vec_norm(a: Column) -> Column:
+    """Public scan-side L2 norm — compute once per VECTOR in a
+    projection and feed ``cosine_from_prenorm`` in the pair term, so
+    the interpreted aggregate fold runs O(n) times instead of
+    O(pairs) (the r12 §4 hoist). Same expression tree as the private
+    ``_norm``, exported (r12 ADVICE) so registry queries stop
+    hand-assembling the pattern."""
+    return _norm(a)
+
+
+def cosine_from_prenorm(
+    a: Column, b: Column, na: Column, nb: Column
+) -> Column:
+    """``cosine(a, b)`` assembled from precomputed per-vector norms
+    (``vec_norm`` columns): the identical IEEE expression tree — same
+    ``_dot`` fold, same division shape — so results are bit-identical
+    to ``cosine``; only the norm-fold evaluation count changes."""
+    return _dot(a, b) / (na * nb)
+
+
 def _cosine_prenorm() -> Column:
     """``cosine`` assembled from scan-side norms: the identical IEEE
     expression tree (same ``_dot`` fold, same ``_norm`` folds, same

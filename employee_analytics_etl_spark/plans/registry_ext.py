@@ -548,14 +548,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-        S._norm(F.col("embedding")).alias("_na"),
+        S.vec_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
-        S._norm(F.col("embedding")).alias("_nb"),
+        S.vec_norm(F.col("embedding")).alias("_nb"),
     )
-    sim = S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
+    sim = S.cosine_from_prenorm(
+        F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("_sim", sim)

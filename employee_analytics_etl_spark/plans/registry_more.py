@@ -844,13 +844,13 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("va"),
-        S._norm(F.col("embedding")).alias("_na"),
+        S.vec_norm(F.col("embedding")).alias("_na"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
         F.col("embedding").alias("vb"),
-        S._norm(F.col("embedding")).alias("_nb"),
+        S.vec_norm(F.col("embedding")).alias("_nb"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("_sim").desc(), F.col("neighbor_id")
@@ -860,7 +860,9 @@ def knn_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, F.col("qlabel") != F.col("clabel"))
         .withColumn(
             "_sim",
-            S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+            S.cosine_from_prenorm(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
@@ -1916,18 +1918,20 @@ def embedding_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
-        S._norm(F.col("embedding")).alias("_na"),
+        S.vec_norm(F.col("embedding")).alias("_na"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
-        S._norm(F.col("embedding")).alias("_nb"),
+        S.vec_norm(F.col("embedding")).alias("_nb"),
     )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn(
             "_sim",
-            S._dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")),
+            S.cosine_from_prenorm(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
+            ),
         )
         .filter(F.col("_sim") >= 0.4)
         .select("id_a", "id_b")

@@ -91,6 +91,11 @@ def build_session(
         # leak at one pass of state for ~100 ms/min of driver pause; the
         # same leak-vs-pause tradeoff holds on a real cluster, where the
         # un-reclaimed state additionally pins executor memory/disk.
+        # CAVEAT (r13, ADVICE): periodicGC works via System.gc(), which
+        # -XX:+DisableExplicitGC (common on tuned clusters) turns into
+        # a silent no-op — on such a deployment this mitigation is
+        # inert and the leak returns; either drop that JVM flag for the
+        # driver or use -XX:+ExplicitGCInvokesConcurrent instead.
         .config(
             "spark.cleaner.periodicGC.interval",
             os.environ.get("SPARK_GRAFT_PERIODIC_GC", "1min"),

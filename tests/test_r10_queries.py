@@ -60,6 +60,38 @@ class TestShingleSetsCheckpointOptOut:
         }
 
 
+class TestCarryColsCollisionGuard:
+    """r13 (r12 ADVICE #2): carry_cols names colliding with the
+    operators' own internal/output columns must raise, not silently
+    produce duplicate/ambiguous columns."""
+
+    def test_shingle_sets_rejects_reserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", "x")], ["doc_id", "text", "set_size"]
+        )
+        with pytest.raises(ValueError, match="carry_cols.*set_size"):
+            shingle_sets(df, n=3, carry_cols=("set_size",))
+
+    def test_prefix_filter_rejects_suffix_collision(self, spark):
+        from employee_analytics_etl_spark.operators.dedup import (
+            prefix_filter_jaccard_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f", 1)], ["doc_id", "text", "size"]
+        )
+        # "size" itself is not reserved, but size_a/size_b are outputs
+        with pytest.raises(ValueError, match="_a/_b"):
+            prefix_filter_jaccard_pairs(df, carry_cols=("size",))
+
+    def test_valid_carry_passes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d", "en")], ["doc_id", "text", "lang"]
+        )
+        out = shingle_sets(df, n=3, carry_cols=("lang",))
+        assert out.columns == ["id", "shingle_set", "lang", "set_size"]
+
+
 class TestBroadcastOverGenerateDepthAware:
     def test_generate_above_aggregate_is_still_flagged(self):
         """r9 ADVICE #2's false negative: Aggregate is a DESCENDANT of

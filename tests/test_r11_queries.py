@@ -217,6 +217,54 @@ class TestCandidateLevenshtein:
         }
         assert banded == full
 
+    def test_fractional_pct_band_matches_unbanded(self, spark):
+        # r13 (ADVICE/VERDICT #8): the banded threshold must be built
+        # from the EXACT pct, not int(pct) — with pct=12.5 an
+        # int()-floored band (12%) would be tighter than the 12.5% cap
+        # and silently drop pairs with 12%-band < d <= 12.5%-cap.
+        # Constructed witness: docs 7 and 8 are 64 chars, lev = 8
+        # (last token differs in its final 8 chars), and share 5 of
+        # their 7 distinct 5-gram shingles (jaccard 5/7 >= 0.3). At
+        # pct=12.5 the cap is 64*0.125 = 8.0 (kept); an int(12.5)=12%
+        # band would be greatest(1, floor(64*0.12)) = 7 < 8 and the
+        # 3-arg levenshtein would return -1, silently dropping it.
+        docs = self._docs + [
+            (7, "t0000 t1111 t2222 t3333 t4444 t5555 t6666 t7777 t8888 abcdefghij"),
+            (8, "t0000 t1111 t2222 t3333 t4444 t5555 t6666 t7777 t8888 ab12345678"),
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        kw = dict(jaccard_floor=0.3, max_rel_dist_pct=12.5)
+        banded = {
+            tuple(r)
+            for r in candidate_levenshtein_pairs(
+                df, "doc_id", "text", **kw
+            ).collect()
+        }
+        full = {
+            tuple(r)
+            for r in candidate_levenshtein_pairs(
+                df, "doc_id", "text", lev_band=False, **kw
+            ).collect()
+        }
+        # brute force of the declared semantics at the fractional pct
+        expect = set()
+        for i, (ia, ta) in enumerate(docs):
+            for ib, tb in docs[i + 1 :]:
+                sa, sb = self._shingles(ta, 5), self._shingles(tb, 5)
+                jac = len(sa & sb) / len(sa | sb)
+                lev = self._lev(ta, tb)
+                if jac >= 0.3 and lev <= max(len(ta), len(tb)) * 12.5 / 100:
+                    expect.add((ia, ib, round(jac, 6), lev))
+        assert banded == full == expect
+        # the fixture must actually exercise a pair BETWEEN floor-int-
+        # pct band and the fractional cap, or this test proves nothing
+        assert any(
+            max(len(dict(docs)[a]), len(dict(docs)[b])) * 12 // 100
+            < d
+            <= max(len(dict(docs)[a]), len(dict(docs)[b])) * 12.5 / 100
+            for (a, b, _j, d) in expect
+        )
+
     def test_lev_band_false_is_plan_only(self, spark, monkeypatch):
         df = spark.createDataFrame(self._docs, ["doc_id", "text"])
         cls = type(df)

@@ -505,31 +505,37 @@ def doc_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nch - 1),
         lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
     )
-    ex = docs.select(
-        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
-    ).localCheckpoint(eager=False)  # feeds both the window and n_chunks
+    # r13 (guide §2.1/§2.4 + §5, the §5-fusion shape — VERDICT #6
+    # sweep): n_chunks and the kept-chunk aggregate were TWO doc-keyed
+    # aggregates over the exploded table, joined back on doc_id, with
+    # a corpus-scale localCheckpoint (chunk TEXT materialized on
+    # executors) pinning the explode for both consumers. Keeping the
+    # rn == 1 decision as a FLAG instead of a filter fuses everything
+    # into ONE groupBy: count(*) is n_chunks, count(flag) is n_kept,
+    # and collect_list skips the NULL (cut) chunks, so fully-
+    # duplicated docs come out n_kept = 0 / text_kept "" exactly as
+    # the LEFT join + coalesce produced. One consumer → no checkpoint,
+    # no join-back; the plan is posexplode → chunk window → doc agg.
+    ex = docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
-    kept = (
-        ex.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    keep = F.when(
+        F.row_number().over(w) == 1, F.struct("chunk_idx", "chunk")
+    )
+    return (
+        ex.withColumn("_kc", keep)
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.count("_kc").cast("long").alias("n_kept"),
             F.array_join(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    F.array_sort(F.collect_list("_kc")),
                     lambda s: s["chunk"],
                 ),
                 " ",
             ).alias("text_kept"),
         )
-    )
-    tot = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
-    return tot.join(kept, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+        .select("doc_id", "n_chunks", "n_kept", "text_kept")
     )
 
 

@@ -1799,11 +1799,24 @@ def user_hourly_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     hod = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
         F.count(F.lit(1)).alias("n_h")
     )
-    tot = hod.groupBy("user_id").agg(
-        F.sum("n_h").alias("n"), F.count(F.lit(1)).alias("active_hours")
-    )
+    # r13 (guide §2.1, the §8/§13 window-over-key shape — VERDICT #6
+    # sweep): the per-user totals were a groupBy(user) aggregate
+    # joined BACK onto hod on user_id — an extra user-keyed exchange
+    # plus a join. A window over partitionBy(user_id) attaches both
+    # totals in ONE exchange+sort; groups are ≤ 24 rows by
+    # construction (hours of day) and user_id is high-cardinality, so
+    # partitions spread. Same integers, same term expression —
+    # bit-identical output (oracle MATCH at sf0.01/sf0.1).
+    from pyspark.sql.window import Window as _W
+
+    uw = _W.partitionBy("user_id")
     p = F.col("n_h").cast("double") / F.col("n")
-    terms = hod.join(tot, "user_id").select(
+    terms = hod.select(
+        "user_id",
+        F.sum("n_h").over(uw).alias("n"),
+        F.count(F.lit(1)).over(uw).alias("active_hours"),
+        "n_h",
+    ).select(
         "user_id",
         "n",
         "active_hours",
@@ -1857,9 +1870,20 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.partitioning import fan_out
 
     sh = D.shingles(fan_out(docs), "doc_id", "text", n=3, distinct=True)
-    df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # r13 (guide §2.1, the §13 prefix-filter shape — VERDICT #6 sweep):
+    # the df table was a groupBy(shingle) aggregate joined BACK onto
+    # the exploded table (agg exchange + shingle-keyed join). A count
+    # over Window.partitionBy(shingle) attaches df in ONE
+    # exchange+sort; groups are per-shingle (df-sized, boilerplate-
+    # bounded — the same envelope the prefix filter accepts). Integer
+    # counts → identical rows (oracle MATCH at sf0.01/sf0.1).
+    from pyspark.sql.window import Window as _W
+
+    sh_df = sh.withColumn(
+        "df", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+    )
     return (
-        sh.join(df_tab, "shingle")
+        sh_df
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_shingles"),
